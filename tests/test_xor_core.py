@@ -1,0 +1,217 @@
+"""XOR filter core tests — ports the reference's four test layers
+(SURVEY.md §5): unit internals, deterministic+statistical integration,
+per-width FPR, edge/stress. Reference citations inline."""
+
+import math
+
+import numpy as np
+import pytest
+
+from xorfilter_net_spark.filters.xor_core import (
+    XorConstructionError,
+    XorFilter,
+    block_bounds,
+    build_from_bytes,
+    build_from_digests,
+    table_size,
+)
+
+SEED = 12345  # DeterministicIntegrationTests.cs:11
+
+
+def keys_basic(n):
+    return [f"test_{i}".encode() for i in range(n)]
+
+
+def test_empty_input_raises():
+    # BaseXorFilter.cs:23-26, DeterministicIntegrationTests.cs:147-155
+    with pytest.raises(ValueError):
+        build_from_bytes([], width=8, seed=SEED)
+
+
+def test_table_size_floor_and_load():
+    # BaseXorFilter.cs:31-32
+    assert table_size(1) == 3
+    assert table_size(2) == 3
+    assert table_size(100) == math.ceil(1.23 * 100)
+
+
+def test_block_bounds_cover_disjoint():
+    # BaseXorFilter.cs:139-151; sizes 3/4/5/100/101 per BaseXorFilterTests.cs:242-278
+    for size in (3, 4, 5, 100, 101, 1230):
+        starts, widths = block_bounds(size)
+        assert widths.sum() == size
+        assert (widths >= 1).all()
+        assert starts.tolist() == [0, widths[0], widths[0] + widths[1]]
+
+
+@pytest.mark.parametrize("mode", ["digest", "exact"])
+@pytest.mark.parametrize("width", [8, 16, 32])
+def test_zero_false_negatives(mode, width):
+    # DeterministicIntegrationTests.cs:74-89 (200 members)
+    keys = keys_basic(200)
+    f = build_from_bytes(keys, width=width, seed=SEED, mode=mode)
+    assert f.contains_bytes(keys).all()
+
+
+@pytest.mark.parametrize("width,bound", [(8, 0.01), (16, 0.005), (32, 0.0001)])
+def test_fpr_within_bounds(width, bound):
+    # DeterministicIntegrationTests.cs:109-141 (1000 members / 2000 probes,
+    # bounds 1% / 0.5% / 0.01%); we probe 20k for tighter statistics
+    keys = keys_basic(1000)
+    f = build_from_bytes(keys, width=width, seed=SEED)
+    non = [f"nonmember_{i}_7f3a".encode() for i in range(20_000)]
+    assert f.contains_bytes(non).mean() < bound
+
+
+def test_fpr_monotone_across_widths():
+    # XorFilterTypeTests.cs:456-489 (FPR 32 <= 16 <= 8)
+    keys = keys_basic(2000)
+    non = [f"nm_{i}_x".encode() for i in range(50_000)]
+    rates = {}
+    for w in (8, 16, 32):
+        f = build_from_bytes(keys, width=w, seed=SEED)
+        rates[w] = f.contains_bytes(non).mean()
+    assert rates[32] <= rates[16] <= rates[8]
+
+
+def test_same_seed_identical_filter():
+    # DeterministicIntegrationTests.cs:13-34
+    for w in (8, 16, 32):
+        a = build_from_bytes(keys_basic(300), width=w, seed=SEED)
+        b = build_from_bytes(keys_basic(300), width=w, seed=SEED)
+        assert a.size == b.size
+        assert np.array_equal(a.seeds, b.seeds)
+        assert np.array_equal(a.slots, b.slots)
+
+
+def test_different_seed_different_internals():
+    # DeterministicIntegrationTests.cs:40-72
+    a = build_from_bytes(keys_basic(300), width=16, seed=1)
+    b = build_from_bytes(keys_basic(300), width=16, seed=2)
+    assert not np.array_equal(a.slots, b.slots)
+
+
+def test_duplicated_input_equals_unique_input():
+    # DeterministicIntegrationTests.cs:91-107 (triple-duplicated input)
+    base = keys_basic(100)
+    a = build_from_bytes(base * 3, width=8, seed=SEED)
+    b = build_from_bytes(base, width=8, seed=SEED)
+    assert a.size == b.size
+    assert np.array_equal(a.slots, b.slots)
+
+
+def test_input_order_invariance():
+    # DeterministicIntegrationTests.cs:259-276 — membership behavior is
+    # order-independent (digest mode sorts unique digests, so even bit-equal)
+    base = keys_basic(200)
+    a = build_from_bytes(base, width=16, seed=SEED)
+    b = build_from_bytes(list(reversed(base)), width=16, seed=SEED)
+    assert np.array_equal(a.slots, b.slots)
+    assert b.contains_bytes(base).all()
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 100, 1000])
+def test_size_sweep(n):
+    # DeterministicIntegrationTests.cs:173-199; BaseXorFilterTests.cs:529-550
+    keys = keys_basic(n)
+    f = build_from_bytes(keys, width=8, seed=SEED)
+    assert f.contains_bytes(keys).all()
+    assert f.size < max(3, 2 * n) + 3  # growth bound <2n, BaseXorFilterTests.cs:459-479
+
+
+def test_empty_byte_string_is_a_member():
+    # DeterministicIntegrationTests.cs:216-229; EdgeCaseAndStressTests
+    keys = [b"", b"a", b"bb"]
+    for mode in ("digest", "exact"):
+        f = build_from_bytes(keys, width=16, seed=SEED, mode=mode)
+        assert f.contains_bytes([b""]).all()
+
+
+def test_large_values_10kb():
+    # DeterministicIntegrationTests.cs:231-253
+    rng = np.random.default_rng(SEED)
+    keys = [rng.integers(0, 256, 10_240, dtype=np.uint8).tobytes() for _ in range(10)]
+    f = build_from_bytes(keys, width=32, seed=SEED)
+    assert f.contains_bytes(keys).all()
+
+
+def test_single_bytes_256():
+    # EdgeCaseAndStressTests.cs:15-190 (256 sequential single bytes)
+    keys = [bytes([i]) for i in range(256)]
+    f = build_from_bytes(keys, width=8, seed=SEED, mode="exact")
+    assert f.contains_bytes(keys).all()
+
+
+def test_collision_prone_families():
+    # EdgeCaseAndStressTests.cs:273-298, 484-509
+    keys = []
+    for i in range(500):
+        keys.append(int(i).to_bytes(4, "little"))
+        keys.append(int(i + 2**16).to_bytes(4, "little"))
+        keys.append(int(i + 2**17).to_bytes(4, "little"))
+    f = build_from_bytes(keys, width=16, seed=SEED)
+    assert f.contains_bytes(keys).all()
+
+
+def test_scale_50k_linear_bound():
+    # EdgeCaseAndStressTests.cs:352-381 — <5ms per 1000 keys (>=200k keys/s)
+    import time
+
+    keys = keys_basic(50_000)
+    t0 = time.perf_counter()
+    f = build_from_bytes(keys, width=32, seed=SEED)
+    dt = time.perf_counter() - t0
+    assert f.contains_bytes(keys[:1000]).all()
+    assert dt < 0.005 * 50  # 250 ms for 50k keys
+
+
+def test_probe_throughput():
+    # EdgeCaseAndStressTests.cs:410-419 — 1000 probes < 50 ms on 100k filter
+    import time
+
+    f = build_from_bytes(keys_basic(100_000), width=32, seed=SEED)
+    assert 100_000 <= f.size <= 200_000  # EdgeCaseAndStressTests.cs:407-408
+    probes = keys_basic(1000)
+    t0 = time.perf_counter()
+    f.contains_bytes(probes)
+    assert time.perf_counter() - t0 < 0.05
+
+
+def test_serialization_roundtrip():
+    keys = keys_basic(500)
+    f = build_from_bytes(keys, width=16, seed=SEED)
+    g = XorFilter.from_json(f.to_json())
+    assert np.array_equal(g.slots, f.slots)
+    assert g.contains_bytes(keys).all()
+
+
+def test_digest_build_deterministic_vs_input_partitioning():
+    # the distributed build dedups digests in any order; np.unique sorting
+    # makes the driver peel input canonical => partition-count independent
+    rng = np.random.default_rng(1)
+    d0 = rng.integers(0, 2**63, 10_000, dtype=np.uint64)
+    d1 = rng.integers(0, 2**63, 10_000, dtype=np.uint64)
+    perm = rng.permutation(10_000)
+    a = build_from_digests(d0, d1, width=8, seed=SEED)
+    b = build_from_digests(d0[perm], d1[perm], width=8, seed=SEED)
+    assert np.array_equal(a.slots, b.slots)
+
+
+def test_golden_vector_pinned_seed():
+    """Frozen golden vector for (seed=12345, keys_basic(100), XOR8, digest).
+
+    Guards the determinism chain (SURVEY.md §7 D2): any change to
+    splitmix64 seed derivation, digest128, block bounds, peel order, or
+    fill breaks this and must be a deliberate, documented decision.
+    """
+    f = build_from_bytes(keys_basic(100), width=8, seed=SEED)
+    assert f.size == 123
+    # pinned at first build; see tests/golden/xor8_seed12345_n100.json
+    import json
+    import pathlib
+
+    p = pathlib.Path(__file__).parent / "golden" / "xor8_seed12345_n100.json"
+    exp = json.loads(p.read_text())
+    assert f.to_dict()["slots_hex"] == exp["slots_hex"]
+    assert [int(s) for s in f.seeds] == exp["seeds"]
