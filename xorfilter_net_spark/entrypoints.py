@@ -1,0 +1,320 @@
+"""Query registry backing ``__spark_entry__.py`` (the driver contract).
+
+Every entry pairs a Spark DataFrame program with an ANSI-SQL oracle that
+DuckDB runs over the same parquet tables; column names and types are
+aligned on both sides (the driver hashes values under sorted column
+names). Aggregates over doubles go through ``decimal(18,4)`` so both
+engines sum exactly, then cast back to double.
+
+Probabilistic operators are gated in one of three deterministic ways:
+- *zero-false-negative counts*: probing the member set must find exactly
+  ``count(distinct key)`` rows (the reference's hard invariant,
+  DeterministicIntegrationTests.cs:74-89);
+- *XOR32 semi-join*: FPR 2^-32 over ~10^4 probes makes the probe's output
+  equal the exact semi-join with probability ~1-10^-5 — compared row-for-row;
+- *bound checks*: statistically-true facts (FPR under the published bound)
+  are computed Spark-side and returned as booleans whose oracle is the
+  constant TRUE — if the implementation drifts out of bound, the value
+  hash breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .filters.spark_build import (
+    build_sharded_xor_filter,
+    build_xor_filter,
+    is_member_sharded,
+    probe,
+)
+from .sources.session import load_table
+from .sources.transcripts import (
+    KEY_EXPR,
+    TRANSCRIPTS_CTE,
+    load_transcripts,
+    with_membership_key,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec_sum(col: str, alias: str) -> str:
+    return f"cast(sum(cast({col} as decimal(18,4))) as double) as {alias}"
+
+
+_KEYED_CTE = (
+    f"with {TRANSCRIPTS_CTE}, keyed as "
+    f"(select {KEY_EXPR} as key, turn_idx, role from transcripts)"
+)
+
+
+# ---------------------------------------------------------------------------
+# transcripts derivation (per-turn text equality under stable ordering —
+# the input_hint's per-row invariant, checked value-for-value vs DuckDB)
+# ---------------------------------------------------------------------------
+@query(
+    "transcripts_shape",
+    f"with {TRANSCRIPTS_CTE} "
+    "select conv_id, turn_idx, role, text, tool, ts_epoch from transcripts",
+)
+def q_transcripts_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts_epoch"
+    )
+
+
+# ---------------------------------------------------------------------------
+# XOR filter family (SURVEY.md §2.1 O1-O12)
+# ---------------------------------------------------------------------------
+@query(
+    "xor16_zero_false_negatives",
+    f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
+)
+def q_xor16_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    xf = build_xor_filter(t, "key", width=16, seed=12345)
+    r = probe(t.select("key").distinct(), xf, "key")
+    return r.agg(F.sum(F.col("is_member").cast("long")).alias("n_members_found"))
+
+
+@query(
+    "xor8_fpr_within_bound",
+    "select true as zero_fn, true as fpr_ok",
+)
+def q_xor8_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XOR8 statistical gate: zero FN on members, FPR < 1% on a disjoint
+    probe set (the reference's own test bound,
+    DeterministicIntegrationTests.cs:109-141)."""
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    members = t.select("key").distinct()
+    xf = build_xor_filter(members, "key", width=8, seed=12345)
+    fn_count = (
+        probe(members, xf, "key")
+        .agg(F.sum((~F.col("is_member")).cast("long")).alias("fn"))
+        .collect()[0]["fn"]
+    )
+    # non-members are disjoint by construction (members start with 'conv-')
+    non = members.selectExpr("'nm:' || key as key")
+    stats = (
+        probe(non, xf, "key")
+        .agg(
+            F.sum(F.col("is_member").cast("long")).alias("fp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    fpr = stats["fp"] / max(stats["n"], 1)
+    return t.sparkSession.createDataFrame(
+        [(fn_count == 0, fpr < 0.01)], "zero_fn boolean, fpr_ok boolean"
+    )
+
+
+@query(
+    "xor32_membership_semijoin",
+    f"{_KEYED_CTE} select distinct key from keyed "
+    "where key in (select key from keyed where turn_idx % 2 = 0)",
+)
+def q_xor32_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe ALL transcript keys against an XOR32 filter of the even-turn
+    keys; at FPR 2^-32 the result equals the exact semi-join."""
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    members = t.filter("turn_idx % 2 = 0").select("key").distinct()
+    xf = build_xor_filter(members, "key", width=32, seed=777)
+    return probe(t.select("key").distinct(), xf, "key").filter("is_member").select(
+        "key"
+    )
+
+
+@query(
+    "xor_sharded_zero_false_negatives",
+    f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
+)
+def q_xor_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully executor-side construction path (per-shard applyInPandas peel)."""
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    sxf = build_sharded_xor_filter(t, "key", num_shards=16, width=16, seed=42)
+    r = t.select("key").distinct().withColumn(
+        "is_member", is_member_sharded(spark, sxf, "key")
+    )
+    return r.agg(F.sum(F.col("is_member").cast("long")).alias("n_members_found"))
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (SURVEY.md §2.2: scan/filter/project/agg/join/window/
+# sort/limit/set-ops/rollup) — exact oracles
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    "select l_returnflag, l_linestatus, "
+    + _dec_sum("l_quantity", "sum_qty")
+    + ", "
+    + _dec_sum("l_extendedprice", "sum_base_price")
+    + ", "
+    + _dec_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price")
+    + ", count(*) as count_order "
+    "from lineitem where l_shipdate <= timestamp '1998-09-02 00:00:00' "
+    "group by l_returnflag, l_linestatus",
+)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(_dec_sum("l_quantity", "sum_qty")),
+            F.expr(_dec_sum("l_extendedprice", "sum_base_price")),
+            F.expr(_dec_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price")),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_segment_revenue",
+    "select c_mktsegment, "
+    + _dec_sum("o_totalprice", "total_price")
+    + ", count(*) as n_orders "
+    "from orders join customer on o_custkey = c_custkey "
+    "group by c_mktsegment",
+)
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    # dimension side is small at every SF ratio -> explicit broadcast join
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr(_dec_sum("o_totalprice", "total_price")),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_window_user_events",
+    "select user_id, event_id, rn, prev_cents from ("
+    " select user_id, event_id,"
+    "  row_number() over (partition by user_id order by ts, event_id) as rn,"
+    "  cast(round(coalesce(lag(value) over (partition by user_id "
+    "    order by ts, event_id), -1) * 100) as bigint) as prev_cents"
+    " from events) w where rn <= 3",
+)
+def q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "prev_cents",
+            F.round(F.coalesce(F.lag("value").over(w), F.lit(-1)) * 100).cast(
+                "bigint"
+            ),
+        )
+        .filter("rn <= 3")
+        .select("user_id", "event_id", "rn", "prev_cents")
+    )
+
+
+@query(
+    "q_topk_events",
+    "select event_id, event_type, cast(round(value * 100) as bigint) as value_cents "
+    "from events order by value desc, event_id limit 20",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("value").desc(), "event_id")
+        .limit(20)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+@query(
+    "q_rollup_events",
+    "select coalesce(event_type, 'ALL') as event_type, count(*) as n, "
+    + _dec_sum("value", "total_value")
+    + " from events group by rollup(event_type)",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(_dec_sum("value", "total_value")),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_customers_without_orders",
+    "select c_custkey as custkey from customer "
+    "except select o_custkey as custkey from orders",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return customer.exceptAll(orders.distinct()).distinct()
+
+
+@query(
+    "q_dedup_exact_documents",
+    "select source, count(*) as n_docs, count(distinct text) as n_unique_texts "
+    "from documents group by source",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+    )
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: 'has this (conv_id, text-fingerprint) been seen?' over the
+    sf0.001 transcripts — XOR16 build + vectorized probe, per-role counts."""
+    sf_dir = "/root/testdata/sf0.001"
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    xf = build_xor_filter(t, "key", width=16, seed=12345)
+    probed = probe(t, xf, "key")
+    return (
+        probed.groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("is_member").cast("long")).alias("n_member"),
+        )
+        .orderBy("role")
+    )

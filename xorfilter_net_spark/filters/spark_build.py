@@ -1,0 +1,240 @@
+"""Distributed XOR-filter construction and probing over Spark DataFrames.
+
+Pipeline (SURVEY.md §3.1, re-architecting ``BaseXorFilter.cs`` ctor for a
+1000-executor cluster):
+
+  scan (Parquet/Iceberg, Catalyst prunes columns)
+    -> mapInPandas: vectorized 128-bit key digests (Arrow batches, NumPy
+       murmur lanes — no per-row Python)
+    -> dropDuplicates on (d0, d1): distributed partial+final hash aggregate.
+       NOTE on skew: we deduplicate *digests*, not raw keys — digests are
+       uniform by construction, so the dedup shuffle cannot skew no matter
+       how hot a conv_id is. This is the salt-free equivalent of the
+       "salt-aware repartition" the north_star asks for: hashing IS the salt.
+    -> driver: NumPy peel over 16-byte digests only (O(n_unique), tiny vs
+       corpus; the one intentionally non-distributed stage — SURVEY §7 D4)
+    -> broadcast artifact; probes are map-only vectorized pandas UDFs.
+
+For key sets too large for a single driver peel (10^9+ unique keys), the
+sharded variant keeps construction fully executor-side: digests are
+hash-partitioned into shards, one independent XOR filter is peeled per
+shard inside ``applyInPandas``, and probes route by the same shard hash.
+Construction becomes embarrassingly parallel and merge-free; the price is
+one extra filter lookup indirection and ~the same total memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels.hashes import digest128, pack_bytes
+from .xor_core import XorFilter, build_from_digests
+
+__all__ = [
+    "key_digests",
+    "build_xor_filter",
+    "is_member",
+    "probe",
+    "ShardedXorFilter",
+    "build_sharded_xor_filter",
+]
+
+
+def _series_to_bytes(s: pd.Series) -> list[bytes]:
+    """Column values -> bytes. Strings are UTF-8 encoded; nulls -> b''."""
+    if s.dtype == object or pd.api.types.is_string_dtype(s):
+        out = []
+        for v in s:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                out.append(b"")
+            elif isinstance(v, bytes):
+                out.append(v)
+            elif isinstance(v, bytearray):
+                out.append(bytes(v))
+            else:
+                out.append(str(v).encode("utf-8"))
+        return out
+    return [str(v).encode("utf-8") for v in s]
+
+
+def _digest_batch(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    buf, lens = pack_bytes(_series_to_bytes(s))
+    return digest128(buf, lens)
+
+
+def key_digests(df: DataFrame, key_col: str) -> DataFrame:
+    """(d0, d1) uint64 digests (bit-cast into longs) for every row's key."""
+
+    def fn(batches):
+        for pdf in batches:
+            d0, d1 = _digest_batch(pdf[key_col])
+            yield pd.DataFrame(
+                {"d0": d0.view(np.int64), "d1": d1.view(np.int64)}
+            )
+
+    return df.select(F.col(key_col).alias(key_col)).mapInPandas(
+        fn, schema="d0 long, d1 long"
+    )
+
+
+def build_xor_filter(
+    df: DataFrame, key_col: str, width: int = 8, seed: int = 0
+) -> XorFilter:
+    """Global filter: distributed digest+dedup, driver peel (SURVEY §3.1)."""
+    uniq = key_digests(df, key_col).dropDuplicates(["d0", "d1"])
+    pdf = uniq.toPandas()  # 16 bytes per *unique* key — the only collect
+    d0 = pdf["d0"].to_numpy(dtype=np.int64).view(np.uint64)
+    d1 = pdf["d1"].to_numpy(dtype=np.int64).view(np.uint64)
+    return build_from_digests(d0, d1, width=width, seed=seed)
+
+
+_FILTER_CACHE: dict[int, tuple[object, XorFilter]] = {}
+
+
+def _cached_filter(art: dict) -> XorFilter:
+    """Per-worker rebuild cache keyed by the broadcast value's identity."""
+    k = id(art)
+    hit = _FILTER_CACHE.get(k)
+    if hit is None or hit[0] is not art:
+        _FILTER_CACHE.clear()
+        _FILTER_CACHE[k] = (art, XorFilter.from_dict(art))
+    return _FILTER_CACHE[k][1]
+
+
+def is_member(spark: SparkSession, xf: XorFilter, col: Column | str) -> Column:
+    """Vectorized membership probe column against a broadcast filter.
+
+    ``fingerprint(key) == slots[h0]^slots[h1]^slots[h2]``
+    (BaseXorFilter.cs:98-108) over Arrow batches; the slot table ships to
+    executors once via ``SparkContext.broadcast``.
+    """
+    bc = spark.sparkContext.broadcast(xf.to_dict())
+
+    @pandas_udf("boolean")
+    def _probe(s: pd.Series) -> pd.Series:
+        f = _cached_filter(bc.value)
+        if f.mode == "digest":
+            d0, d1 = _digest_batch(s)
+            return pd.Series(f.contains_digests(d0, d1))
+        return pd.Series(f.contains_bytes(_series_to_bytes(s)))
+
+    return _probe(F.col(col) if isinstance(col, str) else col)
+
+
+def probe(
+    df: DataFrame, xf: XorFilter, key_col: str, out: str = "is_member"
+) -> DataFrame:
+    return df.withColumn(out, is_member(df.sparkSession, xf, key_col))
+
+
+class ShardedXorFilter:
+    """A bank of independent XOR filters addressed by digest shard.
+
+    Scale path for key sets whose unique-digest array exceeds driver
+    memory: every shard is built executor-side in applyInPandas; no global
+    peel, no driver collect of keys. Shard routing: ``d0 % num_shards``
+    (uniform — d0 is a murmur lane).
+    """
+
+    def __init__(
+        self, width: int, seed: int, shards: dict[int, XorFilter], num_shards: int
+    ):
+        self.width = width
+        self.seed = seed
+        self.shards = shards
+        # routing modulus = the build-time shard count, NOT len(shards):
+        # shards that received no keys are simply absent (probe -> False)
+        self.num_shards = num_shards
+
+    def contains_digests(self, d0: np.ndarray, d1: np.ndarray) -> np.ndarray:
+        shard = (d0 % np.uint64(self.num_shards)).astype(np.int64)
+        out = np.zeros(d0.shape[0], dtype=bool)
+        for sid in np.unique(shard):
+            if int(sid) in self.shards:
+                m = shard == sid
+                out[m] = self.shards[int(sid)].contains_digests(d0[m], d1[m])
+        return out
+
+    def to_dict(self) -> dict:
+        return {
+            "width": self.width,
+            "seed": self.seed,
+            "num_shards": self.num_shards,
+            "shards": {str(k): v.to_dict() for k, v in self.shards.items()},
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ShardedXorFilter":
+        return cls(
+            d["width"],
+            d["seed"],
+            {int(k): XorFilter.from_dict(v) for k, v in d["shards"].items()},
+            d["num_shards"],
+        )
+
+    @property
+    def metrics(self) -> dict:
+        return {
+            "num_shards": self.num_shards,
+            "n_keys": sum(f.metrics.get("n_keys", 0) for f in self.shards.values()),
+            "table_size": sum(f.size for f in self.shards.values()),
+            "max_attempts": max(f.attempts for f in self.shards.values()),
+        }
+
+
+def build_sharded_xor_filter(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int = 32,
+    width: int = 8,
+    seed: int = 0,
+) -> ShardedXorFilter:
+    dig = key_digests(df, key_col).withColumn(
+        "shard", F.pmod(F.col("d0"), F.lit(num_shards)).cast("int")
+    )
+
+    def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["shard"].iloc[0])
+        d0 = pdf["d0"].to_numpy(dtype=np.int64).view(np.uint64)
+        d1 = pdf["d1"].to_numpy(dtype=np.int64).view(np.uint64)
+        # per-shard deterministic seed => rebuild-stable across runs
+        f = build_from_digests(d0, d1, width=width, seed=seed ^ (sid * 0x9E37))
+        return pd.DataFrame({"shard": [sid], "artifact": [f.to_json()]})
+
+    rows = (
+        dig.dropDuplicates(["d0", "d1"])
+        .groupBy("shard")
+        .applyInPandas(build_one, schema="shard int, artifact string")
+        .collect()
+    )
+    shards = {r["shard"]: XorFilter.from_json(r["artifact"]) for r in rows}
+    return ShardedXorFilter(width, seed, shards, num_shards)
+
+
+def is_member_sharded(
+    spark: SparkSession, sxf: ShardedXorFilter, col: Column | str
+) -> Column:
+    bc = spark.sparkContext.broadcast(sxf.to_dict())
+    cache: dict[int, tuple[object, ShardedXorFilter]] = {}
+
+    @pandas_udf("boolean")
+    def _probe(s: pd.Series) -> pd.Series:
+        art = bc.value
+        hit = cache.get(0)
+        if hit is None or hit[0] is not art:
+            cache[0] = (art, ShardedXorFilter.from_dict(art))
+        f = cache[0][1]
+        d0, d1 = _digest_batch(s)
+        shard = (d0 % np.uint64(f.num_shards)).astype(np.int64)
+        out = np.zeros(len(s), dtype=bool)
+        for sid in np.unique(shard):
+            if int(sid) in f.shards:
+                m = shard == sid
+                out[m] = f.shards[int(sid)].contains_digests(d0[m], d1[m])
+        return pd.Series(out)
+
+    return _probe(F.col(col) if isinstance(col, str) else col)
