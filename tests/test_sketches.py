@@ -1,0 +1,161 @@
+"""Sketch-family tests (north_rule): published error bounds + merge
+associativity under arbitrary partitionings (FIXTURES.md F4)."""
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xorfilter_net_spark.sketches.bloom import BloomSketch
+from xorfilter_net_spark.sketches.cms import CmsSketch
+from xorfilter_net_spark.sketches.hll import HllSketch
+from xorfilter_net_spark.sketches.kll import KllSketch
+from xorfilter_net_spark.sketches.tdigest import TDigestSketch
+
+RNG = np.random.default_rng(12345)
+KEYS = pd.Series([f"key_{i}" for i in range(30_000)])
+VALS = RNG.normal(100.0, 15.0, 120_000)
+
+
+def random_splits(series, n_parts, seed):
+    rng = np.random.default_rng(seed)
+    assign = rng.integers(0, n_parts, len(series))
+    return [series[assign == p].reset_index(drop=True) for p in range(n_parts)]
+
+
+def fold(sketch, frames):
+    sts = [
+        sketch.update(sketch.zero(), pd.DataFrame({"x": f}))
+        for f in frames
+        if len(f)
+    ]
+    return functools.reduce(sketch.merge, sts)
+
+
+# -- Bloom -------------------------------------------------------------------
+def test_bloom_zero_fn_and_fpr():
+    b = BloomSketch.for_capacity(30_000, fpp=0.01)
+    st = fold(b, [KEYS])
+    assert b.contains_series(st, KEYS).all()  # no false negatives, ever
+    non = pd.Series([f"other_{i}" for i in range(30_000)])
+    fpr = b.contains_series(st, non).mean()
+    assert fpr < 0.02  # published bound (1-e^{-kn/m})^k ~= 0.01
+
+
+def test_bloom_merge_associative_and_order_free():
+    b = BloomSketch.for_capacity(30_000, fpp=0.01)
+    parts = random_splits(KEYS, 7, seed=1)
+    sts = [b.update(b.zero(), pd.DataFrame({"x": p})) for p in parts]
+    left = functools.reduce(b.merge, sts)
+    right = functools.reduce(b.merge, list(reversed(sts)))
+    whole = b.update(b.zero(), pd.DataFrame({"x": KEYS}))
+    assert np.array_equal(left.bits, right.bits)
+    assert np.array_equal(left.bits, whole.bits)  # bit-identical to 1-partition
+
+
+def test_bloom_serialize_roundtrip():
+    b = BloomSketch.for_capacity(1000, fpp=0.01)
+    st = b.update(b.zero(), pd.DataFrame({"x": KEYS[:1000]}))
+    st2 = b.deserialize(b.serialize(st))
+    assert np.array_equal(st.bits, st2.bits) and st2.n_added == st.n_added
+
+
+# -- HLL ---------------------------------------------------------------------
+@pytest.mark.parametrize("n_distinct", [100, 5_000, 30_000])
+def test_hll_within_published_bound(n_distinct):
+    h = HllSketch(p=14)
+    keys = pd.Series([f"k{i % n_distinct}" for i in range(n_distinct * 2)])
+    est = h.estimate(fold(h, [keys]))
+    assert abs(est - n_distinct) / n_distinct < 4 * h.rel_std_error
+
+
+def test_hll_merge_exactly_partition_independent():
+    h = HllSketch(p=12)
+    parts = random_splits(KEYS, 9, seed=2)
+    merged = fold(h, parts)
+    whole = fold(h, [KEYS])
+    assert np.array_equal(merged, whole)  # max-merge is lossless
+
+
+# -- CMS ---------------------------------------------------------------------
+def test_cms_overestimate_only_and_bound():
+    c = CmsSketch(d=5, w=2048)
+    heavy = ["a"] * 5000 + ["b"] * 2000 + ["c"] * 700
+    tail = [f"t{i}" for i in range(10_000)]
+    data = pd.Series(heavy + tail)
+    st = fold(c, [data])
+    est = c.estimate_series(st, pd.Series(["a", "b", "c"]))
+    true = np.array([5000, 2000, 700])
+    assert (est >= true).all()  # never underestimates
+    n = len(data)
+    assert (est - true <= c.eps * n * 3).all()  # eps*N envelope
+
+
+def test_cms_merge_exactly_partition_independent():
+    c = CmsSketch(d=3, w=1024)
+    parts = random_splits(KEYS, 5, seed=3)
+    assert np.array_equal(fold(c, parts), fold(c, [KEYS]))
+
+
+# -- KLL ---------------------------------------------------------------------
+QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def test_kll_rank_error_bound():
+    k = KllSketch(k=200)
+    st = fold(k, [pd.Series(VALS)])
+    for q in QS:
+        est = k.quantile(st, q)
+        assert abs((VALS <= est).mean() - q) < 0.02
+
+
+def test_kll_merge_within_bound_any_partitioning():
+    k = KllSketch(k=200)
+    for seed in (1, 2, 3):
+        parts = random_splits(pd.Series(VALS), 8, seed=seed)
+        st = fold(k, parts)
+        for q in QS:
+            est = k.quantile(st, q)
+            assert abs((VALS <= est).mean() - q) < 0.025
+
+
+def test_kll_deterministic_same_partitioning():
+    k = KllSketch(k=128)
+    parts = random_splits(pd.Series(VALS), 4, seed=9)
+    a, b = fold(k, parts), fold(k, parts)
+    assert all(np.array_equal(x, y) for x, y in zip(a.levels, b.levels))
+
+
+# -- t-digest ----------------------------------------------------------------
+def test_tdigest_rank_error_with_tail_accuracy():
+    t = TDigestSketch(delta=200)
+    st = fold(t, [pd.Series(VALS)])
+    for q in (0.001, 0.01, 0.5, 0.99, 0.999):
+        est = t.quantile(st, q)
+        err = abs((VALS <= est).mean() - q)
+        assert err < 0.02
+        if q <= 0.01 or q >= 0.99:
+            assert err < 0.005  # k1 scale: tails are tighter
+
+
+def test_tdigest_extremes_exact():
+    t = TDigestSketch(delta=100)
+    st = fold(t, [pd.Series(VALS)])
+    assert st.vmin == VALS.min() and t.quantile(st, 0.0) == VALS.min()
+    assert st.vmax == VALS.max() and t.quantile(st, 1.0) == VALS.max()
+
+
+def test_tdigest_merge_within_bound_any_partitioning():
+    t = TDigestSketch(delta=200)
+    for seed in (4, 5):
+        parts = random_splits(pd.Series(VALS), 6, seed=seed)
+        st = fold(t, parts)
+        for q in QS:
+            assert abs((VALS <= t.quantile(st, q)).mean() - q) < 0.025
+
+
+def test_tdigest_centroid_count_bounded():
+    t = TDigestSketch(delta=200)
+    st = fold(t, [pd.Series(VALS)])
+    assert st.means.size <= 200  # <= ~delta/2 + 2 for k1 bucketing

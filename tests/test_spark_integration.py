@@ -1,0 +1,164 @@
+"""Spark-side integration: two-phase sketch aggregation, per-group
+sketching, XOR filter pipeline, and parity with Spark built-ins
+(approx_count_distinct / percentile_approx / df.stat.bloomFilter)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xorfilter_net_spark.filters.spark_build import (
+    build_sharded_xor_filter,
+    build_xor_filter,
+    is_member_sharded,
+    probe,
+)
+from xorfilter_net_spark.sketches.base import aggregate, aggregate_by_group
+from xorfilter_net_spark.sketches.bloom import BloomSketch
+from xorfilter_net_spark.sketches.cms import CmsSketch
+from xorfilter_net_spark.sketches.hll import HllSketch
+from xorfilter_net_spark.sketches.kll import KllSketch
+from xorfilter_net_spark.sketches.tdigest import TDigestSketch
+from xorfilter_net_spark.sources.session import load_table
+from xorfilter_net_spark.sources.transcripts import (
+    load_transcripts,
+    with_membership_key,
+)
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, sf_tiny):
+    t = with_membership_key(load_transcripts(spark, sf_tiny)).cache()
+    t.count()
+    return t
+
+
+def test_transcript_turn_ordering_invariant(transcripts):
+    # per-turn text equality under stable (conv_id, turn_idx) ordering:
+    # turn_idx dense 0..n-1 within conv, ts strictly increasing with it
+    pdf = transcripts.select("conv_id", "turn_idx", "ts_epoch").toPandas()
+    for _, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        assert g["turn_idx"].tolist() == list(range(len(g)))
+        assert g["ts_epoch"].is_monotonic_increasing
+
+
+def test_two_phase_bloom_bit_identical_to_local(spark, transcripts):
+    """OR-merge is lossless: the distributed two-phase result equals a
+    single-process build over the same keys, bit for bit."""
+    b = BloomSketch.for_capacity(5000, fpp=0.01, key_col="key")
+    st = aggregate(transcripts, ["key"], b)
+    local = b.update(
+        b.zero(), transcripts.select("key").toPandas()
+    )
+    assert np.array_equal(st.bits, local.bits)
+    keys = transcripts.select("key").toPandas()["key"]
+    assert b.contains_series(st, keys).all()
+
+
+def test_two_phase_bloom_fpr_envelope(spark, transcripts):
+    # (df.stat.bloomFilter was removed in Spark 4 — envelope is checked
+    # against the published formula instead of the old builtin)
+    n = transcripts.select("key").distinct().count()
+    b = BloomSketch.for_capacity(n, fpp=0.01, key_col="key")
+    st = aggregate(transcripts, ["key"], b)
+    keys = transcripts.select("key").distinct().toPandas()["key"]
+    assert b.contains_series(st, keys).all()
+    non = pd.Series([f"nm{i}" for i in range(5000)])
+    assert b.contains_series(st, non).mean() < 0.02
+    assert b.expected_fpp(st) < 0.02
+
+
+def test_two_phase_hll_vs_exact_and_builtin(spark, transcripts):
+    h = HllSketch(p=14, key_col="key")
+    est = h.estimate(aggregate(transcripts, ["key"], h))
+    exact = transcripts.select("key").distinct().count()
+    assert abs(est - exact) / exact < 4 * h.rel_std_error
+    builtin = transcripts.agg(
+        F.approx_count_distinct("key").alias("acd")
+    ).collect()[0]["acd"]
+    assert abs(builtin - exact) / exact < 0.05  # sanity on the baseline
+    # Spark 3.5+ Datasketches HLL builtin as a second baseline
+    hll_builtin = transcripts.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("key")).alias("e")
+    ).collect()[0]["e"]
+    assert abs(hll_builtin - exact) / exact < 0.05
+
+
+def test_hll_per_group_applyinpandas(spark, sf_tiny):
+    docs = load_table(spark, sf_tiny, "documents")
+    h = HllSketch(p=12, key_col="text")
+    grouped = aggregate_by_group(docs, ["source"], ["text"], h).collect()
+    exact = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct("text").alias("n"))
+        .collect()
+    }
+    assert len(grouped) == len(exact)
+    for row in grouped:
+        est = h.estimate(h.deserialize(bytes(row["state"])))
+        ex = exact[row["source"]]
+        assert abs(est - ex) / max(ex, 1) < max(4 * h.rel_std_error, 0.1)
+
+
+def test_two_phase_cms_exact_on_low_cardinality(spark, sf_tiny):
+    ev = load_table(spark, sf_tiny, "events")
+    c = CmsSketch(d=5, w=4096, key_col="event_type")
+    st = aggregate(ev, ["event_type"], c)
+    exact = ev.groupBy("event_type").count().collect()
+    types = pd.Series([r["event_type"] for r in exact])
+    est = c.estimate_series(st, types)
+    for e, r in zip(est, exact):
+        assert e == r["count"]  # w >> cardinality: collision-free whp
+
+
+def test_two_phase_kll_and_tdigest_vs_exact(spark, sf_tiny):
+    ev = load_table(spark, sf_tiny, "events")
+    vals = ev.select("value").toPandas()["value"].to_numpy()
+    k = KllSketch(k=200, value_col="value")
+    t = TDigestSketch(delta=200, value_col="value")
+    kst = aggregate(ev, ["value"], k)
+    tst = aggregate(ev, ["value"], t)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        for est in (k.quantile(kst, q), t.quantile(tst, q)):
+            assert abs((vals <= est).mean() - q) < 0.02
+    # percentile_approx as sanity oracle for the same data
+    pa = ev.agg(F.percentile_approx("value", 0.5).alias("m")).collect()[0]["m"]
+    assert abs((vals <= pa).mean() - 0.5) < 0.02
+
+
+def test_two_phase_partition_count_invariance(spark, transcripts):
+    """north_rule merge-associativity on the real execution path: same
+    input under 1, 4, 16 partitions -> identical HLL registers and Bloom
+    bits (lossless merges)."""
+    h = HllSketch(p=12, key_col="key")
+    b = BloomSketch(m_bits=1 << 16, k=5, key_col="key")
+    ref_h = aggregate(transcripts.coalesce(1), ["key"], h)
+    ref_b = aggregate(transcripts.coalesce(1), ["key"], b)
+    for parts in (4, 16):
+        d = transcripts.repartition(parts)
+        assert np.array_equal(aggregate(d, ["key"], h), ref_h)
+        assert np.array_equal(aggregate(d, ["key"], b).bits, ref_b.bits)
+
+
+def test_xor_global_and_sharded_pipeline(spark, transcripts):
+    xf = build_xor_filter(transcripts, "key", width=16, seed=12345)
+    total = transcripts.select("key").distinct().count()
+    assert (
+        probe(transcripts.select("key").distinct(), xf, "key")
+        .filter("is_member")
+        .count()
+        == total
+    )
+    sxf = build_sharded_xor_filter(
+        transcripts, "key", num_shards=5, width=16, seed=12345
+    )
+    found = (
+        transcripts.select("key")
+        .distinct()
+        .withColumn("m", is_member_sharded(spark, sxf, "key"))
+        .filter("m")
+        .count()
+    )
+    assert found == total

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -152,6 +153,138 @@ def q_xor_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_member", is_member_sharded(spark, sxf, "key")
     )
     return r.agg(F.sum(F.col("is_member").cast("long")).alias("n_members_found"))
+
+
+# ---------------------------------------------------------------------------
+# mergeable sketch family (north_rule: Bloom/HLL/CMS/KLL/t-digest as
+# two-phase UDAF-style aggregates)
+# ---------------------------------------------------------------------------
+@query(
+    "bloom_zero_false_negatives",
+    f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
+)
+def q_bloom_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase mergeable Bloom build (mapInPandas partials +
+    treeAggregate), then vectorized probe of the member set — a Bloom
+    filter can never miss an inserted key."""
+    import pandas as pd
+
+    from .sketches.base import aggregate
+    from .sketches.bloom import BloomSketch
+
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    members = t.select("key").distinct()
+    n = members.count()
+    sk = BloomSketch.for_capacity(n, fpp=0.001, key_col="key")
+    state = aggregate(t, ["key"], sk)
+    bc = spark.sparkContext.broadcast(sk.serialize(state))
+    params = (sk.m, sk.k)
+
+    @F.pandas_udf("boolean")
+    def bloom_probe(s: pd.Series) -> pd.Series:
+        from .sketches.bloom import BloomSketch as BS
+
+        sk2 = BS(*params)
+        st2 = sk2.deserialize(bc.value)
+        return pd.Series(sk2.contains_series(st2, s))
+
+    return members.withColumn("m", bloom_probe("key")).agg(
+        F.sum(F.col("m").cast("long")).alias("n_members_found")
+    )
+
+
+@query(
+    "hll_distinct_per_source_ok",
+    "select source, true as within_bound from documents group by source",
+)
+def q_hll_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL (groupBy().applyInPandas) vs exact countDistinct;
+    returns TRUE per group iff |est-exact|/exact <= 4 * 1.04/sqrt(m)."""
+    from .sketches.base import aggregate_by_group
+    from .sketches.hll import HllSketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = HllSketch(p=14, key_col="text")
+    states = {
+        r["source"]: h.estimate(h.deserialize(bytes(r["state"])))
+        for r in aggregate_by_group(docs, ["source"], ["text"], h).collect()
+    }
+    exact = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.countDistinct("text").alias("n")).collect()
+    }
+    rows = [
+        (src, abs(states[src] - ex) / max(ex, 1) <= 4 * h.rel_std_error)
+        for src, ex in exact.items()
+    ]
+    return spark.createDataFrame(rows, "source string, within_bound boolean")
+
+
+@query(
+    "cms_event_type_counts",
+    "select event_type, count(*) as est_count from events group by event_type",
+)
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for the event_type column. With
+    w=8192 >> cardinality the min-over-rows estimate is collision-free,
+    so the sketch reproduces the exact GROUP BY counts."""
+    import pandas as pd
+
+    from .sketches.base import aggregate
+    from .sketches.cms import CmsSketch
+
+    ev = load_table(spark, sf_dir, "events")
+    c = CmsSketch(d=5, w=8192, key_col="event_type")
+    st = aggregate(ev, ["event_type"], c)
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    est = c.estimate_series(st, pd.Series(types))
+    return spark.createDataFrame(
+        [(t, int(e)) for t, e in zip(types, est)],
+        "event_type string, est_count bigint",
+    )
+
+
+_QS = (0.01, 0.25, 0.5, 0.75, 0.99)
+_QS_ORACLE = (
+    "select * from (values "
+    + ", ".join(f"(cast({q} as double), true)" for q in _QS)
+    + ") as t(q, within_bound)"
+)
+
+
+def _quantile_bound_query(sketch_factory, finisher):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .sketches.base import aggregate
+
+        ev = load_table(spark, sf_dir, "events")
+        sk = sketch_factory()
+        st = aggregate(ev, ["value"], sk)
+        n = ev.count()
+        rows = []
+        for q in _QS:
+            est = finisher(sk, st, q)
+            true_rank = ev.filter(F.col("value") <= est).count() / n
+            rows.append((float(q), abs(true_rank - q) <= 0.02))
+        return spark.createDataFrame(rows, "q double, within_bound boolean")
+
+    return run
+
+
+QUERIES["kll_event_value_quantiles_ok"] = _quantile_bound_query(
+    lambda: __import__(
+        "xorfilter_net_spark.sketches.kll", fromlist=["KllSketch"]
+    ).KllSketch(k=256, value_col="value"),
+    lambda sk, st, q: sk.quantile(st, q),
+)
+ORACLES["kll_event_value_quantiles_ok"] = _QS_ORACLE
+
+QUERIES["tdigest_event_value_quantiles_ok"] = _quantile_bound_query(
+    lambda: __import__(
+        "xorfilter_net_spark.sketches.tdigest", fromlist=["TDigestSketch"]
+    ).TDigestSketch(delta=200, value_col="value"),
+    lambda sk, st, q: sk.quantile(st, q),
+)
+ORACLES["tdigest_event_value_quantiles_ok"] = _QS_ORACLE
 
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..kernels.hashes import digest128, pack_bytes
+from ..kernels.column import digest_series as _digest_batch
+from ..kernels.column import series_to_bytes as _series_to_bytes
 from .xor_core import XorFilter, build_from_digests
 
 __all__ = [
@@ -42,28 +43,6 @@ __all__ = [
     "ShardedXorFilter",
     "build_sharded_xor_filter",
 ]
-
-
-def _series_to_bytes(s: pd.Series) -> list[bytes]:
-    """Column values -> bytes. Strings are UTF-8 encoded; nulls -> b''."""
-    if s.dtype == object or pd.api.types.is_string_dtype(s):
-        out = []
-        for v in s:
-            if v is None or (isinstance(v, float) and pd.isna(v)):
-                out.append(b"")
-            elif isinstance(v, bytes):
-                out.append(v)
-            elif isinstance(v, bytearray):
-                out.append(bytes(v))
-            else:
-                out.append(str(v).encode("utf-8"))
-        return out
-    return [str(v).encode("utf-8") for v in s]
-
-
-def _digest_batch(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    buf, lens = pack_bytes(_series_to_bytes(s))
-    return digest128(buf, lens)
 
 
 def key_digests(df: DataFrame, key_col: str) -> DataFrame:
@@ -150,8 +129,16 @@ class ShardedXorFilter:
         # shards that received no keys are simply absent (probe -> False)
         self.num_shards = num_shards
 
+    @staticmethod
+    def route(d0: np.ndarray, num_shards: int) -> np.ndarray:
+        """pmod on the int64 bit-cast — matches Spark's F.pmod at build time
+        for any shard count (uint64 % differs when num_shards is not a
+        power of two)."""
+        s = d0.view(np.int64) % np.int64(num_shards)
+        return np.where(s < 0, s + num_shards, s)
+
     def contains_digests(self, d0: np.ndarray, d1: np.ndarray) -> np.ndarray:
-        shard = (d0 % np.uint64(self.num_shards)).astype(np.int64)
+        shard = self.route(d0, self.num_shards)
         out = np.zeros(d0.shape[0], dtype=bool)
         for sid in np.unique(shard):
             if int(sid) in self.shards:
@@ -229,12 +216,6 @@ def is_member_sharded(
             cache[0] = (art, ShardedXorFilter.from_dict(art))
         f = cache[0][1]
         d0, d1 = _digest_batch(s)
-        shard = (d0 % np.uint64(f.num_shards)).astype(np.int64)
-        out = np.zeros(len(s), dtype=bool)
-        for sid in np.unique(shard):
-            if int(sid) in f.shards:
-                m = shard == sid
-                out[m] = f.shards[int(sid)].contains_digests(d0[m], d1[m])
-        return pd.Series(out)
+        return pd.Series(f.contains_digests(d0, d1))
 
     return _probe(F.col(col) if isinstance(col, str) else col)
