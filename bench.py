@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "construction_keys_per_sec": ...,
+     "probe_keys_per_sec": ..., ...}
+
+The headline metric (BASELINE.json) is XOR-filter construction + probe
+throughput in keys/sec over the transcript corpus, so in addition to
+per-query wall times we measure both directly on a deterministically
+replicated corpus (``REPLICAS``x the sf transcripts — same derivation the
+oracle uses, salted per replica so keys stay distinct; no external data).
+
+Scaling-efficiency evidence (north_rule: two cluster sizes) lives in
+``tools/scaling_bench.py`` which re-runs the construction measure at two
+``local[N]`` parallelism levels in fresh JVMs; results are recorded in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "64"))
+
+# the representative subset of the query registry (full registry runs in
+# the driver's correctness pass; bench times the throughput-relevant ones)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q_segment_revenue",
+    "q_window_user_events",
+    "q_topk_events",
+    "q_rollup_events",
+    "xor16_zero_false_negatives",
+    "xor_sharded_zero_false_negatives",
+    "bloom_zero_false_negatives",
+    "hll_distinct_per_source_ok",
+    "cms_event_type_counts",
+    "kll_event_value_quantiles_ok",
+    "tdigest_event_value_quantiles_ok",
+]
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("xorfilter-net-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def force(df) -> int:
+    """Materialize every column of every row (noop sink, no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def scaled_corpus(spark, sf_dir: str, replicas: int):
+    """Deterministic replicas x the sf transcripts; keys distinct per replica."""
+    from pyspark.sql import functions as F
+
+    from xorfilter_net_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, sf_dir)
+    rep = spark.range(replicas).withColumnRenamed("id", "rep")
+    return (
+        t.crossJoin(rep)
+        .withColumn(
+            "key",
+            F.concat_ws(
+                ":", "conv_id", F.col("rep").cast("string"), F.md5(F.coalesce("text", F.lit("")))
+            ),
+        )
+        .select("key")
+    )
+
+
+def bench_filter_throughput(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from xorfilter_net_spark.filters.spark_build import (
+        build_sharded_xor_filter,
+        is_member_sharded,
+    )
+
+    corpus = scaled_corpus(spark, sf_dir, REPLICAS)
+    corpus = corpus.persist()
+    n_keys = corpus.count()
+
+    t0 = time.perf_counter()
+    sxf = build_sharded_xor_filter(corpus, "key", num_shards=4 * CPUS, width=16, seed=12345)
+    t_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    probed = corpus.withColumn("m", is_member_sharded(spark, sxf, "key"))
+    found = probed.agg(F.sum(F.col("m").cast("long")).alias("n")).collect()[0]["n"]
+    t_probe = time.perf_counter() - t0
+    corpus.unpersist()
+
+    assert found == n_keys, f"false negatives: {n_keys - found}"
+    return {
+        "n_keys": n_keys,
+        "construction_sec": round(t_build, 3),
+        "construction_keys_per_sec": int(n_keys / t_build),
+        "probe_sec": round(t_probe, 3),
+        "probe_keys_per_sec": int(n_keys / t_probe),
+    }
+
+
+def main() -> None:
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    from xorfilter_net_spark import entrypoints
+
+    # warm the JVM + python worker pool once so per-query times measure the
+    # query, not executor startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = entrypoints.QUERIES[name]
+        t0 = time.perf_counter()
+        force(fn(spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    tp = bench_filter_throughput(spark, SF_DIR)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "xor-filter construction+probe keys/sec on replicated "
+        "transcript corpus; headline-query wall time",
+        "value": round(sum(times.values()) + tp["construction_sec"] + tp["probe_sec"], 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        "cpus": CPUS,
+        "replicas": REPLICAS,
+        **tp,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
