@@ -127,6 +127,7 @@ def bench_filter_throughput(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
+    throughput_only = "--throughput-only" in sys.argv
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     from xorfilter_net_spark import entrypoints
@@ -136,7 +137,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in [] if throughput_only else BENCH_QUERIES:
         fn = entrypoints.QUERIES[name]
         t0 = time.perf_counter()
         force(fn(spark, SF_DIR))

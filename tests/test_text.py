@@ -1,0 +1,125 @@
+"""Text-analysis module: fingerprint kernel invariants + feature exprs.
+
+Mirrors the reference's unit-test layering (SURVEY.md §5): kernel
+determinism/edge cases first, then Spark integration on the tiny SF.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xorfilter_net_spark.text.analysis import (
+    STOPWORDS,
+    text_feature_exprs,
+    with_text_features,
+)
+from xorfilter_net_spark.text.fingerprint import doc_fingerprints, gram_hashes
+
+
+class TestFingerprintKernel:
+    def test_identical_texts_identical_fp(self):
+        fp = doc_fingerprints(pd.Series(["same doc text", "same doc text"]))
+        assert fp[0] == fp[1]
+
+    def test_distinct_texts_distinct_fp(self):
+        fp = doc_fingerprints(pd.Series(["doc one here", "doc two here"]))
+        assert fp[0] != fp[1]
+
+    def test_order_sensitive(self):
+        fp = doc_fingerprints(pd.Series(["ab cd", "cd ab"]))
+        assert fp[0] != fp[1]
+
+    def test_batch_invariance(self):
+        """fp(text) must not depend on what else is in the Arrow batch —
+        otherwise distributed and local runs would disagree."""
+        solo = doc_fingerprints(pd.Series(["lonely document"]))[0]
+        batched = doc_fingerprints(
+            pd.Series(["padding a", "lonely document", "padding b", ""])
+        )[1]
+        assert solo == batched
+
+    def test_empty_and_short_docs(self):
+        fp = doc_fingerprints(pd.Series(["", "", "a", "b", "abc"]))
+        assert fp[0] == fp[1]
+        assert len({fp[0], fp[2], fp[3], fp[4]}) == 4
+
+    def test_all_empty_batch_matches_mixed_batch(self):
+        assert (
+            doc_fingerprints(pd.Series(["", ""]))[0]
+            == doc_fingerprints(pd.Series(["x", ""]))[1]
+        )
+
+    def test_none_treated_as_empty(self):
+        fp = doc_fingerprints(pd.Series([None, ""]))
+        assert fp[0] == fp[1]
+
+    def test_gram_hashes_segments(self):
+        h, doc_idx, offsets = gram_hashes(pd.Series(["abcdefghij", "xy"]), k=8)
+        # doc0: 10-8+1=3 grams; doc1 short -> 1 padded gram
+        assert list(np.bincount(doc_idx)) == [3, 1]
+
+    def test_no_collisions_at_test_scale(self):
+        texts = pd.Series([f"document number {i} content" for i in range(5000)])
+        assert len(np.unique(doc_fingerprints(texts))) == 5000
+
+
+class TestFeatureExprs:
+    def test_dialects_cover_same_features(self):
+        assert set(text_feature_exprs("spark")) == set(text_feature_exprs("duckdb"))
+
+    @pytest.mark.parametrize("lang", list(STOPWORDS))
+    def test_stopword_lists_lowercase(self, lang):
+        assert all(w == w.lower() for w in STOPWORDS[lang])
+
+    def test_features_on_crafted_rows(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "the cat and the dog, in a house. it is 42 for fun"),
+                (1, ""),
+                (2, "der hund und die katze ist im haus mit den"),
+                (3, "12345"),
+            ],
+            "doc_id int, text string",
+        )
+        rows = {r["doc_id"]: r for r in with_text_features(df).collect()}
+        r0 = rows[0]
+        assert r0["lang_pred"] == "en"
+        assert r0["token_count"] == 15  # 13 words + ',' + '.'
+        assert r0["n_chars_calc"] == len(
+            "the cat and the dog, in a house. it is 42 for fun"
+        )
+        assert 0 < r0["alpha_ratio_e6"] < 1_000_000
+        assert 0 <= r0["quality_score"] <= 100
+        r1 = rows[1]
+        assert r1["token_count"] == 0
+        assert r1["lang_pred"] == "und"
+        assert r1["alpha_ratio_e6"] is None  # 0/0 guarded by nullif
+        assert rows[2]["lang_pred"] == "de"
+        assert rows[3]["digit_ratio_e6"] == 1_000_000
+
+    def test_duckdb_oracle_agrees_on_crafted_rows(self):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "create table documents as select * from (values "
+            "(0, 'the cat and the dog, in a house. it is 42 for fun'), "
+            "(1, ''), (2, 'el la de que y en los'), (3, 'le et les des en')"
+            ") t(doc_id, text)"
+        )
+        exprs = text_feature_exprs("duckdb")
+        cols = ", ".join(f"{sql} as {name}" for name, sql in exprs.items())
+        out = con.execute(
+            f"select doc_id, {cols} from documents order by doc_id"
+        ).fetchdf()
+        assert out.loc[0, "lang_pred"] == "en"
+        assert out.loc[0, "token_count"] == 15
+        assert out.loc[2, "lang_pred"] == "es"
+        assert out.loc[3, "lang_pred"] == "fr"
+
+
+def test_fingerprint_query_distinct_counts(spark, sf_tiny):
+    from xorfilter_net_spark.entrypoints import QUERIES
+
+    out = QUERIES["doc_fingerprint_distinct"](spark, sf_tiny).collect()
+    assert len(out) > 0 and all(r["n_unique_fp"] > 0 for r in out)

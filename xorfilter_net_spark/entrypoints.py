@@ -436,6 +436,62 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# text analysis (training-data pipeline: token counting, quality scoring,
+# language-ID, document fingerprinting) — JVM-side exprs shared with the
+# oracle dialect-for-dialect (text/analysis.py), so parity is structural
+# ---------------------------------------------------------------------------
+def _text_oracle() -> str:
+    from .text.analysis import text_feature_exprs
+
+    exprs = text_feature_exprs("duckdb")
+    cols = ", ".join(f"{sql} as {name}" for name, sql in exprs.items())
+    return f"select doc_id, {cols} from documents"
+
+
+@query("text_features", None)
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text.analysis import with_text_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_text_features(d).drop("text")
+
+
+ORACLES["text_features"] = _text_oracle()
+
+
+@query(
+    "doc_fingerprint_distinct",
+    "select source, count(distinct text) as n_unique_fp from documents "
+    "group by source",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (k-gram polynomial) 64-bit content fingerprints,
+    vectorized NumPy over whole Arrow batches (text/fingerprint.py);
+    distinct-fp-per-source equals distinct-text-per-source (collision
+    probability ~n^2/2^65)."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+
+    def fp_batches(batches):
+        from .text.fingerprint import doc_fingerprints
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "fp": doc_fingerprints(pdf["text"]).view("int64"),
+                }
+            )
+
+    return (
+        d.mapInPandas(fp_batches, schema="source string, fp long")
+        .groupBy("source")
+        .agg(F.countDistinct("fp").alias("n_unique_fp"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'has this (conv_id, text-fingerprint) been seen?' over the
     sf0.001 transcripts — XOR16 build + vectorized probe, per-role counts."""
