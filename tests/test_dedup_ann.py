@@ -1,0 +1,164 @@
+"""Dedup family (exact / MinHash+LSH / SimHash) and ANN (brute + LSH)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xorfilter_net_spark.ann.brute import cosine_e6, quantize, topk_cosine
+from xorfilter_net_spark.ann.lsh import hyperplanes, lsh_topk_cosine
+from xorfilter_net_spark.dedup.exact import duplicate_stats, exact_dedup
+from xorfilter_net_spark.dedup.minhash import (
+    lsh_candidate_pairs,
+    minhash_batch,
+    minhash_signatures,
+    near_duplicate_pairs,
+)
+from xorfilter_net_spark.dedup.simhash import simhash_batch, simhash_near_pairs
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm sunny windowsill nearby every single afternoon "
+)
+
+
+class TestMinHashKernel:
+    def test_identical_sigs(self):
+        s = minhash_batch(pd.Series([BASE, BASE]))
+        assert (s[0] == s[1]).all()
+
+    def test_signature_estimates_jaccard(self):
+        """Broder: P[slot match] = J. Truncating 20% of chars keeps
+        J ~= 0.8; the 128-perm estimate should land within ~4 sigma
+        (sigma = sqrt(J(1-J)/128) ~= 0.035)."""
+        trunc = BASE[: int(len(BASE) * 0.8)]
+        s = minhash_batch(pd.Series([BASE, trunc]))
+        est = (s[0] == s[1]).mean()
+
+        def shingles(t):
+            return {t[i : i + 8] for i in range(len(t) - 7)}
+
+        a, b = shingles(BASE), shingles(trunc)
+        true_j = len(a & b) / len(a | b)
+        assert abs(est - true_j) < 0.15
+
+    def test_batch_invariance(self):
+        solo = minhash_batch(pd.Series([BASE]))[0]
+        batched = minhash_batch(pd.Series(["other doc", BASE, ""]))[1]
+        assert (solo == batched).all()
+
+
+class TestSimHashKernel:
+    def test_identity_and_sensitivity(self):
+        s = simhash_batch(
+            pd.Series([BASE, BASE, BASE[:-10], "entirely unrelated content"])
+        ).view(np.uint64)
+
+        def ham(a, b):
+            return bin(int(a ^ b)).count("1")
+
+        assert ham(s[0], s[1]) == 0
+        assert ham(s[0], s[2]) <= 10
+        assert ham(s[0], s[3]) >= 15
+
+
+class TestExactDedup:
+    def test_survivors_and_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a"), (4, "a"), (5, "c")],
+            "id int, text string",
+        )
+        out = exact_dedup(df, "id", ["text"])
+        assert sorted(r["id"] for r in out.collect()) == [1, 2, 5]
+        st = duplicate_stats(df, ["text"]).collect()[0]
+        assert (st["n_rows"], st["n_distinct"], st["n_dup_rows"]) == (5, 3, 2)
+
+
+class TestMinHashLshSpark:
+    def test_near_dup_pipeline(self, spark):
+        rows = [(i, f"{BASE} unique tail {i} " + "pad " * i) for i in range(20)]
+        # two injected near-dups of doc 3 (truncate / tiny suffix change)
+        base3 = rows[3][1]
+        rows.append((100, base3[: int(len(base3) * 0.92)]))
+        rows.append((101, base3 + " x"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = near_duplicate_pairs(df, "doc_id", "text", tau=0.5).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (3, 100) in got and (3, 101) in got
+        for r in pairs:
+            assert r["jaccard_e6"] >= 500000
+
+    def test_lsh_bucket_cap_drops_degenerate_buckets(self, spark):
+        df = spark.createDataFrame(
+            [(i, "identical text everywhere") for i in range(10)],
+            "doc_id long, text string",
+        )
+        sigs = minhash_signatures(df, "doc_id", "text")
+        assert lsh_candidate_pairs(sigs, max_bucket_size=5).count() == 0
+        assert lsh_candidate_pairs(sigs, max_bucket_size=100).count() == 45
+
+    def test_simhash_near_pairs(self, spark):
+        rows = [(i, f"{BASE} distinct tail marker {i} " + "filler %d " % i * 20) for i in range(8)]
+        rows.append((50, rows[0][1] + " y"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_pairs(df, "doc_id", "text", max_distance=6).collect()
+        }
+        assert (0, 50) in got
+
+
+class TestAnn:
+    def test_quantized_cosine_exact(self):
+        a = np.array([[0.5, 0.25, -0.125]])
+        q = quantize(a)
+        assert q.tolist() == [[500, 250, -125]]
+        c = cosine_e6(
+            (q * q).sum(axis=1), (q * q).sum(axis=1), (q * q).sum(axis=1)
+        )
+        assert c[0] in (999999, 1000000)  # self-cosine up to floor rounding
+
+    def test_hyperplanes_deterministic(self):
+        assert (hyperplanes(16, 32, 7) == hyperplanes(16, 32, 7)).all()
+        assert not (hyperplanes(16, 32, 7) == hyperplanes(16, 32, 8)).all()
+
+    def test_brute_topk_matches_numpy(self, spark, sf_tiny):
+        emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+        pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+        queries = [
+            (int(r.vec_id), list(r.embedding))
+            for r in pdf.itertuples()
+            if r.vec_id % 25 == 0
+        ]
+        out = topk_cosine(emb, "vec_id", "embedding", queries, k=5).collect()
+        E = quantize(np.stack(pdf.embedding.to_numpy()))
+        ids = pdf.vec_id.to_numpy()
+        norms = (E * E).sum(axis=1)
+        for qid, qvec in queries[:3]:
+            qi = np.flatnonzero(ids == qid)[0]
+            scores = cosine_e6(E @ E[qi], norms, np.array([norms[qi]]))
+            mask = ids != qid
+            order = np.lexsort((ids[mask], -scores[mask]))[:5]
+            expect = list(zip(ids[mask][order], scores[mask][order]))
+            got = sorted(
+                [(r["neighbor_id"], r["cos_e6"]) for r in out if r["qid"] == qid],
+                key=lambda t: (-t[1], t[0]),
+            )
+            assert got == [(int(i), int(s)) for i, s in expect]
+
+    def test_lsh_topk_recall(self, spark, sf_tiny):
+        emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+        queries = [
+            (r["vec_id"], list(r["embedding"]))
+            for r in emb.filter("vec_id % 25 = 0").collect()
+        ]
+        exact = topk_cosine(emb, "vec_id", "embedding", queries, k=10)
+        approx = lsh_topk_cosine(emb, "vec_id", "embedding", queries, k=10)
+        hits = exact.join(approx, ["qid", "neighbor_id"], "left_semi").count()
+        assert hits / exact.count() > 0.3  # loose at tiny SF
+        # rerank is exact: every returned score equals the brute score
+        both = exact.selectExpr("qid", "neighbor_id", "cos_e6 as c1").join(
+            approx.selectExpr("qid", "neighbor_id", "cos_e6 as c2"),
+            ["qid", "neighbor_id"],
+        )
+        assert both.filter("c1 <> c2").count() == 0

@@ -437,6 +437,204 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup family (training-data pipeline): exact, MinHash+LSH, SimHash,
+# n-gram Jaccard verify, embedding-cosine near-dup.
+#
+# The raw documents table has no duplicates at any SF, so each dedup query
+# derives a dup-injected corpus with ENGINE-PORTABLE SQL (identical
+# derivation strings run in Spark and DuckDB) — deterministic, no external
+# data, and the oracle sees the exact same corpus.
+# ---------------------------------------------------------------------------
+_DOC_DUP_SELECT = (
+    "select doc_id, text from documents union all "
+    "select doc_id + 1000000 as doc_id, "
+    "substr(text, 1, cast(floor(length(text) * 0.9) as int)) as text "
+    "from documents where doc_id % 7 = 0"
+)
+
+
+def _doc_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_DOC_DUP_SELECT)
+
+
+@query(
+    "exact_dedup_survivors",
+    f"with corpus as ({_DOC_DUP_SELECT}), "
+    "exact_corpus as (select doc_id, text from corpus union all "
+    " select doc_id + 2000000 as doc_id, text from corpus where doc_id % 5 = 0) "
+    "select min(doc_id) as doc_id from exact_corpus group by text",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact dedup (xxhash64 bucket + exact content group,
+    dedup/exact.py) over a corpus with injected exact copies."""
+    from .dedup.exact import exact_dedup
+
+    corpus = _doc_dup_corpus(spark, sf_dir)
+    exact_corpus = corpus.unionAll(
+        corpus.filter("doc_id % 5 = 0").selectExpr(
+            "doc_id + 2000000 as doc_id", "text"
+        )
+    )
+    return exact_dedup(exact_corpus, "doc_id", ["text"]).select("doc_id")
+
+
+@query(
+    "minhash_near_dup_pairs",
+    f"with corpus as ({_DOC_DUP_SELECT}), sh as (select doc_id, "
+    "case when length(text) >= 8 then list_distinct(list_transform("
+    "range(length(text) - 7), i -> substr(text, i + 1, 8))) "
+    "else [text] end as s from corpus) "
+    "select a.doc_id as id_a, b.doc_id as id_b, "
+    "cast(floor(1000000.0 * len(list_intersect(a.s, b.s)) / "
+    "nullif(len(list_distinct(list_concat(a.s, b.s))), 0)) as bigint) "
+    "as jaccard_e6 "
+    "from sh a join sh b on a.doc_id < b.doc_id "
+    # size-ratio prefilter preserves exactness: J>=0.5 needs |A|<=2|B|
+    "and len(a.s) <= 2 * len(b.s) and len(b.s) <= 2 * len(a.s) "
+    "where cast(floor(1000000.0 * len(list_intersect(a.s, b.s)) / "
+    "nullif(len(list_distinct(list_concat(a.s, b.s))), 0)) as bigint) "
+    ">= 500000",
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + banded LSH (32x4) candidates + exact char-8-gram
+    Jaccard verify at tau=0.5. Calibration: natural pair Jaccard tops out
+    ~0.13 and injected truncation dups sit >=0.85, so LSH recall at the
+    operating point is ~1-1e-15 and the verified output equals the exact
+    all-pairs oracle."""
+    from .dedup.minhash import near_duplicate_pairs
+
+    corpus = _doc_dup_corpus(spark, sf_dir)
+    return near_duplicate_pairs(corpus, "doc_id", "text", tau=0.5)
+
+
+@query(
+    "simhash_separation_gates",
+    "select true as dups_close, true as naturals_far",
+)
+def q_simhash_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash statistical gates: every injected near-dup pair within
+    Hamming 14; sampled natural pairs median >= 20 (measured: dups
+    min/med/max = 0/6/14, naturals min 15 / med 29 at sf0.01)."""
+    from .dedup.simhash import simhash_signatures
+
+    corpus = _doc_dup_corpus(spark, sf_dir)
+    sigs = simhash_signatures(corpus, "doc_id", "text")
+    orig = sigs.filter("id < 1000000").selectExpr("id", "simhash as sig_a")
+    dup = sigs.filter("id >= 1000000").selectExpr(
+        "id - 1000000 as id", "simhash as sig_b"
+    )
+    dup_d = orig.join(dup, "id").selectExpr("bit_count(sig_a ^ sig_b) as d")
+    max_dup = dup_d.agg(F.max("d").alias("m")).collect()[0]["m"]
+    nat = (
+        orig.alias("a")
+        .join(orig.alias("b"), F.expr("a.id < b.id and (a.id * 131 + b.id) % 61 = 0"))
+        .selectExpr("bit_count(a.sig_a ^ b.sig_a) as d")
+    )
+    med_nat = nat.agg(F.expr("percentile(d, 0.5)").alias("m")).collect()[0]["m"]
+    return spark.createDataFrame(
+        [(max_dup <= 14, med_nat >= 20)],
+        "dups_close boolean, naturals_far boolean",
+    )
+
+
+_EMB_DVEC = {
+    "spark": "transform(embedding, x -> cast(x as double))",
+    "duckdb": "list_transform(embedding, x -> x::double)",
+}
+_EMB_PERT = {
+    "spark": (
+        "concat(array(cast(element_at(embedding, 1) as double) + 0.5), "
+        "transform(slice(embedding, 2, size(embedding) - 1), "
+        "x -> cast(x as double)))"
+    ),
+    "duckdb": (
+        "list_concat([embedding[1]::double + 0.5], "
+        "list_transform(embedding[2:], x -> x::double))"
+    ),
+}
+
+
+def _emb_dup_select(dialect: str) -> str:
+    return (
+        f"select vec_id, {_EMB_DVEC[dialect]} as v from embeddings "
+        "union all "
+        f"select vec_id + 1000000 as vec_id, {_EMB_PERT[dialect]} as v "
+        "from embeddings where vec_id % 11 = 0"
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    f"with corpus as ({_emb_dup_select('duckdb')}), "
+    "q as (select vec_id, list_transform(v, x -> floor(x * 1000)::bigint) "
+    "as qv from corpus), "
+    "scored as (select a.vec_id as id_a, b.vec_id as id_b, "
+    "floor(1000000.0 * list_sum(list_transform(list_zip(a.qv, b.qv), "
+    "p -> p[1] * p[2]))::double / "
+    "(sqrt(list_sum(list_transform(a.qv, x -> x*x))::double) * "
+    "sqrt(list_sum(list_transform(b.qv, x -> x*x))::double)))::bigint "
+    "as cos_e6 from q a join q b on a.vec_id < b.vec_id) "
+    "select id_a, id_b, cos_e6 from scored where cos_e6 >= 800000",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup at tau=0.8 via hyperplane-LSH bucketing +
+    exact quantized-cosine verify (natural pair max ~0.44, injected
+    perturbed copies ~0.998 — the gap makes LSH recall ~1)."""
+    from .ann.lsh import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    corpus = spark.sql(_emb_dup_select("spark"))
+    return lsh_near_dup_pairs(corpus, "vec_id", "v", tau_e6=800000)
+
+
+@query("ann_topk_bruteforce", None)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force quantized-cosine top-10 with per-partition local top-k
+    (map-side combine) + global window — the ANN exact baseline."""
+    from .ann.brute import topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_ = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter("vec_id % 50 = 0").collect()
+    ]
+    return topk_cosine(emb, "vec_id", "embedding", queries_, k=10)
+
+
+def _ann_oracle() -> str:
+    from .ann.brute import topk_oracle_sql
+
+    return topk_oracle_sql("vec_id % 50 = 0", k=10)
+
+
+ORACLES["ann_topk_bruteforce"] = _ann_oracle()
+
+
+@query("ann_lsh_recall_ok", "select true as recall_ok")
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (16 bands x 4 bits) recall@10 vs the brute-force
+    baseline; gate mean recall >= 0.7 (measured 0.86 at sf0.01)."""
+    from .ann.brute import topk_cosine
+    from .ann.lsh import lsh_topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_ = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter("vec_id % 50 = 0").collect()
+    ]
+    exact = topk_cosine(emb, "vec_id", "embedding", queries_, k=10)
+    approx = lsh_topk_cosine(emb, "vec_id", "embedding", queries_, k=10)
+    hits = exact.join(approx, ["qid", "neighbor_id"], "left_semi").count()
+    total = exact.count()
+    return spark.createDataFrame(
+        [(total > 0 and hits / total >= 0.7,)], "recall_ok boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # text analysis (training-data pipeline: token counting, quality scoring,
 # language-ID, document fingerprinting) — JVM-side exprs shared with the
 # oracle dialect-for-dialect (text/analysis.py), so parity is structural
