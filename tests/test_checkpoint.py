@@ -1,0 +1,74 @@
+"""Checkpoint/resume: stage skipping, artifact determinism, invalidation."""
+
+import json
+import os
+
+from xorfilter_net_spark.pipeline.checkpoint import (
+    build_xor_filter_checkpointed,
+)
+from xorfilter_net_spark.sources.transcripts import (
+    load_transcripts,
+    with_membership_key,
+)
+
+
+def _keyed(spark, sf_tiny):
+    return with_membership_key(load_transcripts(spark, sf_tiny)).select("key")
+
+
+def test_fresh_build_then_resume_identical(spark, sf_tiny, tmp_path):
+    df = _keyed(spark, sf_tiny)
+    run_dir = str(tmp_path / "run1")
+    sxf1, m1 = build_xor_filter_checkpointed(
+        df, "key", run_dir, num_shards=8, width=16, seed=42, input_token="sf_tiny"
+    )
+    assert all(not st["resumed"] for st in m1.values())
+    # every stage leaves a manifest with lineage
+    man = json.load(open(os.path.join(run_dir, "digests.manifest.json")))
+    assert man["rows"] > 0 and len(man["partitions"]) >= 1
+    assert man["rows"] == sum(p["rows"] for p in man["partitions"])
+
+    sxf2, m2 = build_xor_filter_checkpointed(
+        df, "key", run_dir, num_shards=8, width=16, seed=42, input_token="sf_tiny"
+    )
+    assert all(st["resumed"] for st in m2.values())
+    assert sxf1.to_dict() == sxf2.to_dict()
+
+
+def test_param_change_invalidates_downstream(spark, sf_tiny, tmp_path):
+    df = _keyed(spark, sf_tiny)
+    run_dir = str(tmp_path / "run2")
+    _, m1 = build_xor_filter_checkpointed(
+        df, "key", run_dir, num_shards=8, width=16, seed=1, input_token="t"
+    )
+    _, m2 = build_xor_filter_checkpointed(
+        df, "key", run_dir, num_shards=8, width=16, seed=2, input_token="t"
+    )
+    # digests stage is seed-independent -> resumed; shards+filter rebuilt
+    assert m2["digests"]["resumed"]
+    assert not m2["shards"]["resumed"]
+    assert not m2["filter"]["resumed"]
+
+
+def test_resumed_filter_probes_correctly(spark, sf_tiny, tmp_path):
+    from pyspark.sql import functions as F
+
+    from xorfilter_net_spark.filters.spark_build import is_member_sharded
+
+    df = _keyed(spark, sf_tiny)
+    run_dir = str(tmp_path / "run3")
+    build_xor_filter_checkpointed(
+        df, "key", run_dir, num_shards=8, width=16, seed=7, input_token="t"
+    )
+    sxf, m = build_xor_filter_checkpointed(
+        df, "key", run_dir, num_shards=8, width=16, seed=7, input_token="t"
+    )
+    assert all(st["resumed"] for st in m.values())
+    members = df.distinct()
+    n = members.count()
+    found = (
+        members.withColumn("m", is_member_sharded(spark, sxf, "key"))
+        .agg(F.sum(F.col("m").cast("long")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert found == n  # zero false negatives through a resumed artifact

@@ -1,0 +1,155 @@
+"""spark-submit entry point.
+
+Usage (cluster)::
+
+    zip -r xorfilter_net_spark.zip xorfilter_net_spark
+    spark-submit --py-files xorfilter_net_spark.zip \
+        -- python -m xorfilter_net_spark.cli build-xor \
+        --input /data/transcripts --key-expr "concat_ws(':', conv_id, cast(xxhash64(text) as string))" \
+        --run-dir /ckpt/run42 --width 16 --seed 12345 --num-shards 4096
+
+    python -m xorfilter_net_spark.cli probe --filter /ckpt/run42/filter.json \
+        --input /data/candidates --key-expr key --output /out/probed
+
+Local smoke (this sandbox)::
+
+    python -m xorfilter_net_spark.cli build-xor \
+        --input /root/testdata/sf0.001/documents.parquet \
+        --key-expr "cast(doc_id as string)" --run-dir /tmp/xf_run
+
+Every command prints a single JSON metrics line on success (machine
+readable — the same shape bench.py uses).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _get_spark(app: str):
+    from .sources.session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def cmd_build_xor(args: argparse.Namespace) -> dict:
+    from pyspark.sql import functions as F
+
+    from .pipeline.checkpoint import build_xor_filter_checkpointed
+
+    spark = _get_spark("xorfilter-build")
+    df = spark.read.parquet(args.input).select(
+        F.expr(args.key_expr).alias("key")
+    )
+    sxf, metrics = build_xor_filter_checkpointed(
+        df,
+        "key",
+        args.run_dir,
+        num_shards=args.num_shards,
+        width=args.width,
+        seed=args.seed,
+        input_token=args.input,
+    )
+    m = sxf.metrics
+    return {
+        "command": "build-xor",
+        "run_dir": args.run_dir,
+        "filter": f"{args.run_dir}/filter.json",
+        "n_keys": m["n_keys"],
+        "table_size": m["table_size"],
+        "num_shards": m["num_shards"],
+        "stages": {
+            k: {kk: v[kk] for kk in ("wall_sec", "resumed") if kk in v}
+            for k, v in metrics.items()
+        },
+    }
+
+
+def cmd_probe(args: argparse.Namespace) -> dict:
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .filters.spark_build import ShardedXorFilter, is_member_sharded
+
+    spark = _get_spark("xorfilter-probe")
+    with open(args.filter) as f:
+        sxf = ShardedXorFilter.from_dict(_json.load(f))
+    df = spark.read.parquet(args.input).withColumn(
+        "key", F.expr(args.key_expr)
+    )
+    probed = df.withColumn("is_member", is_member_sharded(spark, sxf, "key"))
+    probed.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    return {"command": "probe", "output": args.output, "rows": n}
+
+
+def cmd_sketch(args: argparse.Namespace) -> dict:
+    from .sketches.base import aggregate
+
+    spark = _get_spark("sketch-aggregate")
+    df = spark.read.parquet(args.input)
+    if args.kind == "hll":
+        from .sketches.hll import HllSketch
+
+        sk = HllSketch(p=args.precision, key_col=args.column)
+        st = aggregate(df, [args.column], sk)
+        return {
+            "command": "sketch",
+            "kind": "hll",
+            "estimate": sk.estimate(st),
+        }
+    if args.kind == "bloom":
+        from .sketches.bloom import BloomSketch
+
+        n = df.select(args.column).distinct().count()
+        sk = BloomSketch.for_capacity(n, fpp=args.fpp, key_col=args.column)
+        st = aggregate(df, [args.column], sk)
+        out = args.output or (args.input.rstrip("/") + ".bloom.json")
+        with open(out, "w") as f:
+            json.dump(
+                {"m": sk.m, "k": sk.k, "state": sk.serialize(st).hex()}, f
+            )
+        return {"command": "sketch", "kind": "bloom", "artifact": out, "m": sk.m}
+    raise SystemExit(f"unknown sketch kind: {args.kind}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="xorfilter_net_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-xor", help="checkpointed sharded XOR build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--key-expr", required=True)
+    b.add_argument("--run-dir", required=True)
+    b.add_argument("--width", type=int, default=16, choices=(8, 16, 32))
+    b.add_argument("--seed", type=int, default=0)
+    b.add_argument("--num-shards", type=int, default=64)
+    b.set_defaults(fn=cmd_build_xor)
+
+    pr = sub.add_parser("probe", help="probe a built filter")
+    pr.add_argument("--filter", required=True)
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--key-expr", required=True)
+    pr.add_argument("--output", required=True)
+    pr.set_defaults(fn=cmd_probe)
+
+    s = sub.add_parser("sketch", help="one-shot sketch aggregate")
+    s.add_argument("kind", choices=("hll", "bloom"))
+    s.add_argument("--input", required=True)
+    s.add_argument("--column", required=True)
+    s.add_argument("--precision", type=int, default=14)
+    s.add_argument("--fpp", type=float, default=0.01)
+    s.add_argument("--output")
+    s.set_defaults(fn=cmd_sketch)
+
+    args = p.parse_args(argv)
+    out = args.fn(args)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

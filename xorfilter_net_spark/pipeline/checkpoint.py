@@ -1,0 +1,230 @@
+"""Checkpointed, resumable build pipeline (north_rule: "resumable from
+checkpoint with per-partition lineage + metrics").
+
+A run directory holds one subdirectory per completed stage::
+
+    <run_dir>/
+      digests/            stage output (parquet)
+      digests.manifest.json
+      shards/             per-shard filter artifacts (parquet)
+      shards.manifest.json
+      filter.json         final artifact
+      filter.manifest.json
+
+Each manifest records the stage fingerprint (params + upstream
+fingerprint), wall time, row counts, and per-partition lineage (output
+file -> row count, from the parquet footers — no second scan of the
+data). A rerun with the same run_dir and fingerprints SKIPS completed
+stages and reloads their outputs; changing any parameter invalidates the
+stage and everything downstream (fingerprints chain).
+
+Mirrors the reference's determinism contract: a resumed build yields a
+bit-identical filter artifact to a fresh one (same seeds, same shard
+routing — the construction itself is deterministic, SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..filters.spark_build import ShardedXorFilter, key_digests
+from ..filters.xor_core import XorFilter
+
+
+def _fingerprint(d: dict) -> str:
+    return json.dumps(d, sort_keys=True, separators=(",", ":"))
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic: a manifest is either absent or complete
+
+
+def _partition_lineage(spark: SparkSession, parquet_dir: str) -> list[dict]:
+    """(file, rows) per output partition, read from parquet footers."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(parquet_dir)):
+        if name.startswith("part-") and name.endswith(".parquet"):
+            md = pq.ParquetFile(os.path.join(parquet_dir, name)).metadata
+            out.append({"file": name, "rows": md.num_rows})
+    return out
+
+
+class BuildRun:
+    """Stage orchestrator over one run directory."""
+
+    def __init__(self, spark: SparkSession, run_dir: str):
+        self.spark = spark
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        self.metrics: dict[str, dict] = {}
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.run_dir, f"{stage}.manifest.json")
+
+    def _load_manifest(self, stage: str) -> dict | None:
+        p = self._manifest_path(stage)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    def is_complete(self, stage: str, fingerprint: str) -> bool:
+        m = self._load_manifest(stage)
+        return m is not None and m.get("fingerprint") == fingerprint
+
+    def dataframe_stage(
+        self,
+        stage: str,
+        fingerprint: str,
+        produce: Callable[[], DataFrame],
+    ) -> DataFrame:
+        """Run-or-reload a stage whose output is a parquet DataFrame."""
+        out_dir = os.path.join(self.run_dir, stage)
+        m = self._load_manifest(stage)
+        if m is not None and m.get("fingerprint") == fingerprint:
+            self.metrics[stage] = {**m, "resumed": True}
+            return self.spark.read.parquet(out_dir)
+        t0 = time.time()
+        produce().write.mode("overwrite").parquet(out_dir)
+        lineage = _partition_lineage(self.spark, out_dir)
+        manifest = {
+            "stage": stage,
+            "fingerprint": fingerprint,
+            "wall_sec": round(time.time() - t0, 3),
+            "rows": sum(p["rows"] for p in lineage),
+            "partitions": lineage,
+        }
+        _write_manifest(self._manifest_path(stage), manifest)
+        self.metrics[stage] = {**manifest, "resumed": False}
+        return self.spark.read.parquet(out_dir)
+
+    def json_stage(
+        self, stage: str, fingerprint: str, produce: Callable[[], dict]
+    ) -> dict:
+        """Run-or-reload a stage whose output is a single JSON artifact."""
+        out_path = os.path.join(self.run_dir, f"{stage}.json")
+        m = self._load_manifest(stage)
+        if m is not None and m.get("fingerprint") == fingerprint:
+            self.metrics[stage] = {**m, "resumed": True}
+            with open(out_path) as f:
+                return json.load(f)
+        t0 = time.time()
+        artifact = produce()
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(artifact, f)
+        os.replace(tmp, out_path)
+        manifest = {
+            "stage": stage,
+            "fingerprint": fingerprint,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        _write_manifest(self._manifest_path(stage), manifest)
+        self.metrics[stage] = {**manifest, "resumed": False}
+        return artifact
+
+
+def build_xor_filter_checkpointed(
+    df: DataFrame,
+    key_col: str,
+    run_dir: str,
+    num_shards: int = 32,
+    width: int = 8,
+    seed: int = 0,
+    input_token: str = "",
+) -> tuple[ShardedXorFilter, dict]:
+    """Checkpointed sharded XOR-filter build.
+
+    Stages: digests (distributed hash+dedup, parquet) -> shards
+    (per-shard peel in applyInPandas, parquet of artifacts) -> filter
+    (assembled ShardedXorFilter JSON). Returns (filter, stage metrics).
+
+    ``input_token`` should identify the input dataset (e.g. its path +
+    snapshot id); it chains into every stage fingerprint.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..filters.xor_core import build_from_digests
+
+    spark = df.sparkSession
+    run = BuildRun(spark, run_dir)
+
+    fp_digests = _fingerprint(
+        {"stage": "digests", "key_col": key_col, "input": input_token}
+    )
+    digests = run.dataframe_stage(
+        "digests",
+        fp_digests,
+        lambda: key_digests(df, key_col).dropDuplicates(["d0", "d1"]),
+    )
+
+    fp_shards = _fingerprint(
+        {
+            "stage": "shards",
+            "up": fp_digests,
+            "num_shards": num_shards,
+            "width": width,
+            "seed": seed,
+        }
+    )
+
+    def produce_shards() -> DataFrame:
+        import numpy as np
+
+        def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(pdf["shard"].iloc[0])
+            d0 = pdf["d0"].to_numpy(dtype=np.int64).view(np.uint64)
+            d1 = pdf["d1"].to_numpy(dtype=np.int64).view(np.uint64)
+            f = build_from_digests(
+                d0, d1, width=width, seed=seed ^ (sid * 0x9E37)
+            )
+            met = f.metrics
+            return pd.DataFrame(
+                {
+                    "shard": [sid],
+                    "artifact": [f.to_json()],
+                    "n_keys": [met.get("n_keys", len(d0))],
+                    "table_size": [f.size],
+                    "attempts": [f.attempts],
+                }
+            )
+
+        return (
+            digests.withColumn(
+                "shard", F.pmod(F.col("d0"), F.lit(num_shards)).cast("int")
+            )
+            .groupBy("shard")
+            .applyInPandas(
+                build_one,
+                schema=(
+                    "shard int, artifact string, n_keys long, "
+                    "table_size long, attempts int"
+                ),
+            )
+        )
+
+    shards_df = run.dataframe_stage("shards", fp_shards, produce_shards)
+
+    fp_filter = _fingerprint({"stage": "filter", "up": fp_shards})
+
+    def assemble() -> dict:
+        rows = shards_df.collect()
+        shards = {
+            r["shard"]: XorFilter.from_json(r["artifact"]) for r in rows
+        }
+        sxf = ShardedXorFilter(width, seed, shards, num_shards)
+        return sxf.to_dict()
+
+    art = run.json_stage("filter", fp_filter, assemble)
+    return ShardedXorFilter.from_dict(art), run.metrics
