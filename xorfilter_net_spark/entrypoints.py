@@ -690,6 +690,77 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# multimodal: binary payload columns + typed metadata (decode is stubbed;
+# the Spark plumbing — schema, pruning, batch kernels — is real)
+# ---------------------------------------------------------------------------
+def _media_oracle() -> str:
+    from .multimodal.media import media_select
+
+    return (
+        f"with media as ({media_select('duckdb')}) "
+        "select media_type, count(*) as n, "
+        "sum(octet_length(payload)) as total_bytes, "
+        "sum(cast(width as bigint) * height) as total_pixels "
+        "from media group by media_type"
+    )
+
+
+@query("media_metadata_stats", None)
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal.media import media_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = media_table(spark, docs)
+    return m.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.sum(F.col("width").cast("long") * F.col("height")).alias(
+            "total_pixels"
+        ),
+    )
+
+
+ORACLES["media_metadata_stats"] = _media_oracle()
+
+
+@query("media_frame_sample_counts", None)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 2nd 'frame' of each payload): per-media
+    sampled-frame count + sampled byte volume. ceil(n_frames/2) and the
+    chunking arithmetic are reproduced exactly in the oracle."""
+    from .multimodal.media import media_table, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = media_table(spark, docs)
+    fr = sample_frames(m, stride=2)
+    return fr.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.length("frame")).alias("sampled_bytes"),
+    )
+
+
+def _media_frames_oracle() -> str:
+    from .multimodal.media import media_select
+
+    # frame fi (fi in 0,2,4,...) of a payload of length L split into
+    # n_frames chunks of flen = max(L // n_frames, 1): bytes taken =
+    # len(substr) which can be short/empty for the tail chunk
+    return (
+        f"with media as ({media_select('duckdb')}), "
+        "fr as (select media_id, octet_length(payload) as L, n_frames, "
+        " unnest(range(0, n_frames, 2)) as fi from media), "
+        "sized as (select media_id, fi, greatest(L // n_frames, 1) as flen, L "
+        " from fr) "
+        "select media_id, count(*) as n_sampled, "
+        "sum(greatest(least(L - fi * flen, flen), 0)) as sampled_bytes "
+        "from sized group by media_id"
+    )
+
+
+ORACLES["media_frame_sample_counts"] = _media_frames_oracle()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'has this (conv_id, text-fingerprint) been seen?' over the
     sf0.001 transcripts — XOR16 build + vectorized probe, per-role counts."""

@@ -1,0 +1,143 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata.
+
+Spark-side plumbing for image/audio/video-style data at 100 TB: payloads
+live in a ``binary`` column (parquet BYTE_ARRAY — column-pruned away
+unless selected), metadata in plain typed columns so predicate pushdown
+prunes files *before* any payload byte is read. All payload processing
+runs in ``mapInPandas`` over Arrow batches.
+
+The actual codec step is STUBBED: the sandbox has no image/audio
+libraries, so ``decode_media(..., codec="real")`` raises
+``NotImplementedError`` by design, and the default deterministic fake
+codec expands payload bytes into a (h, w) uint8 "pixel" array via
+splitmix64 — making the schema, partitioning, UDF signatures, and batch
+shapes real and testable end-to-end. Swapping in PIL/ffmpeg later only
+replaces ``_fake_pixels``.
+
+The synthetic media table derives from ``documents`` with engine-portable
+SQL (Spark + DuckDB), so oracle queries see the identical table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..text.fingerprint import splitmix64
+
+# media table derivation (portable: runs verbatim in Spark SQL and DuckDB
+# except for the string->blob cast, handled per dialect)
+_PAYLOAD = {
+    "spark": "cast(repeat(md5(text), 1 + cast(doc_id % 4 as int)) as binary)",
+    "duckdb": "encode(repeat(md5(text), 1 + cast(doc_id % 4 as int)))",
+}
+_META = (
+    "case cast(doc_id % 3 as int) when 0 then 'image/png' "
+    "when 1 then 'audio/wav' else 'video/mp4' end as media_type, "
+    "cast(16 + doc_id % 17 as int) as width, "
+    "cast(16 + doc_id % 13 as int) as height, "
+    "cast(1 + doc_id % 5 as int) as n_frames"
+)
+
+
+def media_select(dialect: str) -> str:
+    return (
+        f"select doc_id as media_id, {_PAYLOAD[dialect]} as payload, {_META} "
+        "from documents"
+    )
+
+
+def media_table(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(media_select("spark"))
+
+
+def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic (height, width) uint8 array from payload bytes —
+    stand-in for a real codec, cheap and collision-resistant."""
+    need = width * height
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    if raw.size == 0:
+        raw = np.zeros(1, dtype=np.uint8)
+    reps = -(-need // raw.size)
+    tiled = np.tile(raw, reps)[:need].astype(np.uint64)
+    mixed = splitmix64(tiled + np.arange(need, dtype=np.uint64))
+    return (mixed & np.uint64(0xFF)).astype(np.uint8).reshape(height, width)
+
+
+def decode_media(
+    payload: bytes, width: int, height: int, codec: str = "fake"
+) -> np.ndarray:
+    if codec == "fake":
+        return _fake_pixels(payload, width, height)
+    raise NotImplementedError(
+        "real media decoding requires an image/audio codec library that is "
+        "not available in this environment; plug one in here"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    codec: str = "fake",
+) -> DataFrame:
+    """(media_id, media_type, feat array<double>) — mean/std/min/max/
+    edge-energy of the decoded pixel grid, one Arrow batch at a time."""
+
+    def gen(batches):
+        for pdf in batches:
+            feats = []
+            for payload, w, h in zip(
+                pdf[payload_col], pdf["width"], pdf["height"]
+            ):
+                px = decode_media(bytes(payload), int(w), int(h), codec)
+                d = px.astype(np.float64)
+                grad = np.abs(np.diff(d, axis=1)).mean() if w > 1 else 0.0
+                feats.append(
+                    [d.mean(), d.std(), float(d.min()), float(d.max()), grad]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "feat": feats,
+                }
+            )
+
+    return media.select(
+        "media_id", "media_type", payload_col, "width", "height"
+    ).mapInPandas(
+        gen, schema="media_id long, media_type string, feat array<double>"
+    )
+
+
+def sample_frames(
+    media: DataFrame, payload_col: str = "payload", stride: int = 2
+) -> DataFrame:
+    """Treat the payload as ``n_frames`` equal chunks ("video frames");
+    emit every ``stride``-th frame as its own row — the frame-sampling
+    shape for video pipelines (explode stays executor-side; payload bytes
+    are sliced per batch, never collected)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload, nf in zip(
+                pdf["media_id"], pdf[payload_col], pdf["n_frames"]
+            ):
+                b = bytes(payload)
+                nf = max(int(nf), 1)
+                flen = max(len(b) // nf, 1)
+                for fi in range(0, nf, stride):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(b[fi * flen : (fi + 1) * flen])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.select("media_id", payload_col, "n_frames").mapInPandas(
+        gen, schema="media_id long, frame_idx int, frame binary"
+    )
