@@ -49,6 +49,13 @@ BENCH_QUERIES = [
     "cms_event_type_counts",
     "kll_event_value_quantiles_ok",
     "tdigest_event_value_quantiles_ok",
+    "text_features",
+    "doc_fingerprint_distinct",
+    "exact_dedup_survivors",
+    "minhash_near_dup_pairs",
+    "embedding_near_dup_pairs",
+    "ann_topk_bruteforce",
+    "media_frame_sample_counts",
 ]
 
 
