@@ -33,6 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "64"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
+# probe-set multiplier: probing is ~5x cheaper per key than construction,
+# so the probe measure uses a larger key set to stay compute-bound
+PROBE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_MULT", "4"))
 
 # the representative subset of the query registry (full registry runs in
 # the driver's correctness pass; bench times the throughput-relevant ones)
@@ -68,6 +72,7 @@ def make_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -98,10 +103,18 @@ def scaled_corpus(spark, sf_dir: str, replicas: int):
             ),
         )
         .select("key")
+        # the crossJoin inherits the (single-file) parquet scan's
+        # partitioning — explicitly spread the corpus or every downstream
+        # map stage runs on one core
+        .repartition(4 * CPUS)
     )
 
 
-def bench_filter_throughput(spark, sf_dir: str) -> dict:
+def bench_filter_throughput(spark, sf_dir: str, rounds: int = ROUNDS) -> dict:
+    """Steady-state construction+probe throughput: one warmup round on a
+    small corpus (pays the python-worker first-touch cost once), then
+    best-of-``rounds`` on the full corpus (the sandbox VM's page-fault
+    jitter makes single-shot walls noisy by 2-3x)."""
     from pyspark.sql import functions as F
 
     from xorfilter_net_spark.filters.spark_build import (
@@ -109,27 +122,49 @@ def bench_filter_throughput(spark, sf_dir: str) -> dict:
         is_member_sharded,
     )
 
-    corpus = scaled_corpus(spark, sf_dir, REPLICAS)
-    corpus = corpus.persist()
+    def one_round(corpus, n_keys, probe_df, n_probe):
+        t0 = time.perf_counter()
+        sxf = build_sharded_xor_filter(
+            corpus, "key", num_shards=4 * CPUS, width=16, seed=12345,
+            jvm_digests=True,
+        )
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        probed = probe_df.withColumn("m", is_member_sharded(spark, sxf, "key"))
+        found = probed.agg(F.sum(F.col("m").cast("long")).alias("n")).collect()[0]["n"]
+        t_probe = time.perf_counter() - t0
+        assert found == n_probe, f"false negatives: {n_probe - found}"
+        return t_build, t_probe
+
+    def probe_set(corpus):
+        return (
+            corpus.crossJoin(spark.range(PROBE_MULT))
+            .select("key")
+            .repartition(8 * CPUS)
+            .persist()
+        )
+
+    warm = scaled_corpus(spark, sf_dir, max(REPLICAS // 16, 1)).persist()
+    wp = probe_set(warm)
+    one_round(warm, warm.count(), wp, wp.count())
+    warm.unpersist(); wp.unpersist()
+
+    corpus = scaled_corpus(spark, sf_dir, REPLICAS).persist()
     n_keys = corpus.count()
-
-    t0 = time.perf_counter()
-    sxf = build_sharded_xor_filter(corpus, "key", num_shards=4 * CPUS, width=16, seed=12345)
-    t_build = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    probed = corpus.withColumn("m", is_member_sharded(spark, sxf, "key"))
-    found = probed.agg(F.sum(F.col("m").cast("long")).alias("n")).collect()[0]["n"]
-    t_probe = time.perf_counter() - t0
-    corpus.unpersist()
-
-    assert found == n_keys, f"false negatives: {n_keys - found}"
+    probe_df = probe_set(corpus)
+    n_probe = probe_df.count()
+    t_build, t_probe = min(
+        (one_round(corpus, n_keys, probe_df, n_probe) for _ in range(rounds)),
+        key=lambda bp: bp[0] + bp[1],
+    )
+    corpus.unpersist(); probe_df.unpersist()
     return {
         "n_keys": n_keys,
+        "n_probes": n_probe,
         "construction_sec": round(t_build, 3),
         "construction_keys_per_sec": int(n_keys / t_build),
         "probe_sec": round(t_probe, 3),
-        "probe_keys_per_sec": int(n_keys / t_probe),
+        "probe_keys_per_sec": int(n_probe / t_probe),
     }
 
 

@@ -162,3 +162,68 @@ def test_xor_global_and_sharded_pipeline(spark, transcripts):
         .count()
     )
     assert found == total
+
+
+class TestJvmDigestPath:
+    """Scale-path variant: xxhash64 digests in whole-stage codegen."""
+
+    def test_zero_false_negatives_and_fpr(self, spark, sf_tiny):
+        from pyspark.sql import functions as F
+
+        from xorfilter_net_spark.filters.spark_build import (
+            build_sharded_xor_filter,
+            is_member_sharded,
+        )
+        from xorfilter_net_spark.sources.transcripts import (
+            load_transcripts,
+            with_membership_key,
+        )
+
+        t = with_membership_key(load_transcripts(spark, sf_tiny))
+        members = t.select("key").distinct().persist()
+        n = members.count()
+        sxf = build_sharded_xor_filter(
+            members, "key", num_shards=8, width=16, seed=9, jvm_digests=True
+        )
+        assert sxf.digest_kind == "xxhash64jvm"
+        found = (
+            members.withColumn("m", is_member_sharded(spark, sxf, "key"))
+            .agg(F.sum(F.col("m").cast("long")).alias("n"))
+            .collect()[0]["n"]
+        )
+        assert found == n
+        fp = (
+            members.selectExpr("'nm:' || key as key")
+            .withColumn("m", is_member_sharded(spark, sxf, "key"))
+            .agg(F.sum(F.col("m").cast("long")).alias("n"))
+            .collect()[0]["n"]
+        )
+        # XOR16 bound: reference allows <0.5% at 2k probes
+        assert fp / n < 0.005
+        members.unpersist()
+
+    def test_in_shard_dedup_matches_shuffle_dedup(self, spark, sf_tiny):
+        from xorfilter_net_spark.filters.spark_build import (
+            build_sharded_xor_filter,
+        )
+        from xorfilter_net_spark.sources.transcripts import (
+            load_transcripts,
+            with_membership_key,
+        )
+
+        t = with_membership_key(load_transcripts(spark, sf_tiny))
+        # triple the input (duplicates) - dedup strategies must agree
+        tripled = t.unionAll(t).unionAll(t)
+        a = build_sharded_xor_filter(
+            tripled, "key", num_shards=4, width=16, seed=5,
+            jvm_digests=True, dedup="in_shard",
+        )
+        b = build_sharded_xor_filter(
+            tripled, "key", num_shards=4, width=16, seed=5,
+            jvm_digests=True, dedup="shuffle",
+        )
+        da, db = a.to_dict(), b.to_dict()
+        for d in (da, db):  # metrics carry wall times; artifact bits must match
+            for sh in d["shards"].values():
+                sh.pop("metrics")
+        assert da == db

@@ -1,0 +1,39 @@
+"""xorfilter_net_spark — PySpark-native probabilistic set-membership and
+sketch/analytics library (XOR8/16/32 filters, mergeable sketches, dedup,
+ANN, text analysis, multimodal plumbing, streaming accumulators).
+
+Public surface re-exported lazily to keep `import xorfilter_net_spark`
+free of a SparkSession/JVM dependency (pure-kernel users only pay for
+what they touch).
+"""
+
+__version__ = "0.1.0"
+
+_EXPORTS = {
+    "build_xor_filter": "xorfilter_net_spark.filters.spark_build",
+    "build_sharded_xor_filter": "xorfilter_net_spark.filters.spark_build",
+    "is_member_sharded": "xorfilter_net_spark.filters.spark_build",
+    "probe": "xorfilter_net_spark.filters.spark_build",
+    "build_xor_filter_checkpointed": "xorfilter_net_spark.pipeline.checkpoint",
+    "aggregate": "xorfilter_net_spark.sketches.base",
+    "aggregate_by_group": "xorfilter_net_spark.sketches.base",
+    "exact_dedup": "xorfilter_net_spark.dedup.exact",
+    "near_duplicate_pairs": "xorfilter_net_spark.dedup.minhash",
+    "simhash_near_pairs": "xorfilter_net_spark.dedup.simhash",
+    "topk_cosine": "xorfilter_net_spark.ann.brute",
+    "lsh_topk_cosine": "xorfilter_net_spark.ann.lsh",
+    "lsh_near_dup_pairs": "xorfilter_net_spark.ann.lsh",
+    "with_text_features": "xorfilter_net_spark.text.analysis",
+    "doc_fingerprints": "xorfilter_net_spark.text.fingerprint",
+    "run_incremental_sketch": "xorfilter_net_spark.streaming.incremental",
+}
+
+__all__ = list(_EXPORTS)
+
+
+def __getattr__(name: str):
+    if name in _EXPORTS:
+        import importlib
+
+        return getattr(importlib.import_module(_EXPORTS[name]), name)
+    raise AttributeError(f"module 'xorfilter_net_spark' has no attribute {name!r}")

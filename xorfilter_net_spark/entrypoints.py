@@ -155,6 +155,24 @@ def q_xor_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.agg(F.sum(F.col("is_member").cast("long")).alias("n_members_found"))
 
 
+@query(
+    "xor_jvm_digest_zero_false_negatives",
+    f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
+)
+def q_xor_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path construction: digests via JVM xxhash64 in whole-stage
+    codegen, single shard shuffle, in-shard dedup — no Python sees a raw
+    key anywhere in build OR probe."""
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    sxf = build_sharded_xor_filter(
+        t, "key", num_shards=16, width=16, seed=42, jvm_digests=True
+    )
+    r = t.select("key").distinct().withColumn(
+        "is_member", is_member_sharded(spark, sxf, "key")
+    )
+    return r.agg(F.sum(F.col("is_member").cast("long")).alias("n_members_found"))
+
+
 # ---------------------------------------------------------------------------
 # mergeable sketch family (north_rule: Bloom/HLL/CMS/KLL/t-digest as
 # two-phase UDAF-style aggregates)

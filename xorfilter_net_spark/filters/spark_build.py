@@ -60,6 +60,27 @@ def key_digests(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+# second-lane salt: a fixed extra hash input makes xxhash64(key, salt) an
+# independent 64-bit lane from xxhash64(key)
+_JVM_D1_SALT = -7046029254386353131
+
+
+def jvm_digest_cols(key: Column | str) -> tuple[Column, Column]:
+    c = F.col(key) if isinstance(key, str) else key
+    return F.xxhash64(c), F.xxhash64(c, F.lit(_JVM_D1_SALT))
+
+
+def key_digests_jvm(df: DataFrame, key_col: str) -> DataFrame:
+    """(d0, d1) digest columns computed ENTIRELY JVM-side (xxhash64 in
+    whole-stage codegen). The scale path: no Python worker touches the
+    (possibly long) key strings; only 16 bytes/row ever cross into Arrow
+    when a downstream pandas stage needs them. Digest quality is
+    equivalent for slot addressing — xor_core mixes every lane through
+    splitmix64 anyway."""
+    d0, d1 = jvm_digest_cols(key_col)
+    return df.select(d0.alias("d0"), d1.alias("d1"))
+
+
 def build_xor_filter(
     df: DataFrame, key_col: str, width: int = 8, seed: int = 0
 ) -> XorFilter:
@@ -120,7 +141,12 @@ class ShardedXorFilter:
     """
 
     def __init__(
-        self, width: int, seed: int, shards: dict[int, XorFilter], num_shards: int
+        self,
+        width: int,
+        seed: int,
+        shards: dict[int, XorFilter],
+        num_shards: int,
+        digest_kind: str = "murmur",
     ):
         self.width = width
         self.seed = seed
@@ -128,6 +154,10 @@ class ShardedXorFilter:
         # routing modulus = the build-time shard count, NOT len(shards):
         # shards that received no keys are simply absent (probe -> False)
         self.num_shards = num_shards
+        # which digest produced (d0, d1): 'murmur' (python kernel, byte
+        # parity) or 'xxhash64jvm' (JVM codegen, scale path) — probes MUST
+        # recompute keys with the same source
+        self.digest_kind = digest_kind
 
     @staticmethod
     def route(d0: np.ndarray, num_shards: int) -> np.ndarray:
@@ -151,6 +181,7 @@ class ShardedXorFilter:
             "width": self.width,
             "seed": self.seed,
             "num_shards": self.num_shards,
+            "digest_kind": self.digest_kind,
             "shards": {str(k): v.to_dict() for k, v in self.shards.items()},
         }
 
@@ -161,6 +192,7 @@ class ShardedXorFilter:
             d["seed"],
             {int(k): XorFilter.from_dict(v) for k, v in d["shards"].items()},
             d["num_shards"],
+            d.get("digest_kind", "murmur"),
         )
 
     @property
@@ -173,14 +205,33 @@ class ShardedXorFilter:
         }
 
 
+def _dedup_digests(d0: np.ndarray, d1: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unique (d0, d1) pairs via lexsort + consecutive-equal mask."""
+    order = np.lexsort((d1, d0))
+    d0s, d1s = d0[order], d1[order]
+    keep = np.empty(d0s.shape[0], dtype=bool)
+    keep[:1] = True
+    keep[1:] = (d0s[1:] != d0s[:-1]) | (d1s[1:] != d1s[:-1])
+    return d0s[keep], d1s[keep]
+
+
 def build_sharded_xor_filter(
     df: DataFrame,
     key_col: str,
     num_shards: int = 32,
     width: int = 8,
     seed: int = 0,
+    jvm_digests: bool = False,
+    dedup: str = "in_shard",
 ) -> ShardedXorFilter:
-    dig = key_digests(df, key_col).withColumn(
+    """``dedup='in_shard'`` (default): one shuffle — duplicates share d0,
+    hence a shard, so each shard kernel dedups locally (lexsort mask)
+    before peeling. ``dedup='shuffle'``: a distinct-aggregate shuffle
+    first (map-side partial dedup) — cheaper when the corpus is highly
+    duplicated, since the shard shuffle then carries only unique digests.
+    """
+    digest_fn = key_digests_jvm if jvm_digests else key_digests
+    dig = digest_fn(df, key_col).withColumn(
         "shard", F.pmod(F.col("d0"), F.lit(num_shards)).cast("int")
     )
 
@@ -188,33 +239,59 @@ def build_sharded_xor_filter(
         sid = int(pdf["shard"].iloc[0])
         d0 = pdf["d0"].to_numpy(dtype=np.int64).view(np.uint64)
         d1 = pdf["d1"].to_numpy(dtype=np.int64).view(np.uint64)
+        if dedup == "in_shard":
+            d0, d1 = _dedup_digests(d0, d1)
         # per-shard deterministic seed => rebuild-stable across runs
         f = build_from_digests(d0, d1, width=width, seed=seed ^ (sid * 0x9E37))
         return pd.DataFrame({"shard": [sid], "artifact": [f.to_json()]})
 
+    src = dig if dedup == "in_shard" else dig.dropDuplicates(["d0", "d1"])
     rows = (
-        dig.dropDuplicates(["d0", "d1"])
-        .groupBy("shard")
+        src.groupBy("shard")
         .applyInPandas(build_one, schema="shard int, artifact string")
         .collect()
     )
     shards = {r["shard"]: XorFilter.from_json(r["artifact"]) for r in rows}
-    return ShardedXorFilter(width, seed, shards, num_shards)
+    return ShardedXorFilter(
+        width, seed, shards, num_shards,
+        "xxhash64jvm" if jvm_digests else "murmur",
+    )
 
 
 def is_member_sharded(
     spark: SparkSession, sxf: ShardedXorFilter, col: Column | str
 ) -> Column:
+    """Membership probe column. For 'xxhash64jvm' filters the (d0, d1)
+    digests are computed in whole-stage codegen and only two int64
+    columns cross the Arrow boundary; for 'murmur' filters the Python
+    kernel re-digests the raw keys (byte-parity path)."""
     bc = spark.sparkContext.broadcast(sxf.to_dict())
     cache: dict[int, tuple[object, ShardedXorFilter]] = {}
 
-    @pandas_udf("boolean")
-    def _probe(s: pd.Series) -> pd.Series:
-        art = bc.value
+    def _get(art) -> ShardedXorFilter:
         hit = cache.get(0)
         if hit is None or hit[0] is not art:
             cache[0] = (art, ShardedXorFilter.from_dict(art))
-        f = cache[0][1]
+        return cache[0][1]
+
+    if sxf.digest_kind == "xxhash64jvm":
+
+        @pandas_udf("boolean")
+        def _probe_jvm(d0: pd.Series, d1: pd.Series) -> pd.Series:
+            f = _get(bc.value)
+            return pd.Series(
+                f.contains_digests(
+                    d0.to_numpy(dtype=np.int64).view(np.uint64),
+                    d1.to_numpy(dtype=np.int64).view(np.uint64),
+                )
+            )
+
+        c0, c1 = jvm_digest_cols(col)
+        return _probe_jvm(c0, c1)
+
+    @pandas_udf("boolean")
+    def _probe(s: pd.Series) -> pd.Series:
+        f = _get(bc.value)
         d0, d1 = _digest_batch(s)
         return pd.Series(f.contains_digests(d0, d1))
 
