@@ -32,11 +32,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "64"))
+REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "256"))
 ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
 # probe-set multiplier: probing is ~5x cheaper per key than construction,
 # so the probe measure uses a larger key set to stay compute-bound
 PROBE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_MULT", "4"))
+# the throughput job must be IDENTICAL across parallelism levels for the
+# scaling-efficiency measure, so its partition/shard counts are fixed
+# constants, NOT derived from CPUS (only the master local[N] varies)
+BENCH_SHARDS = int(os.environ.get("SPARK_GRAFT_BENCH_SHARDS", "128"))
 
 # the representative subset of the query registry (full registry runs in
 # the driver's correctness pass; bench times the throughput-relevant ones)
@@ -48,6 +52,7 @@ BENCH_QUERIES = [
     "q_rollup_events",
     "xor16_zero_false_negatives",
     "xor_sharded_zero_false_negatives",
+    "xor_sql_probe_zero_false_negatives",
     "bloom_zero_false_negatives",
     "hll_distinct_per_source_ok",
     "cms_event_type_counts",
@@ -106,7 +111,7 @@ def scaled_corpus(spark, sf_dir: str, replicas: int):
         # the crossJoin inherits the (single-file) parquet scan's
         # partitioning — explicitly spread the corpus or every downstream
         # map stage runs on one core
-        .repartition(4 * CPUS)
+        .repartition(BENCH_SHARDS)
     )
 
 
@@ -119,19 +124,31 @@ def bench_filter_throughput(spark, sf_dir: str, rounds: int = ROUNDS) -> dict:
 
     from xorfilter_net_spark.filters.spark_build import (
         build_sharded_xor_filter,
-        is_member_sharded,
+        probe_sql,
     )
 
     def one_round(corpus, n_keys, probe_df, n_probe):
         t0 = time.perf_counter()
         sxf = build_sharded_xor_filter(
-            corpus, "key", num_shards=4 * CPUS, width=16, seed=12345,
+            corpus, "key", num_shards=BENCH_SHARDS, width=16, seed=12345,
             jvm_digests=True,
         )
         t_build = time.perf_counter() - t0
+
+        def agg_members(df):
+            return (
+                probe_sql(sxf, df, "key")
+                .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
+                .collect()[0]["n"]
+            )
+
+        # warm pass over the (smaller) build corpus: distributes the
+        # broadcast slot table and JITs the codegen — one-time costs that
+        # a 10^12-probe corpus would amortize to zero; the timed pass
+        # below is the steady state
+        agg_members(corpus)
         t0 = time.perf_counter()
-        probed = probe_df.withColumn("m", is_member_sharded(spark, sxf, "key"))
-        found = probed.agg(F.sum(F.col("m").cast("long")).alias("n")).collect()[0]["n"]
+        found = agg_members(probe_df)
         t_probe = time.perf_counter() - t0
         assert found == n_probe, f"false negatives: {n_probe - found}"
         return t_build, t_probe
@@ -140,7 +157,7 @@ def bench_filter_throughput(spark, sf_dir: str, rounds: int = ROUNDS) -> dict:
         return (
             corpus.crossJoin(spark.range(PROBE_MULT))
             .select("key")
-            .repartition(8 * CPUS)
+            .repartition(2 * BENCH_SHARDS)
             .persist()
         )
 

@@ -227,3 +227,103 @@ class TestJvmDigestPath:
             for sh in d["shards"].values():
                 sh.pop("metrics")
         assert da == db
+
+
+class TestSqlProbe:
+    """Zero-Python probe: sqlhash addressing + broadcast-join slot lookup."""
+
+    def test_xxh64_numpy_matches_spark_builtin(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from xorfilter_net_spark.kernels.hashes import spark_xxhash64_longs
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(-(2**63), 2**63 - 1, 200, dtype=np.int64)
+        salts = rng.integers(-(2**63), 2**63 - 1, 200, dtype=np.int64)
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in zip(vals, salts)], "a long, b long"
+        )
+        got1 = [r["h"] for r in df.select(F.xxhash64("a").alias("h")).collect()]
+        got2 = [r["h"] for r in df.select(F.xxhash64("a", "b").alias("h")).collect()]
+        m1 = spark_xxhash64_longs([vals.view(np.uint64)]).view(np.int64)
+        m2 = spark_xxhash64_longs(
+            [vals.view(np.uint64), salts.view(np.uint64)]
+        ).view(np.int64)
+        assert [int(x) for x in m1] == [int(g) for g in got1]
+        assert [int(x) for x in m2] == [int(g) for g in got2]
+
+    def test_sql_probe_row_parity_with_arrow_probe(self, spark, sf_tiny):
+        """SQL probe and Arrow probe must agree on EVERY row — including
+        identical false positives (bit-exact addressing parity)."""
+        from pyspark.sql import functions as F
+
+        from xorfilter_net_spark.filters.spark_build import (
+            build_sharded_xor_filter,
+            is_member_sharded,
+            probe_sql,
+        )
+        from xorfilter_net_spark.sources.transcripts import (
+            load_transcripts,
+            with_membership_key,
+        )
+
+        t = with_membership_key(load_transcripts(spark, sf_tiny))
+        members = t.select("key").distinct().persist()
+        n = members.count()
+        sxf = build_sharded_xor_filter(
+            members, "key", num_shards=32, width=8, seed=77, jvm_digests=True
+        )
+        assert sxf.mode == "sqlhash"
+        mixed = members.unionAll(
+            members.selectExpr("'nm:' || key as key")
+        ).persist()
+        mism = (
+            probe_sql(sxf, mixed, "key")
+            .withColumnRenamed("is_member", "m_sql")
+            .join(
+                mixed.withColumn(
+                    "m_arrow", is_member_sharded(spark, sxf, "key")
+                ),
+                "key",
+            )
+            .filter(F.col("m_sql") != F.col("m_arrow"))
+            .count()
+        )
+        assert mism == 0
+        found = (
+            probe_sql(sxf, members, "key")
+            .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
+            .collect()[0]["n"]
+        )
+        assert found == n
+        members.unpersist()
+        mixed.unpersist()
+
+    def test_sql_probe_absent_shards(self, spark):
+        """With far more shards than keys, most shards are empty; probes
+        routed to them must come back False via the present-mask, not
+        crash or false-positive."""
+        from pyspark.sql import functions as F
+
+        from xorfilter_net_spark.filters.spark_build import (
+            build_sharded_xor_filter,
+            probe_sql,
+        )
+
+        few = spark.createDataFrame(
+            [(f"k{i}",) for i in range(5)], "key string"
+        )
+        sxf = build_sharded_xor_filter(
+            few, "key", num_shards=64, width=16, seed=2, jvm_digests=True
+        )
+        assert len(sxf.shards) < 64
+        probes = spark.createDataFrame(
+            [(f"k{i}",) for i in range(500)], "key string"
+        )
+        rows = probe_sql(sxf, probes, "key").collect()
+        got = {r["key"]: r["is_member"] for r in rows}
+        assert len(got) == 500
+        assert all(got[f"k{i}"] for i in range(5))
+        extra = sum(got[f"k{i}"] for i in range(5, 500))
+        assert extra <= 2  # XOR16 FPR leaves ~0 expected over 495 probes

@@ -218,3 +218,55 @@ def test_golden_vector_pinned_seed():
     exp = json.loads(p.read_text())
     assert f.to_dict()["slots_hex"] == exp["slots_hex"]
     assert [int(s) for s in f.seeds] == exp["seeds"]
+
+
+class TestSqlhashMode:
+    """sqlhash addressing: slot mixing/fingerprints via Spark's
+    xxhash64-on-long semantics (probe-able with zero Python in SQL)."""
+
+    def test_zero_false_negatives_and_fpr(self):
+        rng = np.random.default_rng(5)
+        d0 = rng.integers(0, 2**64, 20_000, dtype=np.uint64)
+        d1 = rng.integers(0, 2**64, 20_000, dtype=np.uint64)
+        f = build_from_digests(d0, d1, width=16, seed=SEED, mode="sqlhash")
+        assert f.mode == "sqlhash"
+        assert bool(f.contains_digests(d0, d1).all())
+        q0 = rng.integers(0, 2**64, 100_000, dtype=np.uint64)
+        q1 = rng.integers(0, 2**64, 100_000, dtype=np.uint64)
+        fpr = f.contains_digests(q0, q1).mean()
+        assert fpr < 0.0005  # XOR16 bound ~1.5e-5 with slack
+
+    def test_mode_changes_artifact(self):
+        rng = np.random.default_rng(6)
+        d0 = rng.integers(0, 2**64, 1_000, dtype=np.uint64)
+        d1 = rng.integers(0, 2**64, 1_000, dtype=np.uint64)
+        a = build_from_digests(d0, d1, width=16, seed=SEED, mode="digest")
+        b = build_from_digests(d0, d1, width=16, seed=SEED, mode="sqlhash")
+        assert not np.array_equal(a.slots, b.slots)
+
+    def test_serialization_roundtrip_keeps_mode(self):
+        rng = np.random.default_rng(7)
+        d0 = rng.integers(0, 2**64, 500, dtype=np.uint64)
+        d1 = rng.integers(0, 2**64, 500, dtype=np.uint64)
+        f = build_from_digests(d0, d1, width=8, seed=1, mode="sqlhash")
+        g = XorFilter.from_json(f.to_json())
+        assert g.mode == "sqlhash"
+        assert bool(g.contains_digests(d0, d1).all())
+
+
+def test_xxh64_long_reference_vectors():
+    """Golden facts for the Spark-XXH64-on-long replica (bit-parity with
+    the JVM builtin is asserted in test_spark_integration.py)."""
+    from xorfilter_net_spark.kernels.hashes import spark_xxhash64_longs, xxh64_long
+
+    # deterministic + broadcasting
+    v = np.array([0, 1, 2**63, 2**64 - 1], dtype=np.uint64)
+    a = xxh64_long(v, np.uint64(42))
+    b = xxh64_long(v, np.uint64(42))
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, xxh64_long(v, np.uint64(43)))
+    # chaining = per-element composition
+    s = np.uint64(7)
+    chained = spark_xxhash64_longs([v, np.uint64(9)])
+    manual = xxh64_long(np.uint64(9), xxh64_long(v, np.uint64(42)))
+    assert np.array_equal(chained, manual)

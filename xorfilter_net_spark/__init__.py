@@ -14,6 +14,7 @@ _EXPORTS = {
     "build_sharded_xor_filter": "xorfilter_net_spark.filters.spark_build",
     "is_member_sharded": "xorfilter_net_spark.filters.spark_build",
     "probe": "xorfilter_net_spark.filters.spark_build",
+    "probe_sql": "xorfilter_net_spark.filters.spark_build",
     "build_xor_filter_checkpointed": "xorfilter_net_spark.pipeline.checkpoint",
     "aggregate": "xorfilter_net_spark.sketches.base",
     "aggregate_by_group": "xorfilter_net_spark.sketches.base",

@@ -31,6 +31,7 @@ from .filters.spark_build import (
     build_xor_filter,
     is_member_sharded,
     probe,
+    probe_sql,
 )
 from .sources.session import load_table
 from .sources.transcripts import (
@@ -170,6 +171,24 @@ def q_xor_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t.select("key").distinct().withColumn(
         "is_member", is_member_sharded(spark, sxf, "key")
     )
+    return r.agg(F.sum(F.col("is_member").cast("long")).alias("n_members_found"))
+
+
+@query(
+    "xor_sql_probe_zero_false_negatives",
+    f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
+)
+def q_xor_sql_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully zero-Python pipeline: sqlhash addressing (slot mixing =
+    builtin xxhash64 semantics) and the probe evaluated entirely in
+    whole-stage codegen as three broadcast hash joins against the
+    flattened slot table — no Arrow boundary in build digesting OR
+    probing. The scale headline path (see BENCH/BASELINE.md)."""
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    sxf = build_sharded_xor_filter(
+        t, "key", num_shards=16, width=16, seed=42, jvm_digests=True
+    )
+    r = probe_sql(sxf, t.select("key").distinct(), "key")
     return r.agg(F.sum(F.col("is_member").cast("long")).alias("n_members_found"))
 
 

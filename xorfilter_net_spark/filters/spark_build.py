@@ -33,15 +33,25 @@ from pyspark.sql.functions import pandas_udf
 
 from ..kernels.column import digest_series as _digest_batch
 from ..kernels.column import series_to_bytes as _series_to_bytes
-from .xor_core import XorFilter, build_from_digests
+from ..kernels.hashes import SPARK_XXHASH64_DEFAULT_SEED, splitmix64, xxh64_long
+from .xor_core import (
+    FP_SEED_SIGNED,
+    XorFilter,
+    block_bounds,
+    build_from_digests,
+    digest_fingerprint,
+    sqlhash_fingerprint,
+)
 
 __all__ = [
     "key_digests",
     "build_xor_filter",
     "is_member",
     "probe",
+    "probe_sql",
     "ShardedXorFilter",
     "build_sharded_xor_filter",
+    "is_member_sharded",
 ]
 
 
@@ -147,9 +157,13 @@ class ShardedXorFilter:
         shards: dict[int, XorFilter],
         num_shards: int,
         digest_kind: str = "murmur",
+        mode: str = "digest",
     ):
         self.width = width
         self.seed = seed
+        # slot-addressing mode shared by every shard: 'digest' (splitmix)
+        # or 'sqlhash' (Spark xxhash64-on-long semantics, SQL-probe-able)
+        self.mode = mode
         self.shards = shards
         # routing modulus = the build-time shard count, NOT len(shards):
         # shards that received no keys are simply absent (probe -> False)
@@ -167,14 +181,70 @@ class ShardedXorFilter:
         s = d0.view(np.int64) % np.int64(num_shards)
         return np.where(s < 0, s + num_shards, s)
 
+    def _flat(self) -> dict:
+        """Flattened probe tables: every shard's slot array concatenated,
+        with per-shard (offset, block starts/widths, seeds, present)
+        lookup arrays. Lets the probe be ONE vectorized pass with
+        per-row gathers — no per-shard Python loop (which would cost
+        O(num_shards x batch) masking per Arrow batch)."""
+        fl = getattr(self, "_flat_cache", None)
+        if fl is not None:
+            return fl
+        ns = self.num_shards
+        offsets = np.zeros(ns, dtype=np.int64)
+        seeds = np.zeros((ns, 3), dtype=np.uint64)
+        starts = np.zeros((ns, 3), dtype=np.int64)
+        widths = np.ones((ns, 3), dtype=np.uint64)  # 1s: absent-shard div guard
+        present = np.zeros(ns, dtype=bool)
+        parts, off = [], 0
+        for sid in range(ns):
+            f = self.shards.get(sid)
+            if f is None:
+                continue
+            present[sid] = True
+            offsets[sid] = off
+            seeds[sid] = f.seeds
+            st, wd = block_bounds(f.size)
+            starts[sid] = st
+            widths[sid] = wd.astype(np.uint64)
+            parts.append(f.slots)
+            off += f.size
+        slots = (
+            np.concatenate(parts)
+            if parts
+            else np.zeros(1, dtype=np.uint8)
+        )
+        fl = {
+            "slots": slots,
+            "offsets": offsets,
+            "seeds": seeds,
+            "starts": starts,
+            "widths": widths,
+            "present": present,
+        }
+        self._flat_cache = fl
+        return fl
+
     def contains_digests(self, d0: np.ndarray, d1: np.ndarray) -> np.ndarray:
+        fl = self._flat()
         shard = self.route(d0, self.num_shards)
-        out = np.zeros(d0.shape[0], dtype=bool)
-        for sid in np.unique(shard):
-            if int(sid) in self.shards:
-                m = shard == sid
-                out[m] = self.shards[int(sid)].contains_digests(d0[m], d1[m])
-        return out
+        base = fl["offsets"][shard, None] + fl["starts"][shard]  # (n, 3) int64
+        acc = np.zeros(d0.shape[0], dtype=np.uint64)
+        sql = self.mode == "sqlhash"
+        if sql:
+            h0 = xxh64_long(d0, np.uint64(SPARK_XXHASH64_DEFAULT_SEED))
+        for j in range(3):
+            if sql:
+                mix = xxh64_long(fl["seeds"][shard, j], h0)
+            else:
+                mix = splitmix64(d0 ^ fl["seeds"][shard, j])
+            idx = base[:, j] + (mix % fl["widths"][shard, j]).astype(np.int64)
+            acc ^= fl["slots"][idx].astype(np.uint64)
+        if sql:
+            fp = sqlhash_fingerprint(d1, self.width)
+        else:
+            fp = digest_fingerprint(d1, self.width)
+        return (acc == fp) & fl["present"][shard]
 
     def to_dict(self) -> dict:
         return {
@@ -182,6 +252,7 @@ class ShardedXorFilter:
             "seed": self.seed,
             "num_shards": self.num_shards,
             "digest_kind": self.digest_kind,
+            "mode": self.mode,
             "shards": {str(k): v.to_dict() for k, v in self.shards.items()},
         }
 
@@ -193,6 +264,7 @@ class ShardedXorFilter:
             {int(k): XorFilter.from_dict(v) for k, v in d["shards"].items()},
             d["num_shards"],
             d.get("digest_kind", "murmur"),
+            d.get("mode", "digest"),
         )
 
     @property
@@ -223,13 +295,20 @@ def build_sharded_xor_filter(
     seed: int = 0,
     jvm_digests: bool = False,
     dedup: str = "in_shard",
+    addressing: str | None = None,
 ) -> ShardedXorFilter:
     """``dedup='in_shard'`` (default): one shuffle — duplicates share d0,
     hence a shard, so each shard kernel dedups locally (lexsort mask)
     before peeling. ``dedup='shuffle'``: a distinct-aggregate shuffle
     first (map-side partial dedup) — cheaper when the corpus is highly
     duplicated, since the shard shuffle then carries only unique digests.
+
+    ``addressing``: slot-addressing mode. Defaults to 'sqlhash' for
+    jvm-digest builds (making the filter probe-able with zero Python via
+    ``probe_sql``) and 'digest' for the murmur byte-parity path.
     """
+    if addressing is None:
+        addressing = "sqlhash" if jvm_digests else "digest"
     digest_fn = key_digests_jvm if jvm_digests else key_digests
     dig = digest_fn(df, key_col).withColumn(
         "shard", F.pmod(F.col("d0"), F.lit(num_shards)).cast("int")
@@ -242,7 +321,9 @@ def build_sharded_xor_filter(
         if dedup == "in_shard":
             d0, d1 = _dedup_digests(d0, d1)
         # per-shard deterministic seed => rebuild-stable across runs
-        f = build_from_digests(d0, d1, width=width, seed=seed ^ (sid * 0x9E37))
+        f = build_from_digests(
+            d0, d1, width=width, seed=seed ^ (sid * 0x9E37), mode=addressing
+        )
         return pd.DataFrame({"shard": [sid], "artifact": [f.to_json()]})
 
     src = dig if dedup == "in_shard" else dig.dropDuplicates(["d0", "d1"])
@@ -255,6 +336,7 @@ def build_sharded_xor_filter(
     return ShardedXorFilter(
         width, seed, shards, num_shards,
         "xxhash64jvm" if jvm_digests else "murmur",
+        addressing,
     )
 
 
@@ -296,3 +378,121 @@ def is_member_sharded(
         return pd.Series(f.contains_digests(d0, d1))
 
     return _probe(F.col(col) if isinstance(col, str) else col)
+
+
+def probe_sql(
+    sxf: ShardedXorFilter,
+    df: DataFrame,
+    key_col: str,
+    out_col: str = "is_member",
+) -> DataFrame:
+    """Zero-Python membership probe, fully inside whole-stage codegen.
+
+    Requires a filter built with ``jvm_digests=True`` (digests are
+    ``xxhash64`` of the key) and ``addressing='sqlhash'`` (slot mixing is
+    ``xxhash64(d0, seed_j)`` — the exact builtin the JVM can recompute).
+    The plan is: per-row shard/seed/block parameters from small literal
+    arrays, three slot indexes computed with ANSI-safe long arithmetic
+    (builtins wrap internally; the only explicit mod is ``pmod`` on
+    non-negative operands), then three BROADCAST hash joins against the
+    flattened slot table. No Arrow boundary, no Python workers — probe
+    throughput is whatever the scan + codegen can sustain, and on a
+    cluster it scales with executors (the slot table broadcasts once).
+
+    Unsigned-mod note: the kernel reduces the uint64 mix by the block
+    width.  In SQL the same value lives in a *signed* long, so
+    ``u64 mod w = pmod(pmod(x, w) + (2^64 mod w), w)`` when ``x < 0``;
+    the per-shard correction constants ``2^64 mod w_j`` are precomputed
+    into the literal arrays.
+    """
+    if sxf.digest_kind != "xxhash64jvm" or sxf.mode != "sqlhash":
+        raise ValueError(
+            "probe_sql requires a filter built with jvm_digests=True and "
+            f"addressing='sqlhash' (got digest_kind={sxf.digest_kind!r}, "
+            f"mode={sxf.mode!r}); use is_member_sharded for other filters"
+        )
+    spark = df.sparkSession
+    fl = sxf._flat()
+    ns = sxf.num_shards
+
+    def _i64(x) -> int:
+        return int(np.int64(np.uint64(x)))
+
+    def arr_lit(vals) -> Column:
+        return F.array(*[F.lit(int(v)) for v in vals])
+
+    offsets = arr_lit(fl["offsets"])
+    present = F.array(*[F.lit(bool(p)) for p in fl["present"]])
+    seeds = [arr_lit([_i64(s) for s in fl["seeds"][:, j]]) for j in range(3)]
+    starts = [arr_lit(fl["starts"][:, j]) for j in range(3)]
+    widths = [arr_lit([int(w) for w in fl["widths"][:, j]]) for j in range(3)]
+    corr = [
+        arr_lit([(1 << 64) % int(w) for w in fl["widths"][:, j]])
+        for j in range(3)
+    ]
+
+    key = F.col(key_col)
+    d0 = F.xxhash64(key)
+    d1 = F.xxhash64(key, F.lit(_JVM_D1_SALT))
+    sh = F.pmod(d0, F.lit(ns)).cast("int") + F.lit(1)  # element_at is 1-based
+
+    def u64mod(x: Column, w: Column, c: Column) -> Column:
+        return F.when(x >= 0, F.pmod(x, w)).otherwise(
+            F.pmod(F.pmod(x, w) + c, w)
+        )
+
+    idx = []
+    for j in range(3):
+        mix = F.xxhash64(d0, F.element_at(seeds[j], sh))
+        w = F.element_at(widths[j], sh)
+        off = F.element_at(offsets, sh) + F.element_at(starts[j], sh)
+        idx.append(off + u64mod(mix, w, F.element_at(corr[j], sh)))
+
+    fp = F.xxhash64(d1, F.lit(FP_SEED_SIGNED)).bitwiseAND(
+        F.lit(int(_MASK_BITS[sxf.width]))
+    )
+
+    t = "__xorsql_"
+    base = df.withColumns(
+        {
+            f"{t}i0": idx[0],
+            f"{t}i1": idx[1],
+            f"{t}i2": idx[2],
+            f"{t}fp": fp,
+            f"{t}p": F.element_at(present, sh),
+        }
+    )
+    slots_df = _slots_frame(spark, sxf)
+    for j in range(3):
+        sj = slots_df.select(
+            F.col("sidx").alias(f"{t}i{j}"), F.col("sval").alias(f"{t}v{j}")
+        )
+        base = base.join(F.broadcast(sj), f"{t}i{j}")
+    member = (
+        F.col(f"{t}v0")
+        .bitwiseXOR(F.col(f"{t}v1"))
+        .bitwiseXOR(F.col(f"{t}v2"))
+        == F.col(f"{t}fp")
+    ) & F.col(f"{t}p")
+    return base.withColumn(out_col, member).select(*df.columns, out_col)
+
+
+_MASK_BITS = {8: 0xFF, 16: 0xFFFF, 32: 0xFFFFFFFF}
+
+
+def _slots_frame(spark: SparkSession, sxf: ShardedXorFilter) -> DataFrame:
+    """(sidx, sval) DataFrame over the flattened slot table, cached per
+    (session, artifact) so repeated probes reuse one Arrow upload."""
+    cached = getattr(sxf, "_slots_df_cache", None)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    fl = sxf._flat()
+    pdf = pd.DataFrame(
+        {
+            "sidx": np.arange(fl["slots"].shape[0], dtype=np.int64),
+            "sval": fl["slots"].astype(np.int64),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    sxf._slots_df_cache = (spark, sdf)
+    return sdf

@@ -32,12 +32,14 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..kernels.hashes import (
+    SPARK_XXHASH64_DEFAULT_SEED,
     crc32,
     derive_attempt_seeds,
     digest128,
     murmur3_32,
     pack_bytes,
     splitmix64,
+    xxh64_long,
 )
 
 _U64 = np.uint64
@@ -58,6 +60,23 @@ class XorConstructionError(RuntimeError):
 
 def table_size(n: int) -> int:
     return max(3, math.ceil(LOAD * n))
+
+
+def digest_fingerprint(d1: np.ndarray, width: int) -> np.ndarray:
+    """L-bit fingerprint from the second digest lane (digest mode's analog
+    of crc32 truncation, XorFilter8/16/32.cs:26-29)."""
+    return splitmix64(d1 ^ _FP_SEED) & _MASKS[width]
+
+
+_SQL_SEED = _U64(SPARK_XXHASH64_DEFAULT_SEED)
+# signed view of _FP_SEED, usable as an F.lit() in the SQL probe
+FP_SEED_SIGNED = int(np.int64(_FP_SEED))
+
+
+def sqlhash_fingerprint(d1: np.ndarray, width: int) -> np.ndarray:
+    """sqlhash-mode fingerprint = ``xxhash64(d1, FP_SEED)`` exactly as the
+    Spark builtin computes it, so the probe can stay in codegen."""
+    return xxh64_long(_FP_SEED, xxh64_long(d1, _SQL_SEED)) & _MASKS[width]
 
 
 def block_bounds(size: int) -> tuple[np.ndarray, np.ndarray]:
@@ -99,7 +118,10 @@ class XorFilter:
         starts, widths = block_bounds(self.size)
         cols = []
         for j in range(3):
-            mix = splitmix64(d0 ^ self.seeds[j])
+            if self.mode == "sqlhash":
+                mix = xxh64_long(self.seeds[j], xxh64_long(d0, _SQL_SEED))
+            else:
+                mix = splitmix64(d0 ^ self.seeds[j])
             cols.append((mix % _U64(widths[j])).astype(np.int64) + starts[j])
         return np.stack(cols, axis=1)
 
@@ -112,7 +134,9 @@ class XorFilter:
         return np.stack(cols, axis=1)
 
     def _fingerprint_digest(self, d1: np.ndarray) -> np.ndarray:
-        return splitmix64(d1 ^ _FP_SEED) & _MASKS[self.width]
+        if self.mode == "sqlhash":
+            return sqlhash_fingerprint(d1, self.width)
+        return digest_fingerprint(d1, self.width)
 
     def _fingerprint_exact(self, buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
         return crc32(buf, lens).astype(_U64) & _MASKS[self.width]
@@ -271,14 +295,36 @@ def _build(
 
 
 def build_from_digests(
-    d0: np.ndarray, d1: np.ndarray, width: int = 8, seed: int = 0
+    d0: np.ndarray, d1: np.ndarray, width: int = 8, seed: int = 0,
+    mode: str = "digest",
 ) -> XorFilter:
-    """Scale path: build from *deduplicated* 128-bit key digests."""
+    """Scale path: build from *deduplicated* 128-bit key digests.
+
+    ``mode='digest'``: splitmix64 slot addressing (python-probe parity).
+    ``mode='sqlhash'``: slot addressing and fingerprint via Spark's
+    xxhash64-on-long semantics, so membership probes can be evaluated
+    entirely in whole-stage codegen (zero Python) by ``probe_sql``.
+    """
     pairs = np.stack([d0.astype(_U64), d1.astype(_U64)], axis=1)
     pairs = np.unique(pairs, axis=0)
     d0u, d1u = pairs[:, 0], pairs[:, 1]
     n = d0u.shape[0]
-    starts_cache = {}
+    mask = _MASKS[width]
+
+    if mode == "sqlhash":
+        # the per-row inner hash is attempt-invariant: precompute once
+        h0 = xxh64_long(d0u, _SQL_SEED)
+
+        def make_idx(seeds, size):
+            starts, widths = block_bounds(size)
+            cols = []
+            for j in range(3):
+                mix = xxh64_long(seeds[j], h0)
+                cols.append((mix % _U64(widths[j])).astype(np.int64) + starts[j])
+            return np.stack(cols, axis=1)
+
+        fp = sqlhash_fingerprint(d1u, width)
+        return _build(n, width, seed, make_idx, fp, "sqlhash")
 
     def make_idx(seeds, size):
         starts, widths = block_bounds(size)
@@ -288,7 +334,6 @@ def build_from_digests(
             cols.append((mix % _U64(widths[j])).astype(np.int64) + starts[j])
         return np.stack(cols, axis=1)
 
-    mask = _MASKS[width]
     fp = splitmix64(d1u ^ _FP_SEED) & mask
     return _build(n, width, seed, make_idx, fp, "digest")
 

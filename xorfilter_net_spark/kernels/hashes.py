@@ -29,6 +29,8 @@ __all__ = [
     "murmur3_32_scalar",
     "crc32",
     "splitmix64",
+    "xxh64_long",
+    "spark_xxhash64_longs",
     "derive_attempt_seeds",
     "digest128",
 ]
@@ -172,6 +174,48 @@ def splitmix64(x: np.ndarray | int) -> np.ndarray | int:
         z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
         z = z ^ (z >> _U64(31))
     return z
+
+
+_XXH_P1 = _U64(0x9E3779B185EBCA87)
+_XXH_P2 = _U64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = _U64(0x165667B19E3779F9)
+_XXH_P4 = _U64(0x85EBCA77C2B2AE63)
+_XXH_P5 = _U64(0x27D4EB2F165667C5)
+SPARK_XXHASH64_DEFAULT_SEED = 42  # catalyst XxHash64 expression default
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U64(r)) | (x >> _U64(64 - r))
+
+
+def xxh64_long(value, seed) -> np.ndarray:
+    """XXH64 of a single 64-bit value — bit-exact replica of Spark's
+    ``XXH64.hashLong(value, seed)`` (the kernel behind the ``xxhash64``
+    SQL builtin on long columns). Vectorized over uint64 arrays; either
+    argument may be a scalar. This is what makes the zero-Python SQL probe
+    possible: the build kernel addresses slots with exactly the hash the
+    JVM can recompute in whole-stage codegen."""
+    with np.errstate(over="ignore"):
+        v = np.asarray(value, dtype=_U64)
+        h = np.asarray(seed, dtype=_U64) + _XXH_P5 + _U64(8)
+        h = h ^ (_rotl64(v * _XXH_P2, 31) * _XXH_P1)
+        h = _rotl64(h, 27) * _XXH_P1 + _XXH_P4
+        h ^= h >> _U64(33)
+        h *= _XXH_P2
+        h ^= h >> _U64(29)
+        h *= _XXH_P3
+        h ^= h >> _U64(32)
+    return h
+
+
+def spark_xxhash64_longs(cols) -> np.ndarray:
+    """Replica of the Spark SQL ``xxhash64(c1, c2, ...)`` builtin applied
+    to non-null long columns: seed 42, then hash chaining
+    ``h = hashLong(c_i, h)`` left to right."""
+    h = _U64(SPARK_XXHASH64_DEFAULT_SEED)
+    for c in cols:
+        h = xxh64_long(c, h)
+    return h
 
 
 def derive_attempt_seeds(user_seed: int, attempt: int) -> np.ndarray:
