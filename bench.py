@@ -34,9 +34,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "256"))
 ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
-# probe-set multiplier: probing is ~5x cheaper per key than construction,
-# so the probe measure uses a larger key set to stay compute-bound
-PROBE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_MULT", "4"))
+# probe-set multiplier: probing is far cheaper per key than construction,
+# so the probe measure uses a larger key set...
+PROBE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_MULT", "2"))
+# ...and is additionally timed over PROBE_REPS consecutive executions
+# (the SQL probe runs at ~100M keys/s — a single pass is sub-second and
+# the VM's scheduling jitter would swamp it)
+PROBE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_REPS", "2"))
 # the throughput job must be IDENTICAL across parallelism levels for the
 # scaling-efficiency measure, so its partition/shard counts are fixed
 # constants, NOT derived from CPUS (only the master local[N] varies)
@@ -78,7 +82,7 @@ def make_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
@@ -135,46 +139,70 @@ def bench_filter_throughput(spark, sf_dir: str, rounds: int = ROUNDS) -> dict:
         )
         t_build = time.perf_counter() - t0
 
-        def agg_members(df):
-            return (
-                probe_sql(sxf, df, "key")
-                .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
-                .collect()[0]["n"]
-            )
+        # zero-false-negative assert on the build corpus (probe_df is the
+        # same key set replicated, so this checks every probed key) — it
+        # also pays the one-time slots-frame persist for this filter
+        found = (
+            probe_sql(sxf, corpus, "key")
+            .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
+            .collect()[0]["n"]
+        )
+        assert found == n_keys, f"false negatives: {n_keys - found}"
 
-        # warm pass over the (smaller) build corpus: distributes the
-        # broadcast slot table and JITs the codegen — one-time costs that
-        # a 10^12-probe corpus would amortize to zero; the timed pass
-        # below is the steady state
-        agg_members(corpus)
+        # Steady-state probe timing needs care on two fronts:
+        # (a) re-collecting the SAME shuffle-bearing plan lets Spark skip
+        #     the recomputation entirely (map-stage outputs persist across
+        #     jobs) — it would measure nothing;
+        # (b) any FRESH plan per rep rebuilds the slot-table broadcast —
+        #     a one-time cost a 10^12-probe corpus amortizes to zero.
+        # So: ONE probe plan, executed repeatedly through its underlying
+        # RDD with a JVM-side count — map-only (nothing to skip), same
+        # plan instance (broadcast relation cached), full recompute of
+        # scan+hash+joins per rep.
+        probed = probe_sql(sxf, probe_df, "key")
+        jrdd = probed._jdf.queryExecution().executedPlan().execute()
+        jrdd.count()  # warm: broadcast build + codegen JIT for this plan
         t0 = time.perf_counter()
-        found = agg_members(probe_df)
-        t_probe = time.perf_counter() - t0
-        assert found == n_probe, f"false negatives: {n_probe - found}"
+        for _ in range(PROBE_REPS):
+            assert jrdd.count() == n_probe  # inner-join completeness
+        t_probe = (time.perf_counter() - t0) / PROBE_REPS
         return t_build, t_probe
 
-    def probe_set(corpus):
-        return (
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="xorbench_probe_")
+
+    def probe_set(corpus, name):
+        # staged as parquet, NOT persisted: a multi-GB executor-memory
+        # cache squeezes the JVM heap and slows the (timed) construction
+        # by 2x; scanning parquet through the OS page cache is both
+        # cheaper and closer to how a real probe job reads its corpus
+        path = f"{tmp}/{name}"
+        (
             corpus.crossJoin(spark.range(PROBE_MULT))
             .select("key")
             .repartition(2 * BENCH_SHARDS)
-            .persist()
+            .write.mode("overwrite")
+            .parquet(path)
         )
+        return spark.read.parquet(path)
 
     warm = scaled_corpus(spark, sf_dir, max(REPLICAS // 16, 1)).persist()
-    wp = probe_set(warm)
+    wp = probe_set(warm, "warm")
     one_round(warm, warm.count(), wp, wp.count())
-    warm.unpersist(); wp.unpersist()
+    warm.unpersist()
 
     corpus = scaled_corpus(spark, sf_dir, REPLICAS).persist()
     n_keys = corpus.count()
-    probe_df = probe_set(corpus)
+    probe_df = probe_set(corpus, "main")
     n_probe = probe_df.count()
     t_build, t_probe = min(
         (one_round(corpus, n_keys, probe_df, n_probe) for _ in range(rounds)),
         key=lambda bp: bp[0] + bp[1],
     )
-    corpus.unpersist(); probe_df.unpersist()
+    corpus.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
     return {
         "n_keys": n_keys,
         "n_probes": n_probe,

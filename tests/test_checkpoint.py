@@ -72,3 +72,52 @@ def test_resumed_filter_probes_correctly(spark, sf_tiny, tmp_path):
         .collect()[0]["n"]
     )
     assert found == n  # zero false negatives through a resumed artifact
+
+
+def test_checkpointed_jvm_sqlhash_build_sql_probe_and_resume(
+    spark, sf_tiny, tmp_path
+):
+    """Scale-path checkpointed build: jvm digests + sqlhash addressing,
+    probe-able with zero Python, and resume yields the identical artifact."""
+    from pyspark.sql import functions as F
+
+    from xorfilter_net_spark.filters.spark_build import probe_sql
+
+    df = _keyed(spark, sf_tiny)
+    run_dir = str(tmp_path / "run_jvm")
+    sxf1, m1 = build_xor_filter_checkpointed(
+        df, "key", run_dir, num_shards=8, width=16, seed=9,
+        input_token="sf_tiny", jvm_digests=True,
+    )
+    assert sxf1.digest_kind == "xxhash64jvm" and sxf1.mode == "sqlhash"
+    assert all(not st["resumed"] for st in m1.values())
+
+    members = df.distinct()
+    n = members.count()
+    found = (
+        probe_sql(sxf1, members, "key")
+        .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert found == n
+
+    sxf2, m2 = build_xor_filter_checkpointed(
+        df, "key", run_dir, num_shards=8, width=16, seed=9,
+        input_token="sf_tiny", jvm_digests=True,
+    )
+    assert all(st["resumed"] for st in m2.values())
+    assert sxf1.to_dict() == sxf2.to_dict()
+
+
+def test_digest_kind_change_invalidates_digests_stage(spark, sf_tiny, tmp_path):
+    df = _keyed(spark, sf_tiny)
+    run_dir = str(tmp_path / "run_kind")
+    _, m1 = build_xor_filter_checkpointed(
+        df, "key", run_dir, num_shards=4, width=8, seed=1, input_token="t"
+    )
+    _, m2 = build_xor_filter_checkpointed(
+        df, "key", run_dir, num_shards=4, width=8, seed=1, input_token="t",
+        jvm_digests=True,
+    )
+    assert not m2["digests"]["resumed"]
+    assert not m2["shards"]["resumed"]

@@ -43,6 +43,7 @@ def run_at(cpus: int) -> dict:
     # per-job costs (stage scheduling, worker spin-up) otherwise read as
     # false scaling loss
     env.setdefault("SPARK_GRAFT_BENCH_REPLICAS", "1024")
+    env.setdefault("SPARK_GRAFT_BENCH_ROUNDS", "2")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--throughput-only"],
         capture_output=True,

@@ -51,6 +51,7 @@ def cmd_build_xor(args: argparse.Namespace) -> dict:
         width=args.width,
         seed=args.seed,
         input_token=args.input,
+        jvm_digests=args.jvm_digests,
     )
     m = sxf.metrics
     return {
@@ -80,7 +81,14 @@ def cmd_probe(args: argparse.Namespace) -> dict:
     df = spark.read.parquet(args.input).withColumn(
         "key", F.expr(args.key_expr)
     )
-    probed = df.withColumn("is_member", is_member_sharded(spark, sxf, "key"))
+    if sxf.digest_kind == "xxhash64jvm" and sxf.mode == "sqlhash":
+        from .filters.spark_build import probe_sql
+
+        probed = probe_sql(sxf, df, "key")  # zero-Python codegen path
+    else:
+        probed = df.withColumn(
+            "is_member", is_member_sharded(spark, sxf, "key")
+        )
     probed.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     return {"command": "probe", "output": args.output, "rows": n}
@@ -127,6 +135,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--width", type=int, default=16, choices=(8, 16, 32))
     b.add_argument("--seed", type=int, default=0)
     b.add_argument("--num-shards", type=int, default=64)
+    b.add_argument(
+        "--jvm-digests",
+        action="store_true",
+        help="xxhash64 digests in codegen + sqlhash addressing "
+        "(SQL-probe-able scale path)",
+    )
     b.set_defaults(fn=cmd_build_xor)
 
     pr = sub.add_parser("probe", help="probe a built filter")

@@ -315,6 +315,8 @@ def build_sharded_xor_filter(
     )
 
     def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
         sid = int(pdf["shard"].iloc[0])
         d0 = pdf["d0"].to_numpy(dtype=np.int64).view(np.uint64)
         d1 = pdf["d1"].to_numpy(dtype=np.int64).view(np.uint64)
@@ -324,20 +326,47 @@ def build_sharded_xor_filter(
         f = build_from_digests(
             d0, d1, width=width, seed=seed ^ (sid * 0x9E37), mode=addressing
         )
-        return pd.DataFrame({"shard": [sid], "artifact": [f.to_json()]})
+        meta = f.to_dict()
+        meta.pop("slots_hex")
+        # slot table as Arrow-native binary: the artifact collect below is
+        # zero-copy batches, not 2-bytes-per-char hex through py4j rows
+        return pd.DataFrame(
+            {
+                "shard": [sid],
+                "meta": [_json.dumps(meta)],
+                "slots": [f.slots.tobytes()],
+            }
+        )
 
     src = dig if dedup == "in_shard" else dig.dropDuplicates(["d0", "d1"])
-    rows = (
+    res = (
         src.groupBy("shard")
-        .applyInPandas(build_one, schema="shard int, artifact string")
-        .collect()
+        .applyInPandas(build_one, schema="shard int, meta string, slots binary")
+        .toPandas()
     )
-    shards = {r["shard"]: XorFilter.from_json(r["artifact"]) for r in rows}
+    import json as _json
+
+    shards = {}
+    for r in res.itertuples(index=False):
+        d = _json.loads(r.meta)
+        shards[int(r.shard)] = XorFilter(
+            width=d["width"],
+            size=d["size"],
+            seeds=np.array(d["seeds"], dtype=np.uint64),
+            slots=np.frombuffer(r.slots, dtype=_SLOT_DTYPES[d["width"]]).copy(),
+            mode=d["mode"],
+            user_seed=d["user_seed"],
+            attempts=d.get("attempts", 1),
+            metrics=d.get("metrics", {}),
+        )
     return ShardedXorFilter(
         width, seed, shards, num_shards,
         "xxhash64jvm" if jvm_digests else "murmur",
         addressing,
     )
+
+
+_SLOT_DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32}
 
 
 def is_member_sharded(
@@ -404,6 +433,15 @@ def probe_sql(
     ``u64 mod w = pmod(pmod(x, w) + (2^64 mod w), w)`` when ``x < 0``;
     the per-shard correction constants ``2^64 mod w_j`` are precomputed
     into the literal arrays.
+
+    Reuse note: Spark caches each BroadcastExchange's hash relation per
+    physical-plan *instance*, so keep and reuse the returned DataFrame
+    (or a derived plan) across actions — re-calling ``probe_sql`` per
+    action rebuilds the three slot-table broadcasts serially each time.
+    Sizing note: the broadcast is ~the filter itself (1.23 x n_keys x
+    width bits + join-key overhead). For filters beyond broadcastable
+    size (≈10^8+ slots) use ``is_member_sharded`` — the Arrow path keeps
+    the table on executors and never joins.
     """
     if sxf.digest_kind != "xxhash64jvm" or sxf.mode != "sqlhash":
         raise ValueError(
@@ -412,56 +450,51 @@ def probe_sql(
             f"mode={sxf.mode!r}); use is_member_sharded for other filters"
         )
     spark = df.sparkSession
-    fl = sxf._flat()
     ns = sxf.num_shards
+    t = "__xorsql_"
 
-    def _i64(x) -> int:
-        return int(np.int64(np.uint64(x)))
-
-    def arr_lit(vals) -> Column:
-        return F.array(*[F.lit(int(v)) for v in vals])
-
-    offsets = arr_lit(fl["offsets"])
-    present = F.array(*[F.lit(bool(p)) for p in fl["present"]])
-    seeds = [arr_lit([_i64(s) for s in fl["seeds"][:, j]]) for j in range(3)]
-    starts = [arr_lit(fl["starts"][:, j]) for j in range(3)]
-    widths = [arr_lit([int(w) for w in fl["widths"][:, j]]) for j in range(3)]
-    corr = [
-        arr_lit([(1 << 64) % int(w) for w in fl["widths"][:, j]])
-        for j in range(3)
-    ]
-
+    # stage 1: digests + shard id as materialized columns (join keys)
     key = F.col(key_col)
-    d0 = F.xxhash64(key)
-    d1 = F.xxhash64(key, F.lit(_JVM_D1_SALT))
-    sh = F.pmod(d0, F.lit(ns)).cast("int") + F.lit(1)  # element_at is 1-based
+    base = df.withColumns(
+        {
+            f"{t}d0": F.xxhash64(key),
+            f"{t}d1": F.xxhash64(key, F.lit(_JVM_D1_SALT)),
+        }
+    ).withColumn(f"{t}sh", F.pmod(F.col(f"{t}d0"), F.lit(ns)).cast("int"))
+
+    # stage 2: per-shard parameters via a tiny (num_shards-row) broadcast
+    # join. Parameters as COLUMNS keep the slot-index expressions small —
+    # num_shards-sized literal arrays inline into every expression copy
+    # and blow past codegen's method-size limits, demoting the whole
+    # stage to interpreted evaluation (~100x slower).
+    base = base.join(F.broadcast(_params_frame(spark, sxf)), f"{t}sh")
 
     def u64mod(x: Column, w: Column, c: Column) -> Column:
         return F.when(x >= 0, F.pmod(x, w)).otherwise(
             F.pmod(F.pmod(x, w) + c, w)
         )
 
-    idx = []
-    for j in range(3):
-        mix = F.xxhash64(d0, F.element_at(seeds[j], sh))
-        w = F.element_at(widths[j], sh)
-        off = F.element_at(offsets, sh) + F.element_at(starts[j], sh)
-        idx.append(off + u64mod(mix, w, F.element_at(corr[j], sh)))
-
-    fp = F.xxhash64(d1, F.lit(FP_SEED_SIGNED)).bitwiseAND(
-        F.lit(int(_MASK_BITS[sxf.width]))
-    )
-
-    t = "__xorsql_"
-    base = df.withColumns(
+    d0 = F.col(f"{t}d0")
+    base = base.withColumns(
         {
-            f"{t}i0": idx[0],
-            f"{t}i1": idx[1],
-            f"{t}i2": idx[2],
-            f"{t}fp": fp,
-            f"{t}p": F.element_at(present, sh),
+            f"{t}i{j}": F.col(f"{t}off{j}")
+            + u64mod(
+                F.xxhash64(d0, F.col(f"{t}sd{j}")),
+                F.col(f"{t}w{j}"),
+                F.col(f"{t}c{j}"),
+            )
+            for j in range(3)
         }
+    ).withColumn(
+        f"{t}fp",
+        F.xxhash64(F.col(f"{t}d1"), F.lit(FP_SEED_SIGNED)).bitwiseAND(
+            F.lit(int(_MASK_BITS[sxf.width]))
+        ),
     )
+
+    # stage 3: three name-based broadcast equi-joins against the
+    # persisted flattened slot table — one-time hash-relation build per
+    # plan; reuse the returned DataFrame across actions (see note above)
     slots_df = _slots_frame(spark, sxf)
     for j in range(3):
         sj = slots_df.select(
@@ -473,16 +506,47 @@ def probe_sql(
         .bitwiseXOR(F.col(f"{t}v1"))
         .bitwiseXOR(F.col(f"{t}v2"))
         == F.col(f"{t}fp")
-    ) & F.col(f"{t}p")
+    ) & F.col(f"{t}pres")
     return base.withColumn(out_col, member).select(*df.columns, out_col)
 
 
 _MASK_BITS = {8: 0xFF, 16: 0xFFFF, 32: 0xFFFFFFFF}
 
 
+def _params_frame(spark: SparkSession, sxf: ShardedXorFilter) -> DataFrame:
+    """Per-shard probe parameters, one row per shard id: flat-table block
+    offsets (slot offset + block start folded together), attempt seeds,
+    block widths, unsigned-mod correction constants ``2^64 mod w``, and
+    the present flag. Cached per (session, artifact)."""
+    cached = getattr(sxf, "_params_df_cache", None)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    fl = sxf._flat()
+    ns = sxf.num_shards
+    t = "__xorsql_"
+    cols: dict[str, object] = {f"{t}sh": np.arange(ns, dtype=np.int32)}
+    for j in range(3):
+        cols[f"{t}off{j}"] = fl["offsets"] + fl["starts"][:, j]
+        cols[f"{t}sd{j}"] = fl["seeds"][:, j].view(np.int64)
+        cols[f"{t}w{j}"] = fl["widths"][:, j].view(np.int64)
+        cols[f"{t}c{j}"] = np.array(
+            [(1 << 64) % int(w) for w in fl["widths"][:, j]], dtype=np.int64
+        )
+    cols[f"{t}pres"] = fl["present"]
+    pdf = pd.DataFrame(cols)
+    sdf = spark.createDataFrame(pdf)
+    sxf._params_df_cache = (spark, sdf)
+    return sdf
+
+
 def _slots_frame(spark: SparkSession, sxf: ShardedXorFilter) -> DataFrame:
     """(sidx, sval) DataFrame over the flattened slot table, cached per
-    (session, artifact) so repeated probes reuse one Arrow upload."""
+    (session, artifact) so repeated probes reuse one Arrow upload.
+
+    Persisted + materialized: a BroadcastExchange over a LocalTableScan
+    re-converts all the Arrow rows single-threaded on EVERY new query
+    plan; over the in-memory columnar cache the rebuild is a parallel
+    cached scan + the (serial) hash-relation insert only."""
     cached = getattr(sxf, "_slots_df_cache", None)
     if cached is not None and cached[0] is spark:
         return cached[1]
@@ -493,6 +557,8 @@ def _slots_frame(spark: SparkSession, sxf: ShardedXorFilter) -> DataFrame:
             "sval": fl["slots"].astype(np.int64),
         }
     )
-    sdf = spark.createDataFrame(pdf)
+    n_part = max(4, fl["slots"].shape[0] // 2_000_000)
+    sdf = spark.createDataFrame(pdf).repartition(n_part).persist()
+    sdf.count()
     sxf._slots_df_cache = (spark, sdf)
     return sdf

@@ -142,6 +142,8 @@ def build_xor_filter_checkpointed(
     width: int = 8,
     seed: int = 0,
     input_token: str = "",
+    jvm_digests: bool = False,
+    addressing: str | None = None,
 ) -> tuple[ShardedXorFilter, dict]:
     """Checkpointed sharded XOR-filter build.
 
@@ -151,22 +153,38 @@ def build_xor_filter_checkpointed(
 
     ``input_token`` should identify the input dataset (e.g. its path +
     snapshot id); it chains into every stage fingerprint.
+
+    ``jvm_digests``/``addressing`` mirror ``build_sharded_xor_filter``:
+    the scale path (xxhash64 digests in codegen, sqlhash addressing)
+    yields a checkpointed filter that ``probe_sql`` can evaluate with
+    zero Python.
     """
     import pandas as pd
     from pyspark.sql import functions as F
 
+    from ..filters.spark_build import key_digests_jvm
     from ..filters.xor_core import build_from_digests
+
+    if addressing is None:
+        addressing = "sqlhash" if jvm_digests else "digest"
+    digest_kind = "xxhash64jvm" if jvm_digests else "murmur"
+    digest_fn = key_digests_jvm if jvm_digests else key_digests
 
     spark = df.sparkSession
     run = BuildRun(spark, run_dir)
 
     fp_digests = _fingerprint(
-        {"stage": "digests", "key_col": key_col, "input": input_token}
+        {
+            "stage": "digests",
+            "key_col": key_col,
+            "input": input_token,
+            "digest_kind": digest_kind,
+        }
     )
     digests = run.dataframe_stage(
         "digests",
         fp_digests,
-        lambda: key_digests(df, key_col).dropDuplicates(["d0", "d1"]),
+        lambda: digest_fn(df, key_col).dropDuplicates(["d0", "d1"]),
     )
 
     fp_shards = _fingerprint(
@@ -176,6 +194,7 @@ def build_xor_filter_checkpointed(
             "num_shards": num_shards,
             "width": width,
             "seed": seed,
+            "addressing": addressing,
         }
     )
 
@@ -187,7 +206,8 @@ def build_xor_filter_checkpointed(
             d0 = pdf["d0"].to_numpy(dtype=np.int64).view(np.uint64)
             d1 = pdf["d1"].to_numpy(dtype=np.int64).view(np.uint64)
             f = build_from_digests(
-                d0, d1, width=width, seed=seed ^ (sid * 0x9E37)
+                d0, d1, width=width, seed=seed ^ (sid * 0x9E37),
+                mode=addressing,
             )
             met = f.metrics
             return pd.DataFrame(
@@ -223,7 +243,9 @@ def build_xor_filter_checkpointed(
         shards = {
             r["shard"]: XorFilter.from_json(r["artifact"]) for r in rows
         }
-        sxf = ShardedXorFilter(width, seed, shards, num_shards)
+        sxf = ShardedXorFilter(
+            width, seed, shards, num_shards, digest_kind, addressing
+        )
         return sxf.to_dict()
 
     art = run.json_stage("filter", fp_filter, assemble)
