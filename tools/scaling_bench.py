@@ -43,7 +43,7 @@ def run_at(cpus: int) -> dict:
     # per-job costs (stage scheduling, worker spin-up) otherwise read as
     # false scaling loss
     env.setdefault("SPARK_GRAFT_BENCH_REPLICAS", "1024")
-    env.setdefault("SPARK_GRAFT_BENCH_ROUNDS", "2")
+    env.setdefault("SPARK_GRAFT_BENCH_ROUNDS", "1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--throughput-only"],
         capture_output=True,
@@ -71,7 +71,12 @@ def hardware_ceiling() -> dict:
         with mp.Manager() as m:
             barrier = m.Barrier(n)
             with mp.Pool(n) as p:
-                return sum(p.map(_hw_task, [(barrier, 5.0)] * n)) / 5.0
+                # best of 3 windows: a single window still catches multi-
+                # second CPU-steal episodes on this VM (observed >1.5x)
+                return max(
+                    sum(p.map(_hw_task, [(barrier, 5.0)] * n)) / 5.0
+                    for _ in range(3)
+                )
 
     rates = {n: round(rate(n), 1) for n in (2, 8, 32)}
     return {

@@ -339,8 +339,15 @@ def build_sharded_xor_filter(
         )
 
     src = dig if dedup == "in_shard" else dig.dropDuplicates(["d0", "d1"])
+    # explicit hash-repartition on the grouping key: it satisfies the
+    # groupBy's distribution (no second exchange) and pins the peel
+    # stage's parallelism to num_shards. Left to AQE, coalescing sizes
+    # the reduce side by shuffle BYTES (~64MB advisory) — but the peel is
+    # CPU-heavy per byte, so byte-sized coalescing starves it of cores
+    # (measured 1.5x construction slowdown at local[8]).
     res = (
-        src.groupBy("shard")
+        src.repartition(num_shards, "shard")
+        .groupBy("shard")
         .applyInPandas(build_one, schema="shard int, meta string, slots binary")
         .toPandas()
     )
