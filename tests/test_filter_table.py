@@ -1,0 +1,135 @@
+"""Distributed-artifact (table-persisted) XOR filter: build + cogrouped probe.
+
+Covers the 10^12-key path of filters/table.py: executor-parallel artifact
+write (no driver collect of slots), shard-cogrouped probing, and
+equivalence with the driver-collected build (same kernel => bit-identical
+shards; reference determinism contract, DeterministicIntegrationTests.cs:13-34).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xorfilter_net_spark.filters.spark_build import (
+    build_sharded_xor_filter,
+    is_member_sharded,
+)
+from xorfilter_net_spark.filters.table import XorFilterTable, build_xor_filter_table
+from xorfilter_net_spark.sources.transcripts import load_transcripts, with_membership_key
+
+
+@pytest.fixture(scope="module")
+def keyed(spark, sf_tiny):
+    return with_membership_key(load_transcripts(spark, sf_tiny)).select("key").distinct()
+
+
+def test_table_build_bit_identical_to_collected_build(spark, keyed, tmp_path):
+    tab = build_xor_filter_table(
+        keyed, "key", str(tmp_path / "art"), num_shards=8, width=16,
+        seed=42, jvm_digests=True,
+    )
+    mem = build_sharded_xor_filter(
+        keyed, "key", num_shards=8, width=16, seed=42, jvm_digests=True
+    )
+    loaded = tab.to_sharded()
+    assert set(loaded.shards) == set(mem.shards)
+    for sid, f in mem.shards.items():
+        g = loaded.shards[sid]
+        assert g.size == f.size
+        assert np.array_equal(g.seeds, f.seeds)
+        assert np.array_equal(g.slots, f.slots)
+    assert tab.metrics["n_keys"] == keyed.count()
+
+
+def test_cogroup_probe_zero_false_negatives(spark, keyed, tmp_path):
+    tab = build_xor_filter_table(
+        keyed, "key", str(tmp_path / "art"), num_shards=8, width=16,
+        seed=7, jvm_digests=True,
+    )
+    n = keyed.count()
+    found = (
+        tab.probe(keyed, "key")
+        .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert found == n
+
+
+def test_cogroup_probe_matches_broadcast_probe_rowwise(spark, keyed, tmp_path):
+    """Same artifact => the cogrouped probe and the broadcast Arrow probe
+    agree on every row, INCLUDING which non-members are false positives."""
+    tab = build_xor_filter_table(
+        keyed, "key", str(tmp_path / "art"), num_shards=8, width=8,
+        seed=3, jvm_digests=True,
+    )
+    sxf = tab.to_sharded()
+    non = keyed.selectExpr("'nm:' || key as key")
+    via_table = {
+        r["key"]: r["is_member"] for r in tab.probe(non, "key").collect()
+    }
+    via_bcast = {
+        r["key"]: r["is_member"]
+        for r in non.withColumn(
+            "is_member", is_member_sharded(spark, sxf, "key")
+        ).collect()
+    }
+    assert via_table == via_bcast
+
+
+def test_murmur_digest_mode_table(spark, keyed, tmp_path):
+    tab = build_xor_filter_table(
+        keyed, "key", str(tmp_path / "art"), num_shards=4, width=16,
+        seed=9, jvm_digests=False,
+    )
+    n = keyed.count()
+    probed = tab.probe(keyed, "key")
+    assert probed.columns == ["key", "is_member"]
+    assert (
+        probed.agg(F.sum(F.col("is_member").cast("long")).alias("n"))
+        .collect()[0]["n"]
+        == n
+    )
+
+
+def test_absent_shards_probe_false_not_error(spark, tmp_path):
+    tiny = spark.createDataFrame(
+        [(f"k{i}",) for i in range(3)], "key string"
+    )
+    tab = build_xor_filter_table(
+        tiny, "key", str(tmp_path / "art"), num_shards=64, width=16,
+        seed=1, jvm_digests=True,
+    )
+    # members still found
+    assert (
+        tab.probe(tiny, "key")
+        .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
+        .collect()[0]["n"]
+        == 3
+    )
+    # 500 disjoint probes route mostly to absent shards: no errors, and at
+    # width 16 the expected false-positive count is ~0
+    non = spark.createDataFrame([(f"x{i}",) for i in range(500)], "key string")
+    fp = (
+        tab.probe(non, "key")
+        .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert fp == 0
+
+
+def test_load_roundtrip(spark, keyed, tmp_path):
+    path = str(tmp_path / "art")
+    tab = build_xor_filter_table(
+        keyed, "key", path, num_shards=8, width=16, seed=42, jvm_digests=True
+    )
+    re = XorFilterTable.load(spark, path)
+    assert (re.width, re.seed, re.num_shards, re.digest_kind, re.mode) == (
+        tab.width, tab.seed, tab.num_shards, tab.digest_kind, tab.mode
+    )
+    n = keyed.count()
+    assert (
+        re.probe(keyed, "key")
+        .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
+        .collect()[0]["n"]
+        == n
+    )

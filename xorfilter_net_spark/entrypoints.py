@@ -192,6 +192,38 @@ def q_xor_sql_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.agg(F.sum(F.col("is_member").cast("long")).alias("n_members_found"))
 
 
+@query(
+    "xor_table_cogroup_zero_false_negatives",
+    f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
+)
+def q_xor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-driver-memory path (filters/table.py): the artifact is
+    persisted as a distributed parquet table (executor-parallel write, no
+    driver collect of slots) and probed via a shard-cogrouped join — the
+    strategy that still works when the filter exceeds both driver memory
+    and the broadcast threshold (~2.5 TB at the 10^12-turn target)."""
+    import shutil
+    import tempfile
+
+    from .filters.table import build_xor_filter_table
+
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    keys = t.select("key").distinct()
+    tmp = tempfile.mkdtemp(prefix="xorart_")
+    try:
+        tab = build_xor_filter_table(
+            t, "key", tmp, num_shards=16, width=16, seed=42, jvm_digests=True
+        )
+        r = tab.probe(keys, "key").agg(
+            F.sum(F.col("is_member").cast("long")).alias("n_members_found")
+        )
+        # materialize before the artifact dir is removed
+        rows = r.collect()
+        return spark.createDataFrame(rows, r.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # mergeable sketch family (north_rule: Bloom/HLL/CMS/KLL/t-digest as
 # two-phase UDAF-style aggregates)

@@ -287,6 +287,42 @@ def _dedup_digests(d0: np.ndarray, d1: np.ndarray) -> tuple[np.ndarray, np.ndarr
     return d0s[keep], d1s[keep]
 
 
+SHARD_SCHEMA = "shard int, meta string, slots binary"
+
+
+def shard_build_kernel(width: int, seed: int, addressing: str, dedup: str):
+    """applyInPandas kernel: one (d0, d1, shard) group -> one artifact row
+    ``(shard, meta json, slots binary)``. Shared by the driver-collected
+    build (`build_sharded_xor_filter`) and the distributed-artifact build
+    (`table.build_xor_filter_table`) so both produce bit-identical shards."""
+
+    def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        sid = int(pdf["shard"].iloc[0])
+        d0 = pdf["d0"].to_numpy(dtype=np.int64).view(np.uint64)
+        d1 = pdf["d1"].to_numpy(dtype=np.int64).view(np.uint64)
+        if dedup == "in_shard":
+            d0, d1 = _dedup_digests(d0, d1)
+        # per-shard deterministic seed => rebuild-stable across runs
+        f = build_from_digests(
+            d0, d1, width=width, seed=seed ^ (sid * 0x9E37), mode=addressing
+        )
+        meta = f.to_dict()
+        meta.pop("slots_hex")
+        # slot table as Arrow-native binary: collecting/writing the artifact
+        # moves zero-copy batches, not 2-bytes-per-char hex through py4j rows
+        return pd.DataFrame(
+            {
+                "shard": [sid],
+                "meta": [_json.dumps(meta)],
+                "slots": [f.slots.tobytes()],
+            }
+        )
+
+    return build_one
+
+
 def build_sharded_xor_filter(
     df: DataFrame,
     key_col: str,
@@ -314,29 +350,7 @@ def build_sharded_xor_filter(
         "shard", F.pmod(F.col("d0"), F.lit(num_shards)).cast("int")
     )
 
-    def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        import json as _json
-
-        sid = int(pdf["shard"].iloc[0])
-        d0 = pdf["d0"].to_numpy(dtype=np.int64).view(np.uint64)
-        d1 = pdf["d1"].to_numpy(dtype=np.int64).view(np.uint64)
-        if dedup == "in_shard":
-            d0, d1 = _dedup_digests(d0, d1)
-        # per-shard deterministic seed => rebuild-stable across runs
-        f = build_from_digests(
-            d0, d1, width=width, seed=seed ^ (sid * 0x9E37), mode=addressing
-        )
-        meta = f.to_dict()
-        meta.pop("slots_hex")
-        # slot table as Arrow-native binary: the artifact collect below is
-        # zero-copy batches, not 2-bytes-per-char hex through py4j rows
-        return pd.DataFrame(
-            {
-                "shard": [sid],
-                "meta": [_json.dumps(meta)],
-                "slots": [f.slots.tobytes()],
-            }
-        )
+    build_one = shard_build_kernel(width, seed, addressing, dedup)
 
     src = dig if dedup == "in_shard" else dig.dropDuplicates(["d0", "d1"])
     # explicit hash-repartition on the grouping key: it satisfies the
