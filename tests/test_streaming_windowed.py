@@ -1,0 +1,191 @@
+"""Watermarked windowed streaming aggregation + applyInPandasWithState.
+
+Covers the two streaming surfaces in ``streaming/windowed.py``:
+- event-time windows with a watermark: late-within-watermark rows are
+  counted, rows older than a closed window are dropped (the Structured
+  Streaming contract for out-of-order 10^12-turn ingest);
+- per-group running sketches held in the streaming state store, with
+  batch==stream parity of the final estimates.
+"""
+
+import os
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from xorfilter_net_spark.sketches.hll import HllSketch
+from xorfilter_net_spark.streaming.windowed import (
+    stateful_group_sketch,
+    windowed_distinct,
+)
+
+
+def _write_slice(df, path: str, mtime: float) -> None:
+    """One parquet file per slice with a pinned mtime so the file stream
+    source (which orders by modification time) sees slices in order."""
+    df.repartition(1).write.mode("overwrite").parquet(path)
+    for root, _, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+
+
+def _ts(minute: int, second: int = 0):
+    return datetime(2026, 1, 1, 10, minute, second)
+
+
+class TestWindowedWatermark:
+    def test_late_row_accepted_too_late_row_dropped(self, spark, tmp_path):
+        base = time.time() - 3600
+        schema = "user_id long, ts timestamp"
+        # slice 0: 8 users inside window [10:00, 10:05)
+        s0 = spark.createDataFrame(
+            [(u, _ts(0, 7 * u)) for u in range(8)], schema
+        )
+        # slice 1: watermark (from slice 0 max 10:01:10 minus 5m) is far
+        # below 10:05, so a late row at 10:02 still lands in the open
+        # window; the 10:20 rows then advance the watermark past 10:05
+        s1 = spark.createDataFrame(
+            [(100, _ts(20)), (101, _ts(21)), (8, _ts(2))], schema
+        )
+        # slice 2: on-time row; the late-events watermark (which lags the
+        # eviction watermark by one batch) catches up to 10:16 here
+        s2 = spark.createDataFrame([(200, _ts(22))], schema)
+        # slice 3: too late — the [10:00, 10:05) window closed when the
+        # watermark passed 10:05; this row must be dropped
+        s3 = spark.createDataFrame([(9, _ts(1))], schema)
+        for i, s in enumerate((s0, s1, s2, s3)):
+            _write_slice(s, str(tmp_path / f"s{i}"), base + 10 * i)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "s*"))
+        )
+        out = windowed_distinct(
+            stream, "ts", "user_id",
+            window_duration="5 minutes", watermark_delay="5 minutes",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("wm_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            r["window"]["start"].minute: (r["approx_distinct"], r["n_rows"])
+            for r in spark.sql("select * from wm_test").collect()
+        }
+        # the first window emitted on close with the late row counted
+        # (9 rows: users 0..8) and without the too-late user 9
+        assert rows[0] == (9, 9)
+
+    def test_batch_stream_parity_complete_mode(self, spark, sf_tiny, tmp_path):
+        # parquet ts is TIMESTAMP_NTZ; event-time watermarks require TIMESTAMP
+        ev = spark.read.parquet(f"{sf_tiny}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        batch = {
+            (r["window"]["start"], r["window"]["end"]): (
+                r["approx_distinct"],
+                r["n_rows"],
+            )
+            for r in windowed_distinct(
+                ev, "ts", "user_id", "1 hour", "1 hour"
+            ).collect()
+        }
+        # stage into a directory (file streams read dirs, sf events is a file)
+        src = str(tmp_path / "events_src")
+        ev.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            windowed_distinct(stream, "ts", "user_id", "1 hour", "1 hour")
+            .writeStream.format("memory")
+            .queryName("parity_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = {
+            (r["window"]["start"], r["window"]["end"]): (
+                r["approx_distinct"],
+                r["n_rows"],
+            )
+            for r in spark.sql("select * from parity_test").collect()
+        }
+        assert streamed == batch and len(batch) > 0
+
+
+class TestStatefulGroupSketch:
+    def test_running_hll_matches_batch(self, spark, sf_tiny, tmp_path):
+        ev = spark.read.parquet(f"{sf_tiny}/events.parquet")
+        # three temporal slices -> three micro-batches updating state
+        base = time.time() - 3600
+        slices = [
+            ev.filter(f"event_id % 3 = {i}").select("event_type", "user_id")
+            for i in range(3)
+        ]
+        for i, s in enumerate(slices):
+            _write_slice(s, str(tmp_path / f"e{i}"), base + 10 * i)
+
+        stream = (
+            spark.readStream.schema(slices[0].schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "e*"))
+        )
+        sk = HllSketch(p=12, key_col="user_id")
+        out = stateful_group_sketch(
+            stream, "event_type", ["user_id"], sk,
+            finish=lambda s, st: s.estimate(st),
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("state_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pdf = spark.sql("select * from state_test").toPandas()
+        # the last emission per group reflects ALL rows of that group
+        final = (
+            pdf.sort_values("n_rows").groupby("group").last()["estimate"]
+        )
+        from xorfilter_net_spark.sketches.base import aggregate_by_group
+
+        batch_states = {
+            r["event_type"]: sk.estimate(sk.deserialize(bytes(r["state"])))
+            for r in aggregate_by_group(
+                ev, ["event_type"], ["user_id"], sk
+            ).collect()
+        }
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(final.index) == set(batch_states)
+        for g, est in final.items():
+            # stream == batch (same sketch, same rows — merge associativity;
+            # the operator emits the estimate truncated to long)
+            assert est == int(batch_states[g])
+            # and within the published HLL bound of the exact count
+            assert abs(est - exact[g]) / max(exact[g], 1) <= 4 * sk.rel_std_error
+
+        # rows accumulate across micro-batches (state survived batches)
+        totals = pdf.groupby("group")["n_rows"].max()
+        counts = {
+            r["event_type"]: r["c"]
+            for r in ev.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+        }
+        for g, n in totals.items():
+            assert n == counts[g]
