@@ -197,10 +197,14 @@ def bench_filter_throughput(
         probed = probe_sql(sxf, probe_df, "key")
         jrdd = probed._jdf.queryExecution().executedPlan().execute()
         jrdd.count()  # warm: broadcast build + codegen JIT for this plan
-        t0 = time.perf_counter()
+        # min over reps, not mean: the sandbox VM's CPU-steal episodes
+        # only ever ADD time, so the fastest rep is the least-biased
+        # estimate of steady-state capability
+        t_probe = float("inf")
         for _ in range(PROBE_REPS):
+            t0 = time.perf_counter()
             assert jrdd.count() == n_probe  # inner-join completeness
-        t_probe = (time.perf_counter() - t0) / PROBE_REPS
+            t_probe = min(t_probe, time.perf_counter() - t0)
         return t_build, t_probe
 
     import shutil

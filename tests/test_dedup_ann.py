@@ -162,3 +162,54 @@ class TestAnn:
             ["qid", "neighbor_id"],
         )
         assert both.filter("c1 <> c2").count() == 0
+
+
+class TestIvf:
+    def _queries(self, emb):
+        return [
+            (r["vec_id"], list(r["embedding"]))
+            for r in emb.filter("vec_id % 25 = 0").collect()
+        ]
+
+    def test_centroids_deterministic_unit_norm(self, spark, sf_tiny):
+        from xorfilter_net_spark.ann.ivf import train_centroids
+
+        emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+        a = train_centroids(emb, "vec_id", "embedding", n_cells=16, iters=3)
+        b = train_centroids(emb, "vec_id", "embedding", n_cells=16, iters=3)
+        assert (a == b).all()
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+    def test_full_probe_equals_brute(self, spark, sf_tiny):
+        """nprobe == n_cells searches every cell -> IVF must reproduce the
+        brute-force result row for row (the rerank kernel is exact)."""
+        from xorfilter_net_spark.ann.ivf import ivf_topk_cosine
+
+        emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+        queries = self._queries(emb)
+        exact = topk_cosine(emb, "vec_id", "embedding", queries, k=5)
+        full = ivf_topk_cosine(
+            emb, "vec_id", "embedding", queries, k=5, n_cells=16, nprobe=16,
+            iters=3,
+        )
+        a = sorted(map(tuple, exact.collect()))
+        b = sorted(map(tuple, full.collect()))
+        assert a == b
+
+    def test_nprobe_recall_and_exact_scores(self, spark, sf_tiny):
+        from xorfilter_net_spark.ann.ivf import ivf_topk_cosine
+
+        emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+        queries = self._queries(emb)
+        exact = topk_cosine(emb, "vec_id", "embedding", queries, k=10)
+        approx = ivf_topk_cosine(
+            emb, "vec_id", "embedding", queries, k=10, n_cells=16, nprobe=6,
+            iters=3,
+        )
+        hits = exact.join(approx, ["qid", "neighbor_id"], "left_semi").count()
+        assert hits / exact.count() > 0.5
+        both = exact.selectExpr("qid", "neighbor_id", "cos_e6 as c1").join(
+            approx.selectExpr("qid", "neighbor_id", "cos_e6 as c2"),
+            ["qid", "neighbor_id"],
+        )
+        assert both.filter("c1 <> c2").count() == 0

@@ -133,3 +133,39 @@ def test_load_roundtrip(spark, keyed, tmp_path):
         .collect()[0]["n"]
         == n
     )
+
+
+def test_blob_transport_bit_identical_and_probes(spark, keyed, tmp_path):
+    """transport='blob' (map-side packed shuffle) must produce the same
+    artifact bytes as the row-transport build, and probe identically —
+    including when the corpus carries duplicates (blobs ship raw rows)."""
+    dup = keyed.unionAll(keyed.limit(50))
+    rows = build_xor_filter_table(
+        dup, "key", str(tmp_path / "rows"), num_shards=8, width=16,
+        seed=42, jvm_digests=True,
+    )
+    blob = build_xor_filter_table(
+        dup, "key", str(tmp_path / "blob"), num_shards=8, width=16,
+        seed=42, jvm_digests=True, transport="blob",
+    )
+    a, b = rows.to_sharded(), blob.to_sharded()
+    assert set(a.shards) == set(b.shards)
+    for sid, f in a.shards.items():
+        assert np.array_equal(b.shards[sid].slots, f.slots)
+        assert np.array_equal(b.shards[sid].seeds, f.seeds)
+    assert blob.metrics["n_keys"] == keyed.count()
+    n = keyed.count()
+    found = (
+        blob.probe(keyed, "key")
+        .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert found == n
+
+
+def test_blob_transport_rejects_shuffle_dedup(spark, keyed, tmp_path):
+    with pytest.raises(ValueError, match="in_shard"):
+        build_xor_filter_table(
+            keyed, "key", str(tmp_path / "x"), num_shards=4, width=8,
+            jvm_digests=True, transport="blob", dedup="shuffle",
+        )

@@ -703,6 +703,30 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_recall_ok", "select true as recall_ok")
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (spherical k-means cells, nprobe search, exact rerank)
+    recall@10 vs the brute-force baseline; gate mean recall >= 0.7."""
+    from .ann.brute import topk_cosine
+    from .ann.ivf import ivf_topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_ = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter("vec_id % 50 = 0").collect()
+    ]
+    exact = topk_cosine(emb, "vec_id", "embedding", queries_, k=10)
+    approx = ivf_topk_cosine(
+        emb, "vec_id", "embedding", queries_, k=10, n_cells=32, nprobe=10,
+        iters=5,
+    )
+    hits = exact.join(approx, ["qid", "neighbor_id"], "left_semi").count()
+    total = exact.count()
+    return spark.createDataFrame(
+        [(total > 0 and hits / total >= 0.7,)], "recall_ok boolean"
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (training-data pipeline: token counting, quality scoring,
 # language-ID, document fingerprinting) — JVM-side exprs shared with the

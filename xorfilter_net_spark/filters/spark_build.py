@@ -288,6 +288,85 @@ def _dedup_digests(d0: np.ndarray, d1: np.ndarray) -> tuple[np.ndarray, np.ndarr
 
 
 SHARD_SCHEMA = "shard int, meta string, slots binary"
+BLOB_SCHEMA = "shard int, blob binary"
+
+
+def _artifact_row(sid: int, f: XorFilter) -> pd.DataFrame:
+    import json as _json
+
+    meta = f.to_dict()
+    meta.pop("slots_hex")
+    # slot table as Arrow-native binary: collecting/writing the artifact
+    # moves zero-copy batches, not 2-bytes-per-char hex through py4j rows
+    return pd.DataFrame(
+        {"shard": [sid], "meta": [_json.dumps(meta)], "slots": [f.slots.tobytes()]}
+    )
+
+
+def pack_digest_blobs(dig: DataFrame, num_shards: int) -> DataFrame:
+    """Map-side combine for the construction shuffle: pack each input
+    partition's (d0, d1) pairs into ONE binary blob per shard.
+
+    The row-transport shuffle moves one UnsafeRow per key (~30B of row
+    machinery around 16B of payload) and re-crosses the Arrow boundary
+    row-wise on the reduce side. Packing turns that into
+    O(num_shards x input_partitions) blob rows carrying the same 16
+    bytes/key — shuffle row count drops ~10^4x, and both sides handle
+    the payload as whole NumPy buffers.
+    """
+
+    def fn(batches):
+        parts: dict[int, list[bytes]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            d0 = pdf["d0"].to_numpy(dtype=np.int64)
+            d1 = pdf["d1"].to_numpy(dtype=np.int64)
+            sh = d0 % num_shards  # pmod: match F.pmod routing
+            sh = np.where(sh < 0, sh + num_shards, sh).astype(np.int32)
+            order = np.argsort(sh, kind="stable")
+            ss = sh[order]
+            packed = np.empty((d0.shape[0], 2), dtype=np.int64)
+            packed[:, 0] = d0[order]
+            packed[:, 1] = d1[order]
+            bounds = np.flatnonzero(ss[1:] != ss[:-1]) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [ss.shape[0]]])
+            for a, b in zip(starts, ends):
+                parts.setdefault(int(ss[a]), []).append(packed[a:b].tobytes())
+        if parts:
+            yield pd.DataFrame(
+                {
+                    "shard": np.fromiter(
+                        parts.keys(), dtype=np.int32, count=len(parts)
+                    ),
+                    "blob": [b"".join(v) for v in parts.values()],
+                }
+            )
+
+    return dig.mapInPandas(fn, schema=BLOB_SCHEMA)
+
+
+def shard_build_kernel_blobs(width: int, seed: int, addressing: str):
+    """Blob-transport variant of ``shard_build_kernel``: one group of
+    packed blobs -> one artifact row. Dedup is always in-shard (blobs
+    carry raw multiplicity); ``_dedup_digests`` canonicalizes order, so
+    artifacts are byte-identical to the row-transport build."""
+
+    def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["shard"].iloc[0])
+        raw = b"".join(bytes(b) for b in pdf["blob"])
+        arr = np.frombuffer(raw, dtype=np.int64).reshape(-1, 2)
+        d0 = np.ascontiguousarray(arr[:, 0]).view(np.uint64)
+        d1 = np.ascontiguousarray(arr[:, 1]).view(np.uint64)
+        d0, d1 = _dedup_digests(d0, d1)
+        f = build_from_digests(
+            d0, d1, width=width, seed=seed ^ (sid * 0x9E37), mode=addressing,
+            assume_unique=True,
+        )
+        return _artifact_row(sid, f)
+
+    return build_one
 
 
 def shard_build_kernel(width: int, seed: int, addressing: str, dedup: str):
@@ -297,28 +376,20 @@ def shard_build_kernel(width: int, seed: int, addressing: str, dedup: str):
     (`table.build_xor_filter_table`) so both produce bit-identical shards."""
 
     def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        import json as _json
-
         sid = int(pdf["shard"].iloc[0])
         d0 = pdf["d0"].to_numpy(dtype=np.int64).view(np.uint64)
         d1 = pdf["d1"].to_numpy(dtype=np.int64).view(np.uint64)
-        if dedup == "in_shard":
+        unique = dedup == "in_shard"
+        if unique:
+            # lexsorted unique (d0, d1) — the canonical order the build
+            # kernel would otherwise re-derive, so it can skip its sort
             d0, d1 = _dedup_digests(d0, d1)
         # per-shard deterministic seed => rebuild-stable across runs
         f = build_from_digests(
-            d0, d1, width=width, seed=seed ^ (sid * 0x9E37), mode=addressing
+            d0, d1, width=width, seed=seed ^ (sid * 0x9E37), mode=addressing,
+            assume_unique=unique,
         )
-        meta = f.to_dict()
-        meta.pop("slots_hex")
-        # slot table as Arrow-native binary: collecting/writing the artifact
-        # moves zero-copy batches, not 2-bytes-per-char hex through py4j rows
-        return pd.DataFrame(
-            {
-                "shard": [sid],
-                "meta": [_json.dumps(meta)],
-                "slots": [f.slots.tobytes()],
-            }
-        )
+        return _artifact_row(sid, f)
 
     return build_one
 

@@ -192,6 +192,7 @@ def build_xor_filter_table(
     jvm_digests: bool = False,
     dedup: str = "in_shard",
     addressing: str | None = None,
+    transport: str = "rows",
 ) -> XorFilterTable:
     """Build a sharded XOR filter and persist it as a distributed table.
 
@@ -204,21 +205,36 @@ def build_xor_filter_table(
     """
     if addressing is None:
         addressing = "sqlhash" if jvm_digests else "digest"
-    from .spark_build import key_digests, key_digests_jvm
+    from .spark_build import (
+        key_digests,
+        key_digests_jvm,
+        pack_digest_blobs,
+        shard_build_kernel_blobs,
+    )
 
     digest_fn = key_digests_jvm if jvm_digests else key_digests
-    dig = digest_fn(df, key_col).withColumn(
-        "shard", F.pmod(F.col("d0"), F.lit(num_shards)).cast("int")
-    )
-    src = dig if dedup == "in_shard" else dig.dropDuplicates(["d0", "d1"])
     shards_path = os.path.join(path, _SHARDS_DIR)
+    if transport == "blob":
+        # map-side combine: one blob per (input partition, shard) crosses
+        # the shuffle instead of one row per key (see pack_digest_blobs);
+        # dedup is inherently in-shard. Artifacts are byte-identical.
+        if dedup != "in_shard":
+            raise ValueError("transport='blob' requires dedup='in_shard'")
+        src = pack_digest_blobs(digest_fn(df, key_col), num_shards)
+        kernel = shard_build_kernel_blobs(width, seed, addressing)
+    else:
+        dig = digest_fn(df, key_col).withColumn(
+            "shard", F.pmod(F.col("d0"), F.lit(num_shards)).cast("int")
+        )
+        src = dig if dedup == "in_shard" else dig.dropDuplicates(["d0", "d1"])
+        kernel = shard_build_kernel(width, seed, addressing, dedup)
     (
         # explicit hash-repartition pins peel parallelism to num_shards
         # (same rationale as build_sharded_xor_filter: AQE's byte-sized
         # coalescing starves the CPU-heavy peel of cores)
         src.repartition(num_shards, "shard")
         .groupBy("shard")
-        .applyInPandas(shard_build_kernel(width, seed, addressing, dedup), SHARD_SCHEMA)
+        .applyInPandas(kernel, SHARD_SCHEMA)
         .write.mode("overwrite")
         .parquet(shards_path)
     )
