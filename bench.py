@@ -33,7 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "256"))
-ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
+# min-of-3 rounds: this sandbox VM takes multi-second CPU-steal episodes
+# that can inflate a single construction wall by 5-8x; steal only ever
+# ADDS time, so the min over three rounds is the least-biased estimate
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 # probe-set multiplier: probing is far cheaper per key than construction,
 # so the probe measure uses a larger key set...
 PROBE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_MULT", "2"))
@@ -83,6 +86,10 @@ def make_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # sort-based shuffle writer: the bypass-merge writer's per-reduce-
+        # partition spill files (128x128 = 16k streams) thrash at high
+        # local thread counts — measured 2.4-10x slower at local[32]
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -152,6 +159,11 @@ def bench_filter_throughput(
         tab = build_xor_filter_table(
             corpus, "key", f"{art_root}/{tag}", num_shards=BENCH_SHARDS,
             width=16, seed=12345, jvm_digests=True,
+            # blob transport (map-side digest packing): one binary blob
+            # per (input partition, shard) crosses the shuffle instead of
+            # one row per key — measured ~1.4x faster construction at
+            # local[32] with byte-identical artifacts
+            transport="blob",
         )
         t_build = time.perf_counter() - t0
 

@@ -75,8 +75,8 @@ def lsh_near_dup_pairs(
     id_col: str,
     vec_col: str,
     tau_e6: int,
-    bands: int = 16,
-    bits: int = 4,
+    bands: int = 64,
+    bits: int = 10,
     seed: int = 7,
     max_bucket_size: int = 2000,
 ) -> DataFrame:
@@ -86,6 +86,16 @@ def lsh_near_dup_pairs(
     keeps only true pairs, so precision is exact and recall follows the
     band s-curve (~1 for near-parallel pairs). Oversized buckets are
     dropped instead of exploding quadratically.
+
+    Defaults (64 bands x 10 bits) target near-dup thresholds tau >= 0.8:
+    the hardest true pair in the fixture corpus (cos 0.87, theta ~ 29.5
+    deg, p_bit = 0.836) collides per band w.p. 0.836^10 = 0.166, so the
+    miss probability over 64 bands is (1-0.166)^64 ~ 9e-6, while bulk
+    unrelated pairs (theta ~ pi/2, p_bit = 0.5) become candidates w.p.
+    1-(1-0.5^10)^64 ~ 6%. Shallow 4-bit bands made EVERY pair a
+    candidate and pushed the whole n^2 corpus through the exact rerank;
+    the plane matrix is seed-deterministic, so recall at a given
+    (corpus, seed) is reproducible, not a per-run coin flip.
     """
     dim = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(dim, bands * bits, seed)
