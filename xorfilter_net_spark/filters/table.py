@@ -190,6 +190,110 @@ class XorFilterTable:
             .applyInPandas(kernel, schema=out_schema)
         )
 
+    def probe_sql(
+        self, df: DataFrame, key_col: str, out_col: str = "is_member"
+    ) -> DataFrame:
+        """Zero-Python probe of the DISTRIBUTED artifact via shuffled
+        hash joins (no driver load, no broadcast, no Arrow boundary on
+        the probe corpus).
+
+        Same whole-stage-codegen plan as ``spark_build.probe_sql``
+        (digests, per-shard params broadcast, three slot-table
+        equi-joins), except the flattened slot table is decoded from the
+        artifact parquet by a tiny ``mapInPandas`` over the SHARD BLOBS
+        (Python cost is O(artifact), never O(probes)) and joined with
+        ``hint("shuffle_hash")`` — the strategy that still works when
+        the filter is terabytes: three shuffles of the probe corpus
+        against a distributed, persisted slot table. Requires a
+        ``jvm_digests=True`` + ``addressing='sqlhash'`` build."""
+        from .spark_build import params_pdf_from_flat, sql_probe_plan
+        from .xor_core import block_bounds
+
+        if self.digest_kind != "xxhash64jvm" or self.mode != "sqlhash":
+            raise ValueError(
+                "probe_sql requires a table built with jvm_digests=True "
+                f"and addressing='sqlhash' (got {self.digest_kind!r}, "
+                f"{self.mode!r}); use XorFilterTable.probe instead"
+            )
+        spark = self.spark
+        cached = getattr(self, "_sqlprobe_cache", None)
+        if cached is None:
+            # per-shard metadata only crosses to the driver (bytes per
+            # shard); slots stay in executor-side parquet
+            metas = {
+                int(r["shard"]): json.loads(r["meta"])
+                for r in self.shards_df().select("shard", "meta").collect()
+            }
+            ns = self.num_shards
+            offsets = np.zeros(ns, dtype=np.int64)
+            seeds = np.zeros((ns, 3), dtype=np.uint64)
+            starts = np.zeros((ns, 3), dtype=np.int64)
+            widths = np.ones((ns, 3), dtype=np.uint64)
+            present = np.zeros(ns, dtype=bool)
+            off = 0
+            for sid in sorted(metas):
+                m = metas[sid]
+                present[sid] = True
+                offsets[sid] = off
+                seeds[sid] = np.array(m["seeds"], dtype=np.uint64)
+                st, wd = block_bounds(m["size"])
+                starts[sid], widths[sid] = st, wd.astype(np.uint64)
+                off += m["size"]
+            fl = {
+                "offsets": offsets,
+                "seeds": seeds,
+                "starts": starts,
+                "widths": widths,
+                "present": present,
+            }
+            params_df = spark.createDataFrame(params_pdf_from_flat(fl, ns))
+
+            # decode shard blobs -> (sidx, sval) rows, executor-side; the
+            # shard->global-offset map is tiny closure state
+            off_map = {sid: int(offsets[sid]) for sid in metas}
+            width = self.width
+
+            def decode(batches):
+                dt = _SLOT_DTYPES[width]
+                for pdf in batches:
+                    for shard, blob in zip(pdf["shard"], pdf["slots"]):
+                        vals = np.frombuffer(blob, dtype=dt).astype(np.int64)
+                        base_off = off_map[int(shard)]
+                        yield pd.DataFrame(
+                            {
+                                "sidx": base_off
+                                + np.arange(vals.shape[0], dtype=np.int64),
+                                "sval": vals,
+                            }
+                        )
+
+            slots_df = (
+                self.shards_df()
+                .select("shard", "slots")
+                .mapInPandas(decode, schema="sidx long, sval long")
+                # persist the decoded table: three joins (and every probe
+                # action) reuse one decode pass; partition count sized to
+                # ~2M slots each
+                .repartition(max(4, off // 2_000_000))
+                .persist()
+            )
+            if not metas:
+                slots_df = spark.createDataFrame(
+                    pd.DataFrame({"sidx": [np.int64(0)], "sval": [np.int64(0)]})
+                )
+            self._sqlprobe_cache = (params_df, slots_df)
+        params_df, slots_df = self._sqlprobe_cache
+        return sql_probe_plan(
+            df,
+            key_col,
+            out_col,
+            params_df=params_df,
+            slots_df=slots_df,
+            num_shards=self.num_shards,
+            width=self.width,
+            broadcast_slots=False,
+        )
+
 
 def _shard_filter(meta_json: str, slots: bytes) -> XorFilter:
     d = json.loads(meta_json)

@@ -34,7 +34,11 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    # 2x cores: a one-wave stage (partitions == cores) is serialized by
+    # any single straggler; two waves re-balance around it
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(2 * int(cpus)))
+    )
     return (
         SparkSession.builder.master(master)
         .appName(app_name)
