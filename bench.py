@@ -85,14 +85,20 @@ def make_spark(cpus: int):
         # 2x cores: a one-wave stage (partitions == cores) is serialized
         # by any single straggler task; two waves re-balance around it
         # (measured 4.5x on the shuffled-hash-join probe at local[32])
-        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", str(max(2 * cpus, 16))),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # sort-based shuffle writer: the bypass-merge writer's per-reduce-
         # partition spill files (128x128 = 16k streams) thrash at high
         # local thread counts — measured 2.4-10x slower at local[32]
-        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BENCH_BYPASS", "1"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

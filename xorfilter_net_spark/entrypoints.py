@@ -224,6 +224,37 @@ def q_xor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query(
+    "xor_table_sql_probe_zero_false_negatives",
+    f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
+)
+def q_xor_table_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-broadcast zero-Python path: the persisted distributed
+    artifact is probed via three shuffled hash joins against the
+    executor-decoded slot table (XorFilterTable.probe_sql) — no driver
+    load, no broadcast, no Arrow boundary on the probe corpus. The
+    strategy that still works when the filter itself is terabytes."""
+    import shutil
+    import tempfile
+
+    from .filters.table import build_xor_filter_table
+
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    keys = t.select("key").distinct()
+    tmp = tempfile.mkdtemp(prefix="xorart_sql_")
+    try:
+        tab = build_xor_filter_table(
+            t, "key", tmp, num_shards=16, width=16, seed=42, jvm_digests=True
+        )
+        r = tab.probe_sql(keys, "key").agg(
+            F.sum(F.col("is_member").cast("long")).alias("n_members_found")
+        )
+        rows = r.collect()
+        return spark.createDataFrame(rows, r.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # mergeable sketch family (north_rule: Bloom/HLL/CMS/KLL/t-digest as
 # two-phase UDAF-style aggregates)
