@@ -35,6 +35,15 @@ N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# CPU pinning (default on): `local[N]` caps Spark TASK slots at N, but the
+# JVM's GC/shuffle-IO threads and every forked Python worker still land on
+# any of the machine's cores — an unpinned local[2] quietly borrows 6-10
+# extra cores, inflating the low-parallelism baseline and understating
+# efficiency. `taskset -c 0..N-1` makes each level a true N-core machine,
+# which is the honest stand-in for an N-core executor allocation.
+PIN = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0"
+
+
 def run_at(cpus: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
@@ -52,8 +61,9 @@ def run_at(cpus: int) -> dict:
     # most of the local[2] wall time without sharpening the measure
     env.setdefault("SPARK_GRAFT_BENCH_PROBE_MULT", "1")
     env.setdefault("SPARK_GRAFT_BENCH_PROBE_REPS", "3")
+    pin = ["taskset", "-c", f"0-{cpus - 1}"] if PIN else []
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--throughput-only"],
+        pin + [sys.executable, os.path.join(REPO, "bench.py"), "--throughput-only"],
         capture_output=True,
         text=True,
         env=env,
@@ -87,6 +97,11 @@ def hardware_ceiling() -> dict:
         with mp.Manager() as m:
             barrier = m.Barrier(n)
             with mp.Pool(n) as p:
+                # pin each worker pool to cores 0..n-1 (same affinity the
+                # pinned Spark runs get) so ceiling and pipeline numbers
+                # are measured on identical core sets
+                if PIN:
+                    p.map(_hw_pin, [n] * n)
                 # best of 3 windows: a single window still catches multi-
                 # second CPU-steal episodes on this VM (observed >1.5x)
                 return max(
@@ -100,6 +115,12 @@ def hardware_ceiling() -> dict:
         "eff_2_to_8": round(rates[8] / rates[2] / 4, 3),
         "eff_8_to_32": round(rates[32] / rates[8] / 4, 3),
     }
+
+
+def _hw_pin(n: int) -> None:
+    import os as _os
+
+    _os.sched_setaffinity(0, set(range(n)))
 
 
 def _hw_task(args) -> int:
@@ -164,6 +185,7 @@ def main() -> None:
         "scaling_efficiency_construction": round(eff_build, 3),
         "scaling_efficiency_probe": round(eff_probe, 3),
         "target": 0.8,
+        "cpu_pinned": PIN,
         "hardware_ceiling": hw,
     }
     print(json.dumps(result))
@@ -178,7 +200,15 @@ def main() -> None:
         f"({result['n_keys']:,} build keys / {hi.get('n_probes', 0):,} probes "
         f"derived from `{SF_DIR}`), two fresh-JVM parallelism levels standing "
         "in for N vs 4N executors (per the driver instruction — no real "
-        "cluster exists here):\n\n"
+        "cluster exists here)"
+        + (
+            ", each level CPU-pinned to exactly N cores via `taskset` (an "
+            "unpinned local[N] JVM quietly borrows extra cores for GC, "
+            "shuffle IO and Python workers, inflating the small-N baseline)"
+            if PIN
+            else ""
+        )
+        + ":\n\n"
         "| Parallelism | Construction keys/s | Probe keys/s |\n|---|---|---|\n"
         f"| local[{N}] (N) | {lo['construction_keys_per_sec']:,} | "
         f"{lo['probe_keys_per_sec']:,} |\n"

@@ -509,6 +509,112 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cube_events",
+    "select coalesce(event_type, 'ALL') as event_type, "
+    "coalesce(user_bucket, 'ALL') as user_bucket, count(*) as n, "
+    + _dec_sum("value", "total_value")
+    + " from (select event_type, cast(user_id % 10 as varchar) as "
+    "user_bucket, value from events) t group by cube(event_type, user_bucket)",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional CUBE (all four grouping sets) — SURVEY §2.2
+    grouping-sets coverage; Catalyst expands to a single Expand+Agg."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("string")
+    )
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(_dec_sum("value", "total_value")),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit("ALL")).alias("user_bucket"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_json_props_histogram",
+    "select cast(json_extract_string(props, '$.k') as bigint) % 10 as k_bucket, "
+    "count(*) as n, "
+    "min(cast(json_extract_string(props, '$.k') as bigint)) as min_k, "
+    "max(cast(json_extract_string(props, '$.k') as bigint)) as max_k "
+    "from events group by 1",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function coverage: parse the events.props JSON payload
+    in whole-stage codegen (get_json_object) — no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "q_array_word_stats",
+    "select doc_id, len(string_split(text, ' ')) as n_words, "
+    "len(list_distinct(string_split(text, ' '))) as n_distinct_words, "
+    "list_contains(string_split(text, ' '), 'the') as has_the, "
+    "string_split(text, ' ')[1] as first_word, "
+    "list_sort(list_distinct(string_split(text, ' ')))[1] as min_word "
+    "from documents",
+)
+def q_array_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function coverage (split/size/distinct/contains/element_at/
+    sort) — all JVM-side builtins over the documents table."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.array_contains(words, "the").alias("has_the"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(F.array_sort(F.array_distinct(words)), 1).alias(
+            "min_word"
+        ),
+    )
+
+
+@query(
+    "q_datetime_daily_activity",
+    "select cast(date_trunc('day', ts) as date) as day, "
+    "extract(hour from ts) as hr, count(*) as n, "
+    + _dec_sum("value", "total_value")
+    + ", cast(min(ts + interval 1 day) as date) as min_next_day "
+    "from events group by 1, 2",
+)
+def q_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar-function coverage (date_trunc, extract, interval
+    arithmetic) grouped to a daily-hourly activity rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(_dec_sum("value", "total_value")),
+            F.expr(
+                "cast(min(ts + interval 1 day) as date) as min_next_day"
+            ),
+        )
+    )
+
+
+@query(
     "q_customers_without_orders",
     "select c_custkey as custkey from customer "
     "except select o_custkey as custkey from orders",
@@ -521,6 +627,35 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return customer.exceptAll(orders.distinct()).distinct()
+
+
+@query(
+    "q_set_ops_users",
+    "select 'intersect' as op, count(*) as n from ("
+    " select user_id from events where event_type = 'click'"
+    " intersect select user_id from events where event_type = 'view') a "
+    "union all "
+    "select 'union' as op, count(*) as n from ("
+    " select user_id from events where event_type = 'click'"
+    " union select user_id from events where event_type = 'view') b",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator coverage (SURVEY §2.2): INTERSECT and UNION DISTINCT
+    over two filtered scans of the same table; Catalyst plans both as
+    hash left-semi join / hash-distinct aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    inter = clicks.intersect(views).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    uni = (
+        clicks.union(views)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("union").alias("op"), "n")
+    )
+    return inter.unionAll(uni)
 
 
 @query(
