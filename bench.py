@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "q_window_user_events",
     "q_topk_events",
     "q_rollup_events",
+    "q_cube_events",
+    "q_json_props_histogram",
+    "q_array_word_stats",
+    "q_datetime_daily_activity",
+    "q_set_ops_users",
     "xor16_zero_false_negatives",
     "xor_sharded_zero_false_negatives",
     "xor_sql_probe_zero_false_negatives",
