@@ -62,6 +62,13 @@ BENCH_QUERIES = [
     "q_array_word_stats",
     "q_datetime_daily_activity",
     "q_set_ops_users",
+    "q_asof_click_view",
+    "q_sessionize_events",
+    "q_salted_skew_join",
+    "q_explode_token_counts",
+    "q_pivot_event_value_by_type",
+    "q_orders_priority_exists",
+    "q_exact_quantiles_by_type",
     "xor16_zero_false_negatives",
     "xor_sharded_zero_false_negatives",
     "xor_sql_probe_zero_false_negatives",

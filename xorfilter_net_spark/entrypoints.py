@@ -672,6 +672,221 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# relational operators beyond plain verbs (relational/): as-of join,
+# gap sessionization, salted skew join; plus generator (explode), pivot,
+# correlated-EXISTS, and exact-quantile coverage — all JVM-side plans.
+# ---------------------------------------------------------------------------
+_VIEWS_DEDUP_SQL = (
+    "select user_id, ts, max(event_id) as v_event_id, "
+    "cast(round(max(value) * 100) as bigint) as v_cents "
+    "from events where event_type = 'view' group by user_id, ts"
+)
+
+
+@query(
+    "q_asof_click_view",
+    f"with views as ({_VIEWS_DEDUP_SQL}) "
+    "select c.event_id, c.user_id, epoch_us(c.ts) as ts_epoch, "
+    "epoch_us(v.ts) as view_ts_epoch, v.v_event_id as view_event_id, "
+    "v.v_cents as view_cents "
+    "from (select * from events where event_type = 'click') c "
+    "asof left join views v on c.user_id = v.user_id and c.ts >= v.ts",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (relational/asof.py): for every click, the latest
+    prior-or-equal view of the same user — one shuffle, no UDF; the
+    oracle is DuckDB's native ASOF LEFT JOIN. Views are pre-deduped to
+    one row per (user_id, ts) so the match is unique in both engines."""
+    from .relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = spark.sql(_VIEWS_DEDUP_SQL)
+    return asof_join(
+        clicks, views, on="user_id", ts="ts", payload_cols=["v_event_id", "v_cents"]
+    ).select(
+        "event_id",
+        "user_id",
+        # parquet timestamps load as NTZ; session TZ is pinned to UTC, so
+        # the cast to TIMESTAMP is wall-clock-identity and unlocks unix_micros
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_epoch"),
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("view_ts_epoch"),
+        F.col("v_event_id_asof").alias("view_event_id"),
+        F.col("v_cents_asof").alias("view_cents"),
+    )
+
+
+@query(
+    "q_sessionize_events",
+    "with flagged as (select user_id, ts, value, case when "
+    " lag(ts) over w is null or "
+    " epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000 "
+    " then 1 else 0 end as is_start from events "
+    " window w as (partition by user_id order by ts, event_id)), "
+    "sess as (select user_id, ts, value, sum(is_start) over "
+    " (partition by user_id order by ts rows unbounded preceding) as sid "
+    " from flagged) "
+    "select user_id, min(epoch_us(ts)) as session_start_epoch, "
+    "count(*) as n_events, "
+    + _dec_sum("value", "total_value")
+    + " from sess group by user_id, sid",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via the built-in ``session_window`` (one
+    shuffle, streaming-capable plan; relational/sessions.py); the oracle
+    is the equivalent lag/cumulative-sum window program. Session breaks
+    at gap > 30 min: session_window's [ts, ts+gap] is closed at the end,
+    so an exactly-gap successor still extends the session (pinned by
+    tests/test_relational.py::test_sessionize_gap_boundaries)."""
+    from .relational import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(
+        ev,
+        key="user_id",
+        ts="ts",
+        gap="30 minutes",
+        aggs=[F.expr(_dec_sum("value", "total_value"))],
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "session_start_epoch"
+        ),
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "q_salted_skew_join",
+    "with dim as (select user_id, count(*) as user_n from events group by user_id) "
+    "select event_type, count(*) as n, sum(user_n) as total_user_n "
+    "from events join dim using (user_id) group by event_type",
+)
+def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (relational/salted.py): the fact side is salted
+    16 ways on event_id entropy, the dim side replicated 16x, so a hot
+    user_id spreads across 16 reducers; result is row-identical to the
+    plain join the oracle runs."""
+    from .relational import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_n"))
+    return (
+        salted_join(ev, dim, on="user_id", salt_src="event_id", num_salts=16)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_n").alias("total_user_n"),
+        )
+    )
+
+
+@query(
+    "q_explode_token_counts",
+    "select token, count(*) as n, sum(length(token)) as total_len "
+    "from (select unnest(string_split(text, ' ')) as token from documents) t "
+    "where token <> '' group by token having count(*) >= 20",
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF coverage: explode(split(text)) — Catalyst plans a
+    JVM Generate node (no Python), then a hash aggregate with partial
+    (map-side) combine before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("token")).alias("total_len"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "q_pivot_event_value_by_type",
+    "select cast(user_id % 10 as varchar) as bucket, "
+    + ", ".join(
+        f"cast(sum(cast(value as decimal(18,4))) "
+        f"filter (where event_type = '{t}') as double) as {t}"
+        for t in _EVENT_TYPES
+    )
+    + " from events group by 1",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage: explicit pivot values keep the plan a single
+    Aggregate (no extra distinct-values job); the oracle is the
+    equivalent FILTERed conditional aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", (F.col("user_id") % 10).cast("string"))
+        .groupBy("bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.expr(_dec_sum("value", "v")))
+    )
+
+
+@query(
+    "q_orders_priority_exists",
+    "select o_orderpriority, count(*) as n from orders "
+    "where exists (select 1 from lineitem "
+    " where l_orderkey = o_orderkey and l_shipdate > o_orderdate) "
+    "group by o_orderpriority",
+)
+def q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-EXISTS coverage (TPC-H Q4 shape): planned as a left
+    semi join on orderkey with the date predicate as join condition —
+    lineitem never materializes per order."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_exact_quantiles_by_type",
+    "select event_type, "
+    "cast(round(quantile_cont(value, 0.25) * 100) as bigint) as p25_cents, "
+    "cast(round(quantile_cont(value, 0.50) * 100) as bigint) as p50_cents, "
+    "cast(round(quantile_cont(value, 0.75) * 100) as bigint) as p75_cents "
+    "from events group by event_type",
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (sort-based `percentile`) — the
+    exact counterpart the KLL/t-digest sketches are validated against;
+    both engines use the same (n-1)*p linear interpolation."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+    return (
+        ev.groupBy("event_type")
+        .agg(q.alias("qs"))
+        .select(
+            "event_type",
+            *[
+                F.round(F.element_at("qs", i + 1) * 100)
+                .cast("bigint")
+                .alias(f"p{p}_cents")
+                for i, p in enumerate((25, 50, 75))
+            ],
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup family (training-data pipeline): exact, MinHash+LSH, SimHash,
 # n-gram Jaccard verify, embedding-cosine near-dup.
 #

@@ -1,0 +1,13 @@
+"""Relational operators beyond plain DataFrame verbs.
+
+Scale-first implementations of the join/session shapes a training-data
+pipeline needs but Spark does not ship as single verbs: as-of join
+(union + window, one shuffle), gap sessionization (built-in
+``session_window``), and salted joins for skewed keys.
+"""
+
+from .asof import asof_join
+from .salted import salted_join
+from .sessions import sessionize
+
+__all__ = ["asof_join", "salted_join", "sessionize"]
