@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "q_pivot_event_value_by_type",
     "q_orders_priority_exists",
     "q_exact_quantiles_by_type",
+    "q_interval_join_signup_clicks",
+    "q_hash_split_documents",
     "xor16_zero_false_negatives",
     "xor_sharded_zero_false_negatives",
     "xor_sql_probe_zero_false_negatives",

@@ -125,3 +125,112 @@ def test_salted_join_spreads_hot_key(spark):
     )
     assert n_buckets == n_salts  # the hot key really fans out
     assert salted_join(big, small, on="k", salt_src="row_id", num_salts=n_salts).count() == 1000
+
+
+def test_interval_join_matches_naive(spark):
+    from pyspark.sql import functions as F
+
+    # intervals: half-open, one spans many buckets, one ends exactly on
+    # a bucket boundary, one never matches
+    intervals = spark.createDataFrame(
+        [
+            ("i1", "u1", _ts(10), _ts(20)),
+            ("i2", "u1", _ts(15), dt.datetime(2024, 1, 1, 5, 0)),  # 5h span
+            ("i3", "u2", _ts(0), dt.datetime(2024, 1, 1, 1, 0)),  # ends on boundary
+            ("i4", "u9", _ts(0), _ts(59)),
+        ],
+        "iid string, user_id string, start_ts timestamp, end_ts timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            ("p-at-start", "u1", _ts(10)),  # ts == start included
+            ("p-at-end", "u1", _ts(20)),  # ts == end excluded (i1), in i2
+            ("p-mid", "u1", dt.datetime(2024, 1, 1, 3, 30)),  # deep in i2
+            ("p-boundary", "u2", dt.datetime(2024, 1, 1, 1, 0)),  # == i3 end
+            ("p-other", "u2", _ts(30)),
+        ],
+        "pid string, user_id string, ts timestamp",
+    )
+    from xorfilter_net_spark.relational import interval_join
+
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, "ts", "start_ts", "end_ts",
+            bucket_s=3600, extra_key="user_id",
+        ).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in points.alias("p")
+        .join(
+            intervals.alias("i"),
+            (F.col("p.user_id") == F.col("i.user_id"))
+            & (F.col("p.ts") >= F.col("i.start_ts"))
+            & (F.col("p.ts") < F.col("i.end_ts")),
+        )
+        .collect()
+    )
+    assert got == naive
+    assert got == [
+        ("p-at-end", "i2"),
+        ("p-at-start", "i1"),
+        ("p-mid", "i2"),
+        ("p-other", "i3"),
+    ]
+
+
+def test_hash_split_deterministic_and_consistent(spark):
+    from xorfilter_net_spark.relational import sample_hash, split_hash
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(2000)],
+        "doc_id long, text string",
+    )
+    s1 = {r["doc_id"]: r["split"] for r in split_hash(docs, ["text"], 0.1).collect()}
+    # repartitioning must not move any row between splits (df.sample would)
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in split_hash(docs.repartition(13), ["text"], 0.1).collect()
+    }
+    assert s1 == s2
+    frac = sum(1 for v in s1.values() if v == "val") / len(s1)
+    assert 0.06 < frac < 0.14  # ~binomial(2000, 0.1)
+    # growing the corpus keeps existing assignments (content-keyed)
+    grown = docs.unionAll(
+        spark.createDataFrame(
+            [(i, f"document number {i}") for i in range(2000, 3000)],
+            "doc_id long, text string",
+        )
+    )
+    s3 = {r["doc_id"]: r["split"] for r in split_hash(grown, ["text"], 0.1).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+    # edge fractions
+    assert sample_hash(docs, ["text"], 1.0).count() == 2000
+    assert sample_hash(docs, ["text"], 0.0).count() == 0
+
+
+def test_sample_sql_matches_spark_predicate(spark):
+    """The engine-portable SQL predicate selects the exact same rows in
+    DuckDB as sample_hash does in Spark."""
+    import duckdb
+
+    from xorfilter_net_spark.relational import sample_hash, sample_sql
+
+    texts = [(f"doc {i} body",) for i in range(500)]
+    spark_ids = {
+        r["text"]
+        for r in sample_hash(
+            spark.createDataFrame(texts, "text string"), ["text"], 0.25
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table t(text varchar)")
+    con.executemany("insert into t values (?)", texts)
+    duck_ids = {
+        r[0]
+        for r in con.execute(
+            f"select text from t where {sample_sql('text', 0.25)}"
+        ).fetchall()
+    }
+    assert spark_ids == duck_ids

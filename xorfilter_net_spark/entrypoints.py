@@ -784,6 +784,78 @@ def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_interval_join_signup_clicks",
+    "with su as (select user_id, event_id as signup_id, ts as start_ts, "
+    " ts + interval 2 hour as end_ts from events where event_type = 'signup'), "
+    "cl as (select user_id, ts from events where event_type = 'click') "
+    "select su.signup_id, count(*) as n_clicks, "
+    "min(epoch_us(cl.ts)) as first_click_epoch "
+    "from cl join su on cl.user_id = su.user_id "
+    " and cl.ts >= su.start_ts and cl.ts < su.end_ts "
+    "group by su.signup_id",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (relational/range_join.py): clicks landing in
+    the 2h window after each signup. The naive inequality join is a
+    nested loop; the binned form is one hash shuffle on
+    (hour-bucket, user_id) plus a residual range filter — the oracle
+    runs the naive join, results must be identical."""
+    from .relational import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 2 hours")).alias("end_ts"),
+    )
+    return (
+        interval_join(
+            clicks,
+            signups,
+            ts="ts",
+            start="start_ts",
+            end="end_ts",
+            bucket_s=3600,
+            extra_key="user_id",
+        )
+        .groupBy("signup_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+                "first_click_epoch"
+            ),
+        )
+    )
+
+
+def _split_sql() -> str:
+    from .relational import sample_sql
+
+    return sample_sql("text", 0.1)
+
+
+@query(
+    "q_hash_split_documents",
+    f"select case when {_split_sql()} then 'val' else 'train' end as split, "
+    "count(*) as n, sum(n_chars) as total_chars from documents group by 1",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val split
+    (relational/sampling.py): reproducible across runs, partitionings
+    and engines — the oracle evaluates the byte-identical md5-prefix
+    predicate in DuckDB."""
+    from .relational import split_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    return split_hash(d, ["text"], val_fraction=0.1).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
     "q_explode_token_counts",
     "select token, count(*) as n, sum(length(token)) as total_len "
     "from (select unnest(string_split(text, ' ')) as token from documents) t "

@@ -7,7 +7,17 @@ pipeline needs but Spark does not ship as single verbs: as-of join
 """
 
 from .asof import asof_join
+from .range_join import interval_join
 from .salted import salted_join
+from .sampling import sample_hash, sample_sql, split_hash
 from .sessions import sessionize
 
-__all__ = ["asof_join", "salted_join", "sessionize"]
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "salted_join",
+    "sample_hash",
+    "sample_sql",
+    "sessionize",
+    "split_hash",
+]
