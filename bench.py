@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "bloom_zero_false_negatives",
     "hll_distinct_per_source_ok",
     "cms_event_type_counts",
+    "mg_heavy_hitters_event_types",
     "kll_event_value_quantiles_ok",
     "tdigest_event_value_quantiles_ok",
     "text_features",

@@ -159,3 +159,55 @@ def test_tdigest_centroid_count_bounded():
     t = TDigestSketch(delta=200)
     st = fold(t, [pd.Series(VALS)])
     assert st.means.size <= 200  # <= ~delta/2 + 2 for k1 bucketing
+
+
+# -- Misra-Gries heavy hitters -------------------------------------------------
+def test_mg_exact_when_distinct_below_k():
+    from xorfilter_net_spark.sketches.misra_gries import MisraGriesSketch
+
+    keys = pd.Series(np.repeat([f"t{i}" for i in range(5)], [500, 300, 150, 40, 10]))
+    truth = keys.value_counts().to_dict()
+    mg = MisraGriesSketch(k=8)
+    for seed in (1, 2):
+        for n_parts in (1, 7):
+            est = mg.finish(fold(mg, random_splits(keys, n_parts, seed)))
+            assert est == truth  # no shrink ever fires -> exact
+
+
+def test_mg_bounds_under_any_partitioning():
+    from xorfilter_net_spark.sketches.misra_gries import MisraGriesSketch
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: many distinct, few heavy
+    keys = pd.Series(np.minimum(rng.zipf(1.3, 60_000), 5000).astype(str))
+    truth = keys.value_counts().to_dict()
+    n = len(keys)
+    mg = MisraGriesSketch(k=64)
+    for n_parts, seed in ((1, 0), (4, 1), (16, 2)):
+        st = fold(mg, random_splits(keys, n_parts, seed))
+        est = mg.finish(st)
+        assert len(est) <= 64
+        for key, c in est.items():
+            assert c <= truth[key]  # never overcounts
+            assert truth[key] - c <= n / 65  # published undercount bound
+        # every true heavy hitter above N/(k+1) is retained
+        for key, t in truth.items():
+            if t > n / 65:
+                assert key in est
+        # candidate set from heavy_hitters() keeps all phi-heavy items
+        phi = 0.05
+        hh = mg.heavy_hitters(st, phi)
+        for key, t in truth.items():
+            if t > phi * n:
+                assert key in hh
+
+
+def test_mg_serialize_roundtrip_and_merge_identity():
+    from xorfilter_net_spark.sketches.misra_gries import MisraGriesSketch
+
+    mg = MisraGriesSketch(k=4)
+    st = mg.update(mg.zero(), pd.DataFrame({"x": list("aabbbccccddddde")}))
+    rt = mg.deserialize(mg.serialize(st))
+    assert mg.finish(rt) == mg.finish(st)
+    merged = mg.merge(st, mg.zero())
+    assert mg.finish(merged) == mg.finish(st)  # zero is the identity

@@ -344,6 +344,27 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mg_heavy_hitters_event_types",
+    "select event_type, count(*) as est_count from events group by event_type",
+)
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitters summary over event_type. With k=16 >= 5
+    distinct keys no counter eviction ever fires, so the mergeable
+    summary reproduces the exact GROUP BY counts (the general
+    undercount bound N/(k+1) is property-tested in test_sketches.py)."""
+    from .sketches.base import aggregate
+    from .sketches.misra_gries import MisraGriesSketch
+
+    ev = load_table(spark, sf_dir, "events")
+    mg = MisraGriesSketch(k=16, key_col="event_type")
+    est = mg.finish(aggregate(ev, ["event_type"], mg))
+    return spark.createDataFrame(
+        [(t, int(c)) for t, c in est.items()],
+        "event_type string, est_count bigint",
+    )
+
+
 _QS = (0.01, 0.25, 0.5, 0.75, 0.99)
 _QS_ORACLE = (
     "select * from (values "
