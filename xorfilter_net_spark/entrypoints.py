@@ -365,6 +365,67 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_windowed_event_counts",
+    "select epoch_us(date_trunc('hour', ts)) as window_start_epoch, "
+    "event_type, count(*) as n, "
+    + _dec_sum("value", "total_value")
+    + " from events group by 1, 2",
+)
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the real streaming engine: the
+    events parquet replayed as a file-source stream, event-time 1h
+    windows aggregated in the streaming state store
+    (streaming/windowed.py), complete-mode memory sink. The oracle is
+    the equivalent batch GROUP BY — stream/batch parity is the
+    correctness contract (late-data/watermark-drop semantics are pinned
+    separately in tests/test_streaming_windowed.py)."""
+    from .streaming.windowed import windowed_agg
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        # glob, not bare file path: the streaming file source requires a
+        # directory/glob basePath
+        .parquet(f"{sf_dir}/events.parque*")
+        # watermarks require TIMESTAMP (not the parquet NTZ); session TZ
+        # is UTC so the cast is wall-clock identity
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_agg(
+        stream,
+        time_col="ts",
+        window_duration="1 hour",
+        watermark_delay="1 hour",
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.expr(_dec_sum("value", "total_value")),
+        ],
+    )
+    qn = "streaming_windowed_event_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qn)
+        # complete mode: every window is emitted at the final trigger,
+        # so a bounded replay yields the full deterministic answer
+        # (append mode would hold back windows newer than the watermark)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qn).select(
+        F.unix_micros(F.col("window.start").cast("timestamp")).alias(
+            "window_start_epoch"
+        ),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
 _QS = (0.01, 0.25, 0.5, 0.75, 0.99)
 _QS_ORACLE = (
     "select * from (values "
