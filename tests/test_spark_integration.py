@@ -327,3 +327,46 @@ class TestSqlProbe:
         assert all(got[f"k{i}"] for i in range(5))
         extra = sum(got[f"k{i}"] for i in range(5, 500))
         assert extra <= 2  # XOR16 FPR leaves ~0 expected over 495 probes
+
+
+def test_load_table_catalog_path(spark, sf_tiny, tmp_path):
+    """`catalog:<ns>` resolves through the session catalog — the same
+    read path an Iceberg catalog serves in production (no Iceberg
+    runtime in this sandbox, so a session-catalog external table stands
+    in; the resolution code is identical)."""
+    from xorfilter_net_spark.sources.session import load_table
+
+    src = load_table(spark, sf_tiny, "events")
+    spark.sql("drop table if exists xfns_cat_events")
+    src.write.option("path", str(tmp_path / "events_tbl")).saveAsTable(
+        "xfns_cat_events"
+    )
+    try:
+        via_catalog = load_table(spark, "catalog:", "xfns_cat_events")
+        assert via_catalog.count() == src.count()
+        assert set(via_catalog.columns) == set(src.columns)
+    finally:
+        spark.sql("drop table if exists xfns_cat_events")
+
+
+def test_extra_conf_env_applied(monkeypatch):
+    """SPARK_GRAFT_EXTRA_CONF JSON merges into the session conf dict
+    (the Iceberg-catalog deployment hook), last-wins over defaults."""
+    import json as _json
+
+    from xorfilter_net_spark.sources.session import session_confs
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_EXTRA_CONF",
+        _json.dumps(
+            {
+                "spark.sql.catalog.prod": "org.apache.iceberg.spark.SparkCatalog",
+                "spark.sql.shuffle.partitions": "999",
+            }
+        ),
+    )
+    confs = session_confs(8)
+    assert confs["spark.sql.catalog.prod"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert confs["spark.sql.shuffle.partitions"] == "999"  # extra wins
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_CONF")
+    assert session_confs(8)["spark.sql.shuffle.partitions"] == "8"
