@@ -370,3 +370,28 @@ def test_extra_conf_env_applied(monkeypatch):
     assert confs["spark.sql.shuffle.partitions"] == "999"  # extra wins
     monkeypatch.delenv("SPARK_GRAFT_EXTRA_CONF")
     assert session_confs(8)["spark.sql.shuffle.partitions"] == "8"
+
+
+def test_write_dataset_partitioned_bounded_files(spark, sf_tiny, tmp_path):
+    from pathlib import Path
+
+    from xorfilter_net_spark.sources.session import load_table
+    from xorfilter_net_spark.sources.sinks import write_dataset
+
+    docs = load_table(spark, sf_tiny, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_dataset(docs, out, partition_cols=["lang"], files_per_partition=3)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    # layout: hive dirs per lang, each with a bounded file count
+    lang_dirs = [p for p in Path(out).iterdir() if p.name.startswith("lang=")]
+    assert len(lang_dirs) == docs.select("lang").distinct().count()
+    for d in lang_dirs:
+        n_files = len(list(d.glob("*.parquet")))
+        assert 1 <= n_files <= 3
+    # round-trip values (doc_id is unique)
+    a = sorted(r["doc_id"] for r in back.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert a == b
