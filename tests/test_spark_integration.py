@@ -395,3 +395,17 @@ def test_write_dataset_partitioned_bounded_files(spark, sf_tiny, tmp_path):
     a = sorted(r["doc_id"] for r in back.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
     assert a == b
+
+
+def test_scan_pushdown_and_column_pruning(spark, sf_tiny):
+    """Declarative plans must reach the parquet scan: the filter shows
+    in PushedFilters and the ReadSchema carries only selected columns."""
+    from xorfilter_net_spark.sources.session import load_table
+
+    ev = load_table(spark, sf_tiny, "events")
+    df = ev.filter(ev.event_type == "click").select("user_id", "value")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+    rs = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "user_id" in rs and "value" in rs and "event_type" in rs
+    assert "props" not in rs and "event_id" not in rs  # pruned
