@@ -1,0 +1,90 @@
+"""End-to-end CLI smoke: build-xor -> probe -> sketch via cli.main().
+
+Runs in-process (cli's _get_spark -> getOrCreate reuses the session
+fixture's JVM) but goes through the real argparse surface, checkpoint
+pipeline, artifact JSON, and parquet probe output — the same path
+`spark-submit --py-files` drives in production.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+@pytest.fixture()
+def cli_out(capsys):
+    def run(argv: list[str]) -> dict:
+        from xorfilter_net_spark.cli import main
+
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    return run
+
+
+def test_cli_build_probe_sketch_roundtrip(spark, sf_tiny, tmp_path, cli_out):
+    docs = f"{sf_tiny}/documents.parquet"
+    run_dir = str(tmp_path / "run1")
+
+    built = cli_out(
+        [
+            "build-xor",
+            "--input", docs,
+            "--key-expr", "cast(doc_id as string)",
+            "--run-dir", run_dir,
+            "--width", "16",
+            "--seed", "12345",
+            "--num-shards", "4",
+            "--jvm-digests",
+        ]
+    )
+    n_docs = spark.read.parquet(docs).count()
+    assert built["n_keys"] == n_docs  # doc_id is unique
+    assert built["table_size"] >= 1.23 * n_docs * 0.99
+
+    probed = cli_out(
+        [
+            "probe",
+            "--filter", f"{run_dir}/filter.json",
+            "--input", docs,
+            "--key-expr", "cast(doc_id as string)",
+            "--output", str(tmp_path / "probed"),
+        ]
+    )
+    assert probed["rows"] == n_docs
+    out = spark.read.parquet(str(tmp_path / "probed"))
+    assert out.filter("is_member").count() == n_docs  # zero false negatives
+
+    # resume: same run_dir + input token -> every stage skipped
+    resumed = cli_out(
+        [
+            "build-xor",
+            "--input", docs,
+            "--key-expr", "cast(doc_id as string)",
+            "--run-dir", run_dir,
+            "--width", "16",
+            "--seed", "12345",
+            "--num-shards", "4",
+            "--jvm-digests",
+        ]
+    )
+    assert resumed["n_keys"] == n_docs
+    assert all(st.get("resumed") for st in resumed["stages"].values())
+
+    hll = cli_out(
+        ["sketch", "hll", "--input", docs, "--column", "doc_id"]
+    )
+    assert abs(hll["estimate"] - n_docs) / n_docs < 0.05
+
+    bloom = cli_out(
+        [
+            "sketch", "bloom",
+            "--input", docs,
+            "--column", "doc_id",
+            "--output", str(tmp_path / "docs.bloom.json"),
+        ]
+    )
+    assert (tmp_path / "docs.bloom.json").exists()
+    assert bloom["m"] > 0
