@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "q_exact_quantiles_by_type",
     "q_interval_join_signup_clicks",
     "q_hash_split_documents",
+    "q3_shipping_priority",
+    "theta_set_ops_users",
     "xor16_zero_false_negatives",
     "xor_sharded_zero_false_negatives",
     "xor_sql_probe_zero_false_negatives",

@@ -211,3 +211,72 @@ def test_mg_serialize_roundtrip_and_merge_identity():
     assert mg.finish(rt) == mg.finish(st)
     merged = mg.merge(st, mg.zero())
     assert mg.finish(merged) == mg.finish(st)  # zero is the identity
+
+
+# -- Theta/KMV ---------------------------------------------------------------
+def test_theta_within_published_bound():
+    from xorfilter_net_spark.sketches.theta import ThetaSketch
+
+    sk = ThetaSketch(k=1024)
+    st = fold(sk, [KEYS])
+    est = sk.estimate(st)
+    # 5 sigma of the published 1/sqrt(k-2) relative std error
+    assert abs(est - 30_000) / 30_000 <= 5 * sk.rel_std_error
+
+
+def test_theta_exact_mode_below_k():
+    from xorfilter_net_spark.sketches.theta import ThetaSketch
+
+    sk = ThetaSketch(k=4096)
+    st = fold(sk, [KEYS.iloc[:2000]])
+    assert sk.estimate(st) == 2000.0  # sketch IS the distinct set
+    assert sk.theta(st) == 1.0
+
+
+def test_theta_merge_exactly_partition_independent():
+    from xorfilter_net_spark.sketches.theta import ThetaSketch
+
+    sk = ThetaSketch(k=512)
+    whole = fold(sk, [KEYS])
+    for seed, n_parts in ((1, 3), (2, 8), (3, 17)):
+        merged = fold(sk, random_splits(KEYS, n_parts, seed))
+        # bottom-k of a union is grouping/order independent: states are
+        # bit-identical, not merely close
+        assert np.array_equal(merged, whole)
+
+
+def test_theta_merge_idempotent_and_zero_identity():
+    from xorfilter_net_spark.sketches.theta import ThetaSketch
+
+    sk = ThetaSketch(k=256)
+    st = fold(sk, [KEYS.iloc[:5000]])
+    assert np.array_equal(sk.merge(st, st), st)
+    assert np.array_equal(sk.merge(st, sk.zero()), st)
+    rt = sk.deserialize(sk.serialize(st))
+    assert np.array_equal(rt, st)
+
+
+def test_theta_set_ops_exact_mode():
+    from xorfilter_net_spark.sketches.theta import ThetaSketch
+
+    sk = ThetaSketch(k=4096)
+    a = fold(sk, [pd.Series([f"u{i}" for i in range(300)])])
+    b = fold(sk, [pd.Series([f"u{i}" for i in range(200, 600)])])
+    assert sk.intersection(a, b) == 100.0
+    assert sk.a_not_b(a, b) == 200.0
+    assert sk.a_not_b(b, a) == 300.0
+    assert sk.union_estimate(a, b) == 600.0
+
+
+def test_theta_set_ops_estimation_mode_bounds():
+    from xorfilter_net_spark.sketches.theta import ThetaSketch
+
+    sk = ThetaSketch(k=2048)
+    a = fold(sk, [pd.Series([f"x{i}" for i in range(40_000)])])
+    b = fold(sk, [pd.Series([f"x{i}" for i in range(20_000, 60_000)])])
+    assert abs(sk.union_estimate(a, b) - 60_000) / 60_000 <= 5 * sk.rel_std_error
+    # intersection variance scales with inverse overlap fraction (~1/3 here):
+    # allow 5 sigma of rse / sqrt(overlap_fraction)
+    tol = 5 * sk.rel_std_error / (1 / 3) ** 0.5
+    assert abs(sk.intersection(a, b) - 20_000) / 20_000 <= tol
+    assert abs(sk.a_not_b(a, b) - 20_000) / 20_000 <= tol

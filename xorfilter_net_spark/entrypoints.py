@@ -469,6 +469,49 @@ QUERIES["tdigest_event_value_quantiles_ok"] = _quantile_bound_query(
 ORACLES["tdigest_event_value_quantiles_ok"] = _QS_ORACLE
 
 
+@query(
+    "theta_set_ops_users",
+    "with c as (select distinct user_id from events where event_type = 'click'), "
+    "p as (select distinct user_id from events where event_type = 'purchase') "
+    "select cast((select count(*) from (select user_id from c union "
+    "  select user_id from p)) as bigint) as union_users, "
+    "cast((select count(*) from (select user_id from c intersect "
+    "  select user_id from p)) as bigint) as inter_users, "
+    "cast((select count(*) from (select user_id from c except "
+    "  select user_id from p)) as bigint) as click_only_users",
+)
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch set operations (sketches/theta.py): per-event_type
+    user_id sketches built as one two-phase groupBy aggregate, then union /
+    intersection / difference estimated sketch-to-sketch — no join over the
+    raw data. k=16384 far exceeds the distinct-user cardinality at test SFs,
+    so the sketch is in exact mode and the estimates equal DuckDB's exact
+    UNION/INTERSECT/EXCEPT counts value-for-value; at corpus scale the same
+    code degrades gracefully to the published ~1/sqrt(k-2) error."""
+    from .sketches.base import aggregate_by_group
+    from .sketches.theta import ThetaSketch
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sk = ThetaSketch(k=16384, key_col="user_id")
+    states = {
+        r["event_type"]: sk.deserialize(bytes(r["state"]))
+        for r in aggregate_by_group(
+            ev, ["event_type"], ["user_id"], sk
+        ).collect()
+    }
+    c, p = states["click"], states["purchase"]
+    row = (
+        int(round(sk.union_estimate(c, p))),
+        int(round(sk.intersection(c, p))),
+        int(round(sk.a_not_b(c, p))),
+    )
+    return spark.createDataFrame(
+        [row], "union_users bigint, inter_users bigint, click_only_users bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (SURVEY.md §2.2: scan/filter/project/agg/join/window/
 # sort/limit/set-ops/rollup) — exact oracles
@@ -520,6 +563,53 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_dec_sum("o_totalprice", "total_price")),
             F.count(F.lit(1)).alias("n_orders"),
         )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    "select l_orderkey, "
+    + _dec_sum("l_extendedprice * (1 - l_discount)", "revenue")
+    + ", o_orderdate_epoch, o_orderpriority from ("
+    " select l.l_orderkey, l.l_extendedprice, l.l_discount,"
+    "  epoch_ms(o.o_orderdate) as o_orderdate_epoch, o.o_orderpriority"
+    " from customer c join orders o on c.c_custkey = o.o_custkey"
+    " join lineitem l on l.l_orderkey = o.o_orderkey"
+    " where c.c_mktsegment = 'BUILDING'"
+    "  and o.o_orderdate < timestamp '1997-03-15 00:00:00'"
+    "  and l.l_shipdate > timestamp '1997-03-15 00:00:00')"
+    " group by l_orderkey, o_orderdate_epoch, o_orderpriority"
+    " order by revenue desc, l_orderkey limit 10",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> broadcast 3-way join ->
+    agg -> top-k. customer is broadcast (small at every SF ratio); the
+    lineitem/orders join shuffles on orderkey, where AQE coalesces the
+    post-filter partitions. Dates cross the engines as epoch millis
+    (both sides agree exactly on integer millis, not on timestamp
+    formatting)."""
+    cutoff = F.lit("1997-03-15 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            # parquet stores TIMESTAMP_NTZ; session tz is UTC, so the cast
+            # is the same UTC interpretation DuckDB's epoch_ms applies
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_epoch"
+            ),
+            "o_orderpriority",
+        )
+        .agg(F.expr(_dec_sum("l_extendedprice * (1 - l_discount)", "revenue")))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate_epoch", "o_orderpriority")
     )
 
 
