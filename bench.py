@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "q_interval_join_signup_clicks",
     "q_hash_split_documents",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q14_promo_revenue",
     "theta_set_ops_users",
     "xor16_zero_false_negatives",
     "xor_sharded_zero_false_negatives",

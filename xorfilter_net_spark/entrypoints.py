@@ -614,6 +614,90 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q5_local_supplier_volume",
+    "select n_name, "
+    + _dec_sum("l_extendedprice * (1 - l_discount)", "revenue")
+    + " from customer join orders on c_custkey = o_custkey"
+    " join lineitem on l_orderkey = o_orderkey"
+    " join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey"
+    " join nation on s_nationkey = n_nationkey"
+    " join region on n_regionkey = r_regionkey"
+    " where r_name = 'ASIA'"
+    "  and o_orderdate >= timestamp '1996-01-01 00:00:00'"
+    "  and o_orderdate < timestamp '1997-01-01 00:00:00'"
+    " group by n_name",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier revenue by nation). Star-join plan:
+    region filter -> broadcast into nation -> broadcast into supplier, so
+    the selective region predicate prunes the fact-side supplier join
+    ~5x before the only shuffle (lineitem x orders on orderkey). The
+    'local' c_nationkey = s_nationkey condition rides the same join. All
+    four dim tables broadcast at every SF ratio."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    ord_cust = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_nationkey")
+    li_supp = li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey).select(
+        "l_orderkey", "s_nationkey", "n_name", "l_extendedprice", "l_discount"
+    )
+    return (
+        li_supp.join(
+            ord_cust,
+            (li_supp.l_orderkey == ord_cust.o_orderkey)
+            & (li_supp.s_nationkey == ord_cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.expr(_dec_sum("l_extendedprice * (1 - l_discount)", "revenue")))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    "select "
+    + _dec_sum("case when p_type = 'PROMO' then l_extendedprice * (1 - l_discount)"
+               " else 0 end", "promo_revenue")
+    + ", "
+    + _dec_sum("l_extendedprice * (1 - l_discount)", "total_revenue")
+    + " from lineitem join part on l_partkey = p_partkey"
+    " where l_shipdate >= timestamp '1996-09-01 00:00:00'"
+    "  and l_shipdate < timestamp '1996-10-01 00:00:00'",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): month-sliced fact scan
+    (shipdate predicate pushed to the parquet scan) x broadcast part dim,
+    conditional aggregation in whole-stage codegen. Both sums cross the
+    engines via exact decimal(18,4); the caller derives the ratio."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.expr(
+            _dec_sum(
+                "case when p_type = 'PROMO' then l_extendedprice * (1 - l_discount)"
+                " else 0 end",
+                "promo_revenue",
+            )
+        ),
+        F.expr(_dec_sum("l_extendedprice * (1 - l_discount)", "total_revenue")),
+    )
+
+
+@query(
     "q_window_user_events",
     "select user_id, event_id, rn, prev_cents from ("
     " select user_id, event_id,"
