@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "q_exact_quantiles_by_type",
     "q_interval_join_signup_clicks",
     "q_hash_split_documents",
+    "q_chunk_documents",
+    "q_stratified_sample_documents",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q14_promo_revenue",

@@ -234,3 +234,83 @@ def test_sample_sql_matches_spark_predicate(spark):
         ).fetchall()
     }
     assert spark_ids == duck_ids
+
+
+# -- chunking ----------------------------------------------------------------
+def test_chunk_documents_reconstructs_text(spark):
+    from xorfilter_net_spark.text.chunking import chunk_documents
+
+    rows = [
+        (1, "a" * 48),          # shorter than one window -> 1 chunk
+        (2, "x" * 256),          # exactly one window
+        (3, "".join(chr(97 + i % 26) for i in range(1000))),
+        (4, None),               # null -> one empty chunk, row survives
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "text", max_chars=256, overlap=64)
+    got = {r["doc_id"]: [] for r in out.collect()}
+    for r in out.orderBy("doc_id", "chunk_idx").collect():
+        got[r["doc_id"]].append((r["chunk_idx"], r["chunk"]))
+    stride = 256 - 64
+    for doc_id, text in rows:
+        text = text or ""
+        chunks = got[doc_id]
+        assert [i for i, _ in chunks] == list(range(len(chunks)))
+        # stitching chunks at stride offsets reconstructs the document
+        rebuilt = ""
+        for i, c in chunks:
+            rebuilt = rebuilt[: i * stride] + c
+        assert rebuilt == text
+        # consecutive chunks share exactly `overlap` characters
+        for (i, a), (_, b) in zip(chunks, chunks[1:]):
+            assert a[stride:] == b[: len(a) - stride]
+        # last chunk reaches the end; no chunk count waste
+        expected_n = max(1, -(-(len(text) - 64) // stride))
+        assert len(chunks) == expected_n
+
+
+def test_chunk_documents_is_map_only(spark):
+    from xorfilter_net_spark.text.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "z" * 500)], "doc_id long, text string")
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle
+    assert "Python" not in plan  # no UDF: generator + codegen exprs only
+
+
+# -- stratified sampling -----------------------------------------------------
+def test_stratified_sample_quota_and_determinism(spark):
+    from xorfilter_net_spark.relational import stratified_sample_hash
+
+    rows = [(i, f"g{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = stratified_sample_hash(df, ["grp"], ["doc_id"], k=10)
+    pdf = out.toPandas()
+    assert (pdf.groupby("grp").size() == 10).all()
+    # partitioning-independent: identical selection from a repartitioned input
+    out2 = stratified_sample_hash(df.repartition(17), ["grp"], ["doc_id"], k=10)
+    assert set(map(tuple, pdf.values.tolist())) == set(
+        map(tuple, out2.toPandas().values.tolist())
+    )
+
+
+def test_stratified_sample_stable_under_growth(spark):
+    from xorfilter_net_spark.relational import stratified_sample_hash
+
+    small = spark.createDataFrame(
+        [(i, "g") for i in range(100)], "doc_id long, grp string"
+    )
+    grown = spark.createDataFrame(
+        [(i, "g") for i in range(200)], "doc_id long, grp string"
+    )
+    pick = lambda df: {
+        r["doc_id"] for r in stratified_sample_hash(df, ["grp"], ["doc_id"], 10).collect()
+    }
+    s, g = pick(small), pick(grown)
+    # reservoir-like displacement: a row leaves the sample only when a
+    # lower-hashed row arrives in its group. Any grown-sample member from
+    # the original 100 rows had grown-rank <= 10, hence small-rank <= 10:
+    # it MUST be in the small sample (prefix-stable order, no churn)
+    assert {d for d in g if d < 100} <= s
+    assert s & g  # and survivors actually exist

@@ -1111,6 +1111,60 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk_oracle() -> str:
+    from .text.chunking import chunk_sql
+
+    return (
+        "select doc_id, chunk_idx, chunk from ("
+        + chunk_sql("documents", "doc_id", "text", max_chars=256, overlap=64)
+        + ") c"
+    )
+
+
+@query("q_chunk_documents", _chunk_oracle())
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic overlapping character-window chunking
+    (text/chunking.py): map-only posexplode(sequence) fan-out, all
+    arithmetic in whole-stage codegen; every document survives (null ->
+    one empty chunk). Oracle replays the identical integer arithmetic
+    via DuckDB unnest(range())."""
+    from .text.chunking import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", max_chars=256, overlap=64).select(
+        "doc_id", "chunk_idx", "chunk"
+    )
+
+
+def _stratified_oracle() -> str:
+    from .relational import stratified_sample_sql
+
+    return (
+        "select doc_id, lang from ("
+        + stratified_sample_sql(
+            "(select doc_id, lang from documents) s",
+            "lang",
+            "cast(doc_id as varchar)",
+            "doc_id",
+            k=20,
+        )
+        + ") t"
+    )
+
+
+@query("q_stratified_sample_documents", _stratified_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota sample (relational/sampling.py): the 20
+    documents per language whose content hash sorts first — an absolute
+    per-group cap that stays reproducible across runs, partitionings,
+    engines, and corpus growth (unlike sampleBy). One shuffle on the
+    group column; oracle runs the byte-identical md5 ordering."""
+    from .relational import stratified_sample_hash
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample_hash(d, ["lang"], ["doc_id"], k=20)
+
+
 @query(
     "q_explode_token_counts",
     "select token, count(*) as n, sum(length(token)) as total_len "

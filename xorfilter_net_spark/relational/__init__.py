@@ -9,7 +9,13 @@ pipeline needs but Spark does not ship as single verbs: as-of join
 from .asof import asof_join
 from .range_join import interval_join
 from .salted import salted_join
-from .sampling import sample_hash, sample_sql, split_hash
+from .sampling import (
+    sample_hash,
+    sample_sql,
+    split_hash,
+    stratified_sample_hash,
+    stratified_sample_sql,
+)
 from .sessions import sessionize
 
 __all__ = [
@@ -20,4 +26,6 @@ __all__ = [
     "sample_sql",
     "sessionize",
     "split_hash",
+    "stratified_sample_hash",
+    "stratified_sample_sql",
 ]

@@ -60,3 +60,42 @@ def split_hash(
 def sample_sql(cols_expr: str, fraction: float) -> str:
     """The identical predicate as engine-portable SQL (used by oracles)."""
     return f"substr(md5({cols_expr}), 1, {_HEX_DIGITS}) < '{_threshold_hex(fraction)}'"
+
+
+def stratified_sample_hash(
+    df: DataFrame, group_cols: list[str], key_cols: list[str], k: int
+) -> DataFrame:
+    """Deterministic per-group quota sample: the ``k`` rows of each group
+    whose content hash sorts first (ties broken by the key itself).
+
+    The training-data use case is per-stratum caps — "at most k documents
+    per language / per source" — where ``df.sampleBy`` would be
+    non-reproducible across partitionings and fractions can't express an
+    absolute quota. Hash order is content-keyed, so the selection is
+    stable across runs, engines, cluster sizes, AND corpus growth: a row
+    only drops out of the sample when a lower-hashed row arrives in its
+    group (reservoir-like displacement, never reshuffling survivors at
+    random). One shuffle on ``group_cols`` (window row_number); at scale
+    a pre-aggregation isn't possible (quota needs a global per-group
+    rank) but the shuffle carries only the input rows — Spark's
+    WindowExec streams each group, and AQE handles group skew."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(_bucket(key_cols), *key_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def stratified_sample_sql(
+    table: str, group_cols: str, key_cols_expr: str, key_order: str, k: int
+) -> str:
+    """DuckDB oracle for :func:`stratified_sample_hash` (same ordering)."""
+    return (
+        f"select * exclude (__rn) from (select *, row_number() over ("
+        f"partition by {group_cols} order by "
+        f"substr(md5({key_cols_expr}), 1, {_HEX_DIGITS}), {key_order}) as __rn "
+        f"from {table}) t where __rn <= {k}"
+    )
