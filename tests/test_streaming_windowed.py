@@ -189,3 +189,50 @@ class TestStatefulGroupSketch:
         }
         for g, n in totals.items():
             assert n == counts[g]
+
+
+class TestStreamingDedup:
+    def test_redelivered_rows_emitted_once(self, spark, tmp_path):
+        from xorfilter_net_spark.streaming.windowed import streaming_dedup
+
+        base = time.time() - 3600
+        schema = "event_id long, user_id long, ts timestamp"
+        # slice 0: events 1-3
+        s0 = spark.createDataFrame(
+            [(1, 10, _ts(0)), (2, 11, _ts(1)), (3, 12, _ts(2))], schema
+        )
+        # slice 1: event 2 redelivered (same key, within the watermark)
+        # plus a genuinely new event 4
+        s1 = spark.createDataFrame([(2, 11, _ts(1)), (4, 13, _ts(3))], schema)
+        # slice 2: event 1 redelivered again, new event 5
+        s2 = spark.createDataFrame([(1, 10, _ts(0)), (5, 14, _ts(4))], schema)
+        for i, s in enumerate((s0, s1, s2)):
+            _write_slice(s, str(tmp_path / f"d{i}"), base + 10 * i)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "d*"))
+        )
+        out = streaming_dedup(stream, ["event_id"], "ts", "10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = [
+            r["event_id"]
+            for r in spark.sql("select event_id from dedup_test").collect()
+        ]
+        assert sorted(got) == [1, 2, 3, 4, 5]  # each exactly once
+
+    def test_batch_parity(self, spark, sf_tiny):
+        from xorfilter_net_spark.streaming.windowed import streaming_dedup
+
+        ev = spark.read.parquet(f"{sf_tiny}/events.parquet")
+        # batch fallback is plain dropDuplicates on the key columns
+        n = streaming_dedup(ev, ["user_id"], "ts").count()
+        assert n == ev.select("user_id").distinct().count()

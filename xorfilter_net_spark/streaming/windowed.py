@@ -42,7 +42,38 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..sketches.base import MergeableSketch
 
-__all__ = ["windowed_agg", "windowed_distinct", "stateful_group_sketch"]
+__all__ = [
+    "windowed_agg",
+    "windowed_distinct",
+    "stateful_group_sketch",
+    "streaming_dedup",
+]
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once ingest dedup: emit each key once, dropping re-deliveries
+    that arrive within ``watermark_delay`` of the first occurrence.
+
+    Streaming input rides ``dropDuplicatesWithinWatermark`` — the state
+    store keeps one entry per key only until the watermark passes its
+    event time, so state is bounded by delay x arrival rate, NOT by
+    corpus cardinality (plain streaming ``dropDuplicates`` would pin
+    every key ever seen in state — unusable at 10^12 turns). At-least-
+    once sources (Kafka redelivery, file-source replays) become
+    effectively exactly-once downstream as long as redeliveries land
+    within the delay. On a batch DataFrame this degrades to plain
+    ``dropDuplicates(key_cols)``, which is how tests pin parity.
+    """
+    if not stream_df.isStreaming:
+        return stream_df.dropDuplicates(key_cols)
+    return stream_df.withWatermark(
+        time_col, watermark_delay
+    ).dropDuplicatesWithinWatermark(key_cols)
 
 
 def windowed_agg(
