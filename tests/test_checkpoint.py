@@ -121,3 +121,35 @@ def test_digest_kind_change_invalidates_digests_stage(spark, sf_tiny, tmp_path):
     )
     assert not m2["digests"]["resumed"]
     assert not m2["shards"]["resumed"]
+
+
+def test_sketch_aggregate_checkpointed_resumes_identically(spark, sf_tiny, tmp_path):
+    import numpy as np
+
+    from xorfilter_net_spark.sketches.base import aggregate, aggregate_checkpointed
+    from xorfilter_net_spark.sketches.hll import HllSketch
+
+    ev = spark.read.parquet(f"{sf_tiny}/events.parquet")
+    sk = HllSketch(p=12, key_col="user_id")
+    run_dir = str(tmp_path / "hll_run")
+
+    st1, m1 = aggregate_checkpointed(
+        ev, ["user_id"], sk, run_dir, params={"p": 12}
+    )
+    assert not m1["partials"]["resumed"] and not m1["merged"]["resumed"]
+    # per-partition lineage recorded for the expensive pass
+    assert m1["partials"]["rows"] >= 1 and m1["partials"]["partitions"]
+    # matches the non-checkpointed two-phase aggregate bit-for-bit
+    assert np.array_equal(st1, aggregate(ev, ["user_id"], sk))
+
+    # rerun: both stages skip, identical final state
+    st2, m2 = aggregate_checkpointed(
+        ev, ["user_id"], sk, run_dir, params={"p": 12}
+    )
+    assert m2["partials"]["resumed"] and m2["merged"]["resumed"]
+    assert np.array_equal(st1, st2)
+
+    # changing sketch params invalidates the chain
+    sk14 = HllSketch(p=14, key_col="user_id")
+    _, m3 = aggregate_checkpointed(ev, ["user_id"], sk14, run_dir, params={"p": 14})
+    assert not m3["partials"]["resumed"] and not m3["merged"]["resumed"]

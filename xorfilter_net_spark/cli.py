@@ -95,7 +95,7 @@ def cmd_probe(args: argparse.Namespace) -> dict:
 
 
 def cmd_sketch(args: argparse.Namespace) -> dict:
-    from .sketches.base import aggregate
+    from .sketches.base import aggregate, aggregate_checkpointed
 
     spark = _get_spark("sketch-aggregate")
     df = spark.read.parquet(args.input)
@@ -103,6 +103,22 @@ def cmd_sketch(args: argparse.Namespace) -> dict:
         from .sketches.hll import HllSketch
 
         sk = HllSketch(p=args.precision, key_col=args.column)
+        if args.run_dir:
+            # resumable: partial states persisted with lineage; a rerun
+            # with the same run-dir skips completed stages
+            st, metrics = aggregate_checkpointed(
+                df, [args.column], sk, args.run_dir,
+                params={"p": args.precision, "input": args.input},
+            )
+            return {
+                "command": "sketch",
+                "kind": "hll",
+                "estimate": sk.estimate(st),
+                "stages": {
+                    k: {"resumed": v["resumed"], "wall_sec": v.get("wall_sec")}
+                    for k, v in metrics.items()
+                },
+            }
         st = aggregate(df, [args.column], sk)
         return {
             "command": "sketch",
@@ -157,6 +173,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--precision", type=int, default=14)
     s.add_argument("--fpp", type=float, default=0.01)
     s.add_argument("--output")
+    s.add_argument(
+        "--run-dir",
+        help="checkpoint directory: persists per-partition partial states "
+        "+ manifests; reruns resume (hll only)",
+    )
     s.set_defaults(fn=cmd_sketch)
 
     args = p.parse_args(argv)

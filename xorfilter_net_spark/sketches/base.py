@@ -65,6 +65,71 @@ def aggregate(
     return rdd.treeAggregate(zero, sketch.merge, sketch.merge, depth=depth)
 
 
+def aggregate_checkpointed(
+    df: DataFrame,
+    cols: list[str],
+    sketch: MergeableSketch,
+    run_dir: str,
+    params: dict | None = None,
+    depth: int = 2,
+):
+    """Resumable two-phase sketch aggregation (north_rule: sketch jobs
+    "resumable from checkpoint with per-partition lineage + metrics").
+
+    Stage 1 (``partials``) persists one serialized sketch state per input
+    partition to parquet under ``run_dir`` with a manifest (fingerprint,
+    wall time, per-partition lineage). Stage 2 (``merged``) tree-merges
+    the states and persists the final state. A rerun with the same
+    ``run_dir`` and parameters SKIPS completed stages — in particular a
+    driver crash after the (expensive, corpus-sized) partial pass resumes
+    straight into the (cheap, one-state-per-partition) merge. Because
+    ``merge`` is associative/commutative and partials are deterministic
+    per partition, a resumed run finishes with the identical state a
+    fresh run produces (asserted in tests/test_checkpoint.py).
+
+    ``params`` must identify the sketch configuration (e.g. ``{"p": 14}``)
+    — it is fingerprinted with ``cols`` so changing either invalidates
+    the checkpoint chain.
+    """
+    import base64
+
+    from ..pipeline.checkpoint import BuildRun, _fingerprint
+
+    run = BuildRun(df.sparkSession, run_dir)
+    fp_partials = _fingerprint(
+        {
+            "stage": "sketch_partials",
+            "cols": list(cols),
+            "sketch": type(sketch).__name__,
+            "params": params or {},
+        }
+    )
+
+    def produce_partials() -> DataFrame:
+        def partials(batches):
+            st = sketch.zero()
+            n = 0
+            for pdf in batches:
+                st = sketch.update(st, pdf)
+                n += len(pdf)
+            if n:
+                yield pd.DataFrame({"state": [sketch.serialize(st)]})
+
+        return df.select(*cols).mapInPandas(partials, schema="state binary")
+
+    states = run.dataframe_stage("partials", fp_partials, produce_partials)
+
+    fp_merged = _fingerprint({"stage": "sketch_merged", "upstream": fp_partials})
+
+    def produce_merged() -> dict:
+        rdd = states.rdd.map(lambda r: sketch.deserialize(bytes(r["state"])))
+        merged = rdd.treeAggregate(sketch.zero(), sketch.merge, sketch.merge, depth=depth)
+        return {"state_b64": base64.b64encode(sketch.serialize(merged)).decode()}
+
+    artifact = run.json_stage("merged", fp_merged, produce_merged)
+    return sketch.deserialize(base64.b64decode(artifact["state_b64"])), run.metrics
+
+
 def aggregate_by_group(
     df: DataFrame,
     group_cols: list[str],
