@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "kll_event_value_quantiles_ok",
     "tdigest_event_value_quantiles_ok",
     "text_features",
+    "q_token_spans_stats",
     "doc_fingerprint_distinct",
     "xor_table_cogroup_zero_false_negatives",
     "exact_dedup_survivors",

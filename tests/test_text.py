@@ -123,3 +123,38 @@ def test_fingerprint_query_distinct_counts(spark, sf_tiny):
 
     out = QUERIES["doc_fingerprint_distinct"](spark, sf_tiny).collect()
     assert len(out) > 0 and all(r["n_unique_fp"] > 0 for r in out)
+
+
+# -- token-span UDTF ----------------------------------------------------------
+def test_token_spans_offsets_substring_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from xorfilter_net_spark.functions import token_spans
+
+    rows = [
+        (1, "Hello, world! 42x"),
+        (2, ""),
+        (3, None),
+        (4, "  leading spaces\tand\nnewlines  "),
+        (5, "unicode: héllo wörld ... 3.14"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_spans(spark, df, "text", "doc_id")
+    # empty/null documents yield no rows (lateral join drops them)
+    assert {r["doc_id"] for r in out.select("doc_id").distinct().collect()} == {1, 4, 5}
+    # every span reproduces its token via SQL substring (1-based, len);
+    # join text back on for the check
+    joined = out.join(df, "doc_id")
+    bad = joined.filter(
+        F.expr("substring(text, start + 1, end - start) <> token")
+    ).count()
+    assert bad == 0
+    # positions are dense 0..n-1 in document order
+    for doc_id, spans in (
+        (1, [(0, "Hello"), (1, ","), (2, "world"), (3, "!"), (4, "42"), (5, "x")]),
+    ):
+        got = [
+            (r["pos"], r["token"])
+            for r in out.filter(F.col("doc_id") == doc_id).orderBy("pos").collect()
+        ]
+        assert got == spans

@@ -1165,6 +1165,41 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_hash(d, ["lang"], ["doc_id"], k=20)
 
 
+def _token_spans_oracle() -> str:
+    from .text.analysis import TOKEN_RE
+
+    # DuckDB regexp_extract_all yields the same token stream; the oracle
+    # checks the aggregate view (count + total span length + first-token
+    # length per doc); character offsets are pinned by unit tests
+    return (
+        "with t as (select doc_id, "
+        f"regexp_extract_all(coalesce(text, ''), '{TOKEN_RE}') as toks "
+        "from documents) "
+        "select doc_id, cast(len(toks) as bigint) as n_tokens, "
+        "cast(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
+        "as bigint) as total_token_chars "
+        "from t where len(toks) > 0"
+    )
+
+
+@query("q_token_spans_stats", _token_spans_oracle())
+def q_token_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (functions/udtfs.py): token spans with
+    character offsets via a LATERAL table function — offsets are the
+    part regexp_extract_all cannot express. Aggregated per document and
+    checked against DuckDB's token stream; span-offset correctness is
+    pinned in tests/test_text.py. NOT a hot-path shape: scale fan-out
+    stays with JVM explode (q_explode_token_counts)."""
+    from .functions import token_spans
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = token_spans(spark, d, "text", "doc_id")
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("token")).alias("total_token_chars"),
+    )
+
+
 @query(
     "q_explode_token_counts",
     "select token, count(*) as n, sum(length(token)) as total_len "
