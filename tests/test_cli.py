@@ -9,6 +9,7 @@ pipeline, artifact JSON, and parquet probe output — the same path
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -88,3 +89,50 @@ def test_cli_build_probe_sketch_roundtrip(spark, sf_tiny, tmp_path, cli_out):
     )
     assert (tmp_path / "docs.bloom.json").exists()
     assert bloom["m"] > 0
+
+
+def test_spark_submit_pyfiles_zip(sf_tiny, tmp_path):
+    """The production launch path, for real: zip the package, run a
+    fresh `spark-submit --py-files` subprocess from a foreign cwd, and
+    check the build completes with a loadable artifact. This is the
+    north-star deployment contract, not an in-process simulation."""
+    import json as _json
+    import shutil
+    import subprocess
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if shutil.which("spark-submit") is None:
+        pytest.skip("spark-submit not on PATH")
+
+    zpath = tmp_path / "xorfilter_net_spark.zip"
+    pkg = os.path.join(repo, "xorfilter_net_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, repo))
+
+    run_dir = tmp_path / "submit_run"
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--py-files", str(zpath),
+            os.path.join(repo, "tools", "submit_cli.py"),
+            "build-xor",
+            "--input", f"{sf_tiny}/documents.parquet",
+            "--key-expr", "cast(doc_id as string)",
+            "--run-dir", str(run_dir),
+            "--width", "16", "--seed", "7", "--num-shards", "4",
+        ],
+        cwd=str(tmp_path),  # foreign cwd: only the zip provides the package
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["command"] == "build-xor" and out["n_keys"] > 0
+    with open(run_dir / "filter.json") as f:
+        art = _json.load(f)
+    assert art["num_shards"] == 4

@@ -1,14 +1,17 @@
 """spark-submit entry point.
 
-Usage (cluster)::
+Usage (cluster) — submit the ``tools/submit_cli.py`` shim (a primary
+file runs as ``__main__`` with no parent package, so the package itself
+must arrive via ``--py-files``)::
 
-    zip -r xorfilter_net_spark.zip xorfilter_net_spark
-    spark-submit --py-files xorfilter_net_spark.zip \
-        -- python -m xorfilter_net_spark.cli build-xor \
+    zip -r xorfilter_net_spark.zip xorfilter_net_spark -x '*__pycache__*'
+    spark-submit --py-files xorfilter_net_spark.zip tools/submit_cli.py \
+        build-xor \
         --input /data/transcripts --key-expr "concat_ws(':', conv_id, cast(xxhash64(text) as string))" \
         --run-dir /ckpt/run42 --width 16 --seed 12345 --num-shards 4096
 
-    python -m xorfilter_net_spark.cli probe --filter /ckpt/run42/filter.json \
+    spark-submit --py-files xorfilter_net_spark.zip tools/submit_cli.py \
+        probe --filter /ckpt/run42/filter.json \
         --input /data/candidates --key-expr key --output /out/probed
 
 Local smoke (this sandbox)::
