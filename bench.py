@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q_asof_click_view",
     "q_sessionize_events",
     "q_salted_skew_join",
+    "q_filter_pruned_join",
     "q_explode_token_counts",
     "q_pivot_event_value_by_type",
     "q_orders_priority_exists",

@@ -314,3 +314,54 @@ def test_stratified_sample_stable_under_growth(spark):
     # it MUST be in the small sample (prefix-stable order, no churn)
     assert {d for d in g if d < 100} <= s
     assert s & g  # and survivors actually exist
+
+
+# -- xor-filter join pruning --------------------------------------------------
+def test_filter_pruned_join_row_identical(spark, sf_tiny):
+    from pyspark.sql import functions as F
+
+    from xorfilter_net_spark.relational import filter_pruned_join
+
+    o = spark.read.parquet(f"{sf_tiny}/orders.parquet")
+    c = spark.read.parquet(f"{sf_tiny}/customer.parquet").filter(
+        F.col("c_acctbal") > 5000
+    )
+    for width in (8, 16):
+        pj = filter_pruned_join(o, c, "o_custkey", "c_custkey", width=width)
+        plain = o.join(c, o.o_custkey == c.c_custkey)
+        got = sorted(
+            (r["o_orderkey"], r["c_custkey"]) for r in pj.select("o_orderkey", "c_custkey").collect()
+        )
+        want = sorted(
+            (r["o_orderkey"], r["c_custkey"]) for r in plain.select("o_orderkey", "c_custkey").collect()
+        )
+        assert got == want  # FPs die in the join; zero FNs -> identical
+
+
+def test_filter_pruned_join_semi_and_prunes(spark, sf_tiny):
+    from pyspark.sql import functions as F
+
+    from xorfilter_net_spark.relational import filter_pruned_join, prune_stats
+
+    o = spark.read.parquet(f"{sf_tiny}/orders.parquet")
+    c = spark.read.parquet(f"{sf_tiny}/customer.parquet").filter(
+        F.col("c_acctbal") > 5000
+    )
+    semi = filter_pruned_join(o, c, "o_custkey", "c_custkey", how="left_semi")
+    want = o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+    assert semi.count() == want.count()
+    st = prune_stats(o, c, "o_custkey", "c_custkey")
+    # probing actually prunes (selective dim) and never loses a match
+    assert st["kept_rows"] < st["fact_rows"]
+    assert st["kept_rows"] >= st["true_matches"]
+
+
+def test_filter_pruned_join_rejects_outer(spark, sf_tiny):
+    import pytest as _pytest
+
+    from xorfilter_net_spark.relational import filter_pruned_join
+
+    o = spark.read.parquet(f"{sf_tiny}/orders.parquet")
+    c = spark.read.parquet(f"{sf_tiny}/customer.parquet")
+    with _pytest.raises(ValueError, match="outer-join"):
+        filter_pruned_join(o, c, "o_custkey", "c_custkey", how="left_outer")

@@ -698,6 +698,34 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_filter_pruned_join",
+    "select c_mktsegment, count(*) as n_orders, "
+    + _dec_sum("o_totalprice", "total_price")
+    + " from orders join (select * from customer where c_acctbal > 9000) c "
+    "on o_custkey = c_custkey group by c_mktsegment",
+)
+def q_filter_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XOR-filter-accelerated join (relational/filter_join.py): the fact
+    side is pre-pruned by a zero-Python codegen probe against a filter
+    built from the dim join keys, so the join shuffle carries only
+    ~matches + 2^-16 x |fact| rows. Row-for-row identical to the plain
+    join (zero false negatives; false positives die in the join) — the
+    oracle IS the plain join."""
+    from .relational import filter_pruned_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (
+        filter_pruned_join(o, c, "o_custkey", "c_custkey", width=16)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(_dec_sum("o_totalprice", "total_price")),
+        )
+    )
+
+
+@query(
     "q_window_user_events",
     "select user_id, event_id, rn, prev_cents from ("
     " select user_id, event_id,"

@@ -7,6 +7,7 @@ pipeline needs but Spark does not ship as single verbs: as-of join
 """
 
 from .asof import asof_join
+from .filter_join import filter_pruned_join, prune_stats
 from .range_join import interval_join
 from .salted import salted_join
 from .sampling import (
@@ -20,6 +21,8 @@ from .sessions import sessionize
 
 __all__ = [
     "asof_join",
+    "filter_pruned_join",
+    "prune_stats",
     "interval_join",
     "salted_join",
     "sample_hash",
