@@ -365,3 +365,40 @@ def test_filter_pruned_join_rejects_outer(spark, sf_tiny):
     c = spark.read.parquet(f"{sf_tiny}/customer.parquet")
     with _pytest.raises(ValueError, match="outer-join"):
         filter_pruned_join(o, c, "o_custkey", "c_custkey", how="left_outer")
+
+
+# -- bucketed co-located join -------------------------------------------------
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from xorfilter_net_spark.sources.sinks import write_bucketed
+
+    spark.sql("drop table if exists bt_orders")
+    spark.sql("drop table if exists bt_lineitem")
+    orders = spark.range(0, 10_000).select(
+        F.col("id").alias("o_key"), (F.col("id") % 100).alias("o_attr")
+    )
+    items = spark.range(0, 30_000).select(
+        (F.col("id") % 10_000).alias("l_key"), F.col("id").alias("l_val")
+    )
+    write_bucketed(orders, "bt_orders", ["o_key"], 8, sort_cols=["o_key"])
+    write_bucketed(items, "bt_lineitem", ["l_key"], 8, sort_cols=["l_key"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bt_orders").join(
+            spark.table("bt_lineitem"),
+            F.col("o_key") == F.col("l_key"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # bucket layout satisfies the join distribution on BOTH sides:
+        # the 100TB recurring-join plan has no exchange at all
+        assert "Exchange" not in plan, plan[:2000]
+        assert j.count() == 30_000
+        # and aggregation on the bucket key is shuffle-free too
+        agg = spark.table("bt_lineitem").groupBy("l_key").count()
+        assert "Exchange" not in agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists bt_orders")
+        spark.sql("drop table if exists bt_lineitem")
