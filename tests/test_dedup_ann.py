@@ -213,3 +213,93 @@ class TestIvf:
             ["qid", "neighbor_id"],
         )
         assert both.filter("c1 <> c2").count() == 0
+
+
+class TestConnectedComponents:
+    """dedup/clusters.py: large-star/small-star CC + survivor selection."""
+
+    @staticmethod
+    def _union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # relabel every node with its component MINIMUM (find() roots are
+        # already minima because we always parent the larger root)
+        return {n: find(n) for n in parent}
+
+    def _check(self, spark, edges):
+        from xorfilter_net_spark.dedup.clusters import connected_components
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["comp"] for r in connected_components(pairs).collect()
+        }
+        assert got == self._union_find_labels(edges)
+
+    def test_pair_and_chain(self, spark):
+        self._check(spark, [(5, 2), (7, 8), (8, 9), (9, 10)])
+
+    def test_adversarial_long_chain(self, spark):
+        """Chain of 40 nodes: min-label propagation would need 40 rounds;
+        star-contraction must finish well under max_rounds."""
+        self._check(spark, [(i, i + 1) for i in range(40)])
+
+    def test_random_graphs_match_union_find(self, spark):
+        rng = np.random.default_rng(7)
+        for _ in range(3):
+            n = 60
+            m = int(rng.integers(10, 80))
+            edges = [
+                (int(a), int(b))
+                for a, b in rng.integers(0, n, size=(m, 2))
+                if a != b
+            ]
+            if edges:
+                self._check(spark, edges)
+
+    def test_duplicate_and_reversed_edges(self, spark):
+        self._check(spark, [(1, 2), (2, 1), (1, 2), (3, 2)])
+
+    def test_survivors_keep_min_per_cluster(self, spark):
+        from xorfilter_net_spark.dedup.clusters import (
+            assign_clusters,
+            near_dup_survivors,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(3, 1), (5, 3), (8, 9)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in near_dup_survivors(docs, pairs, "doc_id").collect()
+        )
+        assert kept == [0, 1, 2, 4, 6, 7, 8]
+        comp = {
+            r["doc_id"]: r["comp_id"]
+            for r in assign_clusters(docs, pairs, "doc_id").collect()
+        }
+        assert comp == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 6, 7: 7, 8: 8, 9: 8}
+
+    def test_empty_pairs(self, spark):
+        from xorfilter_net_spark.dedup.clusters import (
+            connected_components,
+            near_dup_survivors,
+        )
+
+        docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        assert connected_components(empty).count() == 0
+        assert near_dup_survivors(docs, empty, "doc_id").count() == 2

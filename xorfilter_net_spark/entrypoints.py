@@ -1375,13 +1375,15 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(exact_corpus, "doc_id", ["text"]).select("doc_id")
 
 
-@query(
-    "minhash_near_dup_pairs",
-    f"with corpus as ({_DOC_DUP_SELECT}), sh as (select doc_id, "
+# exact all-pairs near-dup CTE chain (DuckDB): corpus -> shingle sets ->
+# verified pairs at J >= 0.5. Shared by the pair oracle and the cluster
+# oracle so both gates check the same exact ground truth.
+_EXACT_PAIRS_CTES = (
+    f"corpus as ({_DOC_DUP_SELECT}), sh as (select doc_id, "
     "case when length(text) >= 8 then list_distinct(list_transform("
     "range(length(text) - 7), i -> substr(text, i + 1, 8))) "
-    "else [text] end as s from corpus) "
-    "select a.doc_id as id_a, b.doc_id as id_b, "
+    "else [text] end as s from corpus), "
+    "pairs as (select a.doc_id as id_a, b.doc_id as id_b, "
     "cast(floor(1000000.0 * len(list_intersect(a.s, b.s)) / "
     "nullif(len(list_distinct(list_concat(a.s, b.s))), 0)) as bigint) "
     "as jaccard_e6 "
@@ -1390,7 +1392,13 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and len(a.s) <= 2 * len(b.s) and len(b.s) <= 2 * len(a.s) "
     "where cast(floor(1000000.0 * len(list_intersect(a.s, b.s)) / "
     "nullif(len(list_distinct(list_concat(a.s, b.s))), 0)) as bigint) "
-    ">= 500000",
+    ">= 500000)"
+)
+
+
+@query(
+    "minhash_near_dup_pairs",
+    f"with {_EXACT_PAIRS_CTES} select id_a, id_b, jaccard_e6 from pairs",
 )
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) + banded LSH (32x4) candidates + exact char-8-gram
@@ -1402,6 +1410,37 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _doc_dup_corpus(spark, sf_dir)
     return near_duplicate_pairs(corpus, "doc_id", "text", tau=0.5)
+
+
+@query(
+    "near_dup_clusters",
+    # exact connected components over the exact pair set: min-label
+    # propagation as a recursive CTE (a label walks an edge u->v only while
+    # it is smaller than v, so the fixpoint per node is its component min)
+    f"with recursive {_EXACT_PAIRS_CTES}, "
+    "edges as (select id_a as u, id_b as v from pairs "
+    "union select id_b as u, id_a as v from pairs), "
+    "walk(id, lbl) as ("
+    "select u, u from edges "
+    "union "
+    "select e.v, w.lbl from walk w join edges e on e.u = w.id "
+    "where w.lbl < e.v), "
+    "cc as (select id, min(lbl) as comp from walk group by id) "
+    "select c.doc_id, coalesce(cc.comp, c.doc_id) as comp_id "
+    "from corpus c left join cc on cc.id = c.doc_id",
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: MinHash/LSH pairs chained into
+    components by large-star/small-star contraction (dedup/clusters.py),
+    every doc labeled with its cluster-min id (own id when unique).
+    Value-exact vs a recursive-CTE connected-components oracle over the
+    exact all-pairs ground truth."""
+    from .dedup.clusters import assign_clusters
+    from .dedup.minhash import near_duplicate_pairs
+
+    corpus = _doc_dup_corpus(spark, sf_dir)
+    pairs = near_duplicate_pairs(corpus, "doc_id", "text", tau=0.5)
+    return assign_clusters(corpus, pairs, "doc_id").select("doc_id", "comp_id")
 
 
 @query(

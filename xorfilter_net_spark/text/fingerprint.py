@@ -45,15 +45,19 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     zi = z
     zu = z.view(np.uint64)
     tmp = np.empty_like(zu)
-    zi += _i64(0x9E3779B97F4A7C15)
-    np.right_shift(zu, np.uint64(30), out=tmp)
-    zu ^= tmp
-    zi *= _i64(0xBF58476D1CE4E5B9)
-    np.right_shift(zu, np.uint64(27), out=tmp)
-    zu ^= tmp
-    zi *= _i64(0x94D049BB133111EB)
-    np.right_shift(zu, np.uint64(31), out=tmp)
-    zu ^= tmp
+    # wraparound is the algorithm; silence numpy's scalar-overflow warning
+    # (raised only for 0-d inputs, where int64 *= reports instead of wrapping
+    # silently as it does for arrays)
+    with np.errstate(over="ignore"):
+        zi += _i64(0x9E3779B97F4A7C15)
+        np.right_shift(zu, np.uint64(30), out=tmp)
+        zu ^= tmp
+        zi *= _i64(0xBF58476D1CE4E5B9)
+        np.right_shift(zu, np.uint64(27), out=tmp)
+        zu ^= tmp
+        zi *= _i64(0x94D049BB133111EB)
+        np.right_shift(zu, np.uint64(31), out=tmp)
+        zu ^= tmp
     return zu
 
 
