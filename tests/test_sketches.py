@@ -6,6 +6,7 @@ import functools
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from xorfilter_net_spark.sketches.bloom import BloomSketch
 from xorfilter_net_spark.sketches.cms import CmsSketch
@@ -280,3 +281,112 @@ def test_theta_set_ops_estimation_mode_bounds():
     tol = 5 * sk.rel_std_error / (1 / 3) ** 0.5
     assert abs(sk.intersection(a, b) - 20_000) / 20_000 <= tol
     assert abs(sk.a_not_b(a, b) - 20_000) / 20_000 <= tol
+
+
+class TestSketchColumns:
+    """sketches/columns.py: materialized sketch-state rollups."""
+
+    @staticmethod
+    def _events(spark):
+        rows = [
+            (f"t{u % 3}", f"d{d}", u)
+            for u in range(120)
+            for d in range(3)
+            if (u + d) % 4  # uneven day coverage
+        ]
+        return spark.createDataFrame(rows, "typ string, day string, uid long")
+
+    def test_rollup_state_equals_direct(self, spark):
+        from xorfilter_net_spark.sketches.columns import (
+            merge_states,
+            partial_states,
+        )
+
+        df = self._events(spark)
+        h = HllSketch(p=10, key_col="uid")
+        daily = merge_states(
+            partial_states(df, ["typ", "day"], ["uid"], h), ["typ", "day"], h
+        )
+        rolled = {
+            r["typ"]: bytes(r["state"])
+            for r in merge_states(daily, ["typ"], h).collect()
+        }
+        direct = {
+            r["typ"]: bytes(r["state"])
+            for r in merge_states(
+                partial_states(df, ["typ"], ["uid"], h), ["typ"], h
+            ).collect()
+        }
+        assert rolled == direct  # associativity end to end, byte-exact
+
+    def test_partitioning_invariance(self, spark):
+        from xorfilter_net_spark.sketches.columns import (
+            merge_states,
+            partial_states,
+        )
+
+        df = self._events(spark)
+        h = HllSketch(p=10, key_col="uid")
+
+        def states(d):
+            return {
+                r["typ"]: bytes(r["state"])
+                for r in merge_states(
+                    partial_states(d, ["typ"], ["uid"], h), ["typ"], h
+                ).collect()
+            }
+
+        assert states(df.repartition(1)) == states(df.repartition(17, "uid"))
+
+    def test_estimates_within_bound_and_parquet_roundtrip(self, spark, tmp_path):
+        from xorfilter_net_spark.sketches.columns import (
+            finish_estimates,
+            merge_states,
+            partial_states,
+        )
+
+        df = self._events(spark)
+        h = HllSketch(p=12, key_col="uid")
+        daily = merge_states(
+            partial_states(df, ["typ", "day"], ["uid"], h), ["typ", "day"], h
+        )
+        # the production pattern: states persisted as a binary column, the
+        # rollup reads ONLY the state table
+        path = str(tmp_path / "daily_states")
+        daily.write.parquet(path)
+        stored = spark.read.parquet(path)
+        est = {
+            r["typ"]: r["estimate"]
+            for r in finish_estimates(
+                merge_states(stored, ["typ"], h), ["typ"], h
+            ).collect()
+        }
+        exact = {
+            r["typ"]: r["n"]
+            for r in df.groupBy("typ")
+            .agg(F.count_distinct("uid").alias("n"))
+            .collect()
+        }
+        assert set(est) == set(exact)
+        for t, ex in exact.items():
+            assert abs(est[t] - ex) / ex <= 4 * h.rel_std_error
+
+    def test_works_for_theta_and_null_group_keys(self, spark):
+        from xorfilter_net_spark.sketches.columns import (
+            merge_states,
+            partial_states,
+        )
+        from xorfilter_net_spark.sketches.theta import ThetaSketch
+
+        df = spark.createDataFrame(
+            [(None, "a"), (None, "b"), ("g", "a"), ("g", "a")],
+            "typ string, v string",
+        )
+        sk = ThetaSketch(k=256)
+        out = {
+            r["typ"]: sk.estimate(sk.deserialize(bytes(r["state"])))
+            for r in merge_states(
+                partial_states(df, ["typ"], ["v"], sk), ["typ"], sk
+            ).collect()
+        }
+        assert out == {None: 2.0, "g": 1.0}

@@ -321,6 +321,68 @@ def q_hll_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hll_rollup_events_ok",
+    "select event_type, true as within_bound, true as rollup_matches_direct "
+    "from events where event_type is not null and user_id is not null "
+    "group by event_type",
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sketch-column rollup (sketches/columns.py): raw events
+    are folded ONCE into per-(event_type, day) HLL states (map-side combine,
+    no raw-row shuffle), then the per-type answer is produced by re-merging
+    the stored daily states — the 100 TB pattern where rollups never re-read
+    the corpus. Gates: (a) estimate from the rolled-up states within
+    4 sigma of exact countDistinct; (b) rolled-up state byte-identical to
+    direct per-type aggregation (merge associativity, end to end)."""
+    from .sketches.columns import finish_estimates, merge_states, partial_states
+    from .sketches.hll import HllSketch
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type is not null and user_id is not null")
+        .withColumn("day", F.to_date("ts"))
+    )
+    h = HllSketch(p=12, key_col="user_id")
+    daily = merge_states(
+        partial_states(ev, ["event_type", "day"], ["user_id"], h),
+        ["event_type", "day"],
+        h,
+    )
+    rolled = merge_states(daily, ["event_type"], h)
+    direct = merge_states(
+        partial_states(ev, ["event_type"], ["user_id"], h), ["event_type"], h
+    )
+    est = finish_estimates(rolled, ["event_type"], h)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    match = (
+        rolled.withColumnRenamed("state", "r_state")
+        .join(direct.withColumnRenamed("state", "d_state"), "event_type")
+        .select(
+            "event_type",
+            (F.col("r_state") == F.col("d_state")).alias(
+                "rollup_matches_direct"
+            ),
+        )
+    )
+    tol = 4 * h.rel_std_error
+    return (
+        est.join(exact, "event_type")
+        .join(match, "event_type")
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("estimate") - F.col("exact"))
+                / F.greatest(F.col("exact"), F.lit(1))
+                <= F.lit(tol)
+            ).alias("within_bound"),
+            "rollup_matches_direct",
+        )
+    )
+
+
+@query(
     "cms_event_type_counts",
     "select event_type, count(*) as est_count from events group by event_type",
 )
