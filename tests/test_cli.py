@@ -136,3 +136,51 @@ def test_spark_submit_pyfiles_zip(sf_tiny, tmp_path):
     with open(run_dir / "filter.json") as f:
         art = _json.load(f)
     assert art["num_shards"] == 4
+
+
+def test_cli_dedup_exact_and_near(spark, tmp_path, cli_out):
+    base = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    rows = (
+        # 0/1 exact copies; 2 a near-copy (one word changed); 3/4 unrelated
+        [(0, base), (1, base), (2, base.replace("lazy", "hazy"))]
+        + [(3, "completely different text about spark aggregation pipelines")]
+        + [(4, "yet another unrelated document mentioning xor filters")]
+        + [
+            (
+                i,
+                " ".join(
+                    f"w{(i * 131 + j * 17) % 9973}" for j in range(12)
+                ),
+            )
+            for i in range(5, 30)
+        ]
+    )
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    ex = cli_out(
+        ["dedup", "--input", src, "--output", str(tmp_path / "out_exact")]
+    )
+    assert ex["rows_in"] == 30 and ex["removed"] == 1  # only the exact copy
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out_exact")).collect()
+    }
+    assert 0 in kept and 1 not in kept  # min-id survivor
+
+    nr = cli_out(
+        [
+            "dedup", "--mode", "near",
+            "--input", src, "--output", str(tmp_path / "out_near"),
+            "--tau", "0.5",
+        ]
+    )
+    assert nr["rows_in"] == 30
+    kept_near = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out_near")).collect()
+    }
+    # {0,1,2} chain into one cluster; 0 survives as the minimum
+    assert 0 in kept_near and not {1, 2} & kept_near
+    assert {3, 4}.issubset(kept_near)
+    assert nr["removed"] == 2 and nr["near_dup_pairs"] >= 2

@@ -143,6 +143,45 @@ def cmd_sketch(args: argparse.Namespace) -> dict:
     raise SystemExit(f"unknown sketch kind: {args.kind}")
 
 
+def cmd_dedup(args: argparse.Namespace) -> dict:
+    """End-to-end dedup job: write the surviving rows of a corpus.
+
+    ``--mode exact``: content-equality dedup (min-id survivor per group).
+    ``--mode near``: MinHash/LSH candidate pairs -> exact-Jaccard verify
+    at ``--tau`` -> connected components -> min-id survivor per cluster.
+    """
+    from .dedup.exact import exact_dedup
+
+    spark = _get_spark("dedup")
+    df = spark.read.parquet(args.input)
+    n_in = df.count()
+    if args.mode == "exact":
+        kept = exact_dedup(df, args.id_col, [args.text_col])
+        n_pairs = None
+    else:
+        from .dedup.clusters import near_dup_survivors
+        from .dedup.minhash import near_duplicate_pairs
+
+        pairs = near_duplicate_pairs(
+            df, args.id_col, args.text_col, tau=args.tau
+        )
+        kept = near_dup_survivors(df, pairs, args.id_col)
+        n_pairs = pairs.count()
+    kept.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    out = {
+        "command": "dedup",
+        "mode": args.mode,
+        "rows_in": n_in,
+        "rows_out": n_out,
+        "removed": n_in - n_out,
+        "output": args.output,
+    }
+    if n_pairs is not None:
+        out["near_dup_pairs"] = n_pairs
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="xorfilter_net_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -182,6 +221,19 @@ def main(argv: list[str] | None = None) -> int:
         "+ manifests; reruns resume (hll only)",
     )
     s.set_defaults(fn=cmd_sketch)
+
+    d = sub.add_parser(
+        "dedup", help="write corpus survivors (exact or near-dup clusters)"
+    )
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--mode", choices=("exact", "near"), default="exact")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument(
+        "--tau", type=float, default=0.5, help="near mode: Jaccard threshold"
+    )
+    d.set_defaults(fn=cmd_dedup)
 
     args = p.parse_args(argv)
     out = args.fn(args)
