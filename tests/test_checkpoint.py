@@ -153,3 +153,132 @@ def test_sketch_aggregate_checkpointed_resumes_identically(spark, sf_tiny, tmp_p
     sk14 = HllSketch(p=14, key_col="user_id")
     _, m3 = aggregate_checkpointed(ev, ["user_id"], sk14, run_dir, params={"p": 14})
     assert not m3["partials"]["resumed"] and not m3["merged"]["resumed"]
+
+
+class TestIncrementalUpdate:
+    """update_xor_filter_checkpointed: delta folds, partial re-peel."""
+
+    @staticmethod
+    def _df(spark, lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "concat('key_', cast(id as string)) as key"
+        )
+
+    @staticmethod
+    def _canon(artifact_dict):
+        """Artifact identity minus wall-clock build metrics."""
+        d = json.loads(json.dumps(artifact_dict))
+        for sh in d.get("shards", {}).values():
+            sh.pop("metrics", None)
+        return d
+
+    def test_update_equals_full_rebuild_bytewise(self, spark, tmp_path):
+        from xorfilter_net_spark.pipeline.checkpoint import (
+            update_xor_filter_checkpointed,
+        )
+
+        base = self._df(spark, 0, 400)
+        delta = self._df(spark, 350, 500)  # 50 overlap + 100 new
+        kw = dict(num_shards=8, width=16, seed=42)
+        _, _ = build_xor_filter_checkpointed(
+            base, "key", str(tmp_path / "base"), input_token="b",
+            jvm_digests=True, **kw
+        )
+        upd, m = update_xor_filter_checkpointed(
+            delta, "key", str(tmp_path / "base"), str(tmp_path / "upd"),
+            input_token="d",
+        )
+        full, _ = build_xor_filter_checkpointed(
+            self._df(spark, 0, 500), "key", str(tmp_path / "full"),
+            input_token="f", jvm_digests=True, **kw
+        )
+        assert self._canon(upd.to_dict()) == self._canon(full.to_dict())
+        assert 1 <= m["update"]["shards_rebuilt"] <= 8
+
+    def test_only_affected_shards_repeel_and_membership(self, spark, tmp_path):
+        import numpy as np
+
+        from xorfilter_net_spark.filters.spark_build import ShardedXorFilter
+        from xorfilter_net_spark.pipeline.checkpoint import (
+            update_xor_filter_checkpointed,
+        )
+
+        base = self._df(spark, 0, 300)
+        _, _ = build_xor_filter_checkpointed(
+            base, "key", str(tmp_path / "base"), num_shards=64, width=16,
+            seed=7, input_token="b", jvm_digests=True,
+        )
+        # one new key -> exactly one shard rebuilt
+        delta = spark.createDataFrame([("brand_new_key_xyz",)], "key string")
+        upd, m = update_xor_filter_checkpointed(
+            delta, "key", str(tmp_path / "base"), str(tmp_path / "upd"),
+            input_token="d1",
+        )
+        assert m["update"]["shards_rebuilt"] == 1
+        base_art = ShardedXorFilter.from_dict(
+            json.load(open(tmp_path / "base" / "filter.json"))
+        )
+        same = sum(
+            1
+            for sid, f in upd.shards.items()
+            if sid in base_art.shards
+            and f.slots.tobytes() == base_art.shards[sid].slots.tobytes()
+        )
+        assert same >= len(base_art.shards) - 1  # untouched shards verbatim
+
+        # zero false negatives over base + delta via the probe kernel
+        from xorfilter_net_spark.filters.spark_build import key_digests_jvm
+
+        all_keys = base.unionAll(delta)
+        pdf = key_digests_jvm(all_keys, "key").toPandas()
+        got = upd.contains_digests(
+            pdf["d0"].to_numpy(np.int64).view(np.uint64),
+            pdf["d1"].to_numpy(np.int64).view(np.uint64),
+        )
+        assert got.all()
+
+    def test_noop_delta_and_chained_update(self, spark, tmp_path):
+        from xorfilter_net_spark.pipeline.checkpoint import (
+            update_xor_filter_checkpointed,
+        )
+
+        base = self._df(spark, 0, 200)
+        kw = dict(num_shards=8, width=16, seed=3)
+        b, _ = build_xor_filter_checkpointed(
+            base, "key", str(tmp_path / "base"), input_token="b",
+            jvm_digests=True, **kw
+        )
+        # delta of already-present keys: nothing rebuilds, filter unchanged
+        noop, m0 = update_xor_filter_checkpointed(
+            self._df(spark, 0, 50), "key",
+            str(tmp_path / "base"), str(tmp_path / "u0"), input_token="n",
+        )
+        assert m0["update"]["shards_rebuilt"] == 0
+        assert self._canon(noop.to_dict()) == self._canon(b.to_dict())
+
+        # chain: base -> u1 -> u2 equals one full build
+        u1, _ = update_xor_filter_checkpointed(
+            self._df(spark, 200, 260), "key",
+            str(tmp_path / "base"), str(tmp_path / "u1"), input_token="d1",
+        )
+        u2, _ = update_xor_filter_checkpointed(
+            self._df(spark, 260, 320), "key",
+            str(tmp_path / "u1"), str(tmp_path / "u2"), input_token="d2",
+        )
+        full, _ = build_xor_filter_checkpointed(
+            self._df(spark, 0, 320), "key", str(tmp_path / "full"),
+            input_token="f", jvm_digests=True, **kw
+        )
+        assert self._canon(u2.to_dict()) == self._canon(full.to_dict())
+
+        # resume: rerunning the update skips every stage
+        u2b, m2 = update_xor_filter_checkpointed(
+            self._df(spark, 260, 320), "key",
+            str(tmp_path / "u1"), str(tmp_path / "u2"), input_token="d2",
+        )
+        assert all(
+            st.get("resumed", True)
+            for name, st in m2.items()
+            if name != "update"
+        )
+        assert self._canon(u2b.to_dict()) == self._canon(u2.to_dict())

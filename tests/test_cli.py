@@ -74,6 +74,40 @@ def test_cli_build_probe_sketch_roundtrip(spark, sf_tiny, tmp_path, cli_out):
     assert resumed["n_keys"] == n_docs
     assert all(st.get("resumed") for st in resumed["stages"].values())
 
+    # update-xor: fold a 3-key delta into the build; only the shards
+    # holding new keys re-peel, probe still sees every key
+    delta = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [("upd_a",), ("upd_b",), ("upd_c",)], "key string"
+    ).write.parquet(delta)
+    upd = cli_out(
+        [
+            "update-xor",
+            "--input", delta,
+            "--key-expr", "key",
+            "--base-run-dir", run_dir,
+            "--run-dir", str(tmp_path / "run1_upd"),
+        ]
+    )
+    assert upd["n_keys"] == n_docs + 3
+    assert 1 <= upd["shards_rebuilt"] <= 3
+    probed_u = cli_out(
+        [
+            "probe",
+            "--filter", f"{tmp_path / 'run1_upd'}/filter.json",
+            "--input", delta,
+            "--key-expr", "key",
+            "--output", str(tmp_path / "probed_upd"),
+        ]
+    )
+    assert probed_u["rows"] == 3
+    assert (
+        spark.read.parquet(str(tmp_path / "probed_upd"))
+        .filter("is_member")
+        .count()
+        == 3
+    )
+
     hll = cli_out(
         ["sketch", "hll", "--input", docs, "--column", "doc_id"]
     )

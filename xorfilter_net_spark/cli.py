@@ -71,6 +71,40 @@ def cmd_build_xor(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_update_xor(args: argparse.Namespace) -> dict:
+    from pyspark.sql import functions as F
+
+    from .pipeline.checkpoint import update_xor_filter_checkpointed
+
+    spark = _get_spark("xorfilter-update")
+    delta = spark.read.parquet(args.input).select(
+        F.expr(args.key_expr).alias("key")
+    )
+    sxf, metrics = update_xor_filter_checkpointed(
+        delta,
+        "key",
+        args.base_run_dir,
+        args.run_dir,
+        input_token=args.input,
+    )
+    m = sxf.metrics
+    return {
+        "command": "update-xor",
+        "base_run_dir": args.base_run_dir,
+        "run_dir": args.run_dir,
+        "filter": f"{args.run_dir}/filter.json",
+        "n_keys": m["n_keys"],
+        "table_size": m["table_size"],
+        "shards_rebuilt": metrics["update"]["shards_rebuilt"],
+        "num_shards": m["num_shards"],
+        "stages": {
+            k: {kk: v[kk] for kk in ("wall_sec", "resumed") if kk in v}
+            for k, v in metrics.items()
+            if isinstance(v, dict) and k != "update"
+        },
+    }
+
+
 def cmd_probe(args: argparse.Namespace) -> dict:
     import json as _json
 
@@ -200,6 +234,17 @@ def main(argv: list[str] | None = None) -> int:
         "(SQL-probe-able scale path)",
     )
     b.set_defaults(fn=cmd_build_xor)
+
+    u = sub.add_parser(
+        "update-xor",
+        help="fold a delta into an existing build (re-peels only affected "
+        "shards; O(delta), never O(corpus))",
+    )
+    u.add_argument("--input", required=True, help="delta parquet")
+    u.add_argument("--key-expr", required=True)
+    u.add_argument("--base-run-dir", required=True)
+    u.add_argument("--run-dir", required=True)
+    u.set_defaults(fn=cmd_update_xor)
 
     pr = sub.add_parser("probe", help="probe a built filter")
     pr.add_argument("--filter", required=True)

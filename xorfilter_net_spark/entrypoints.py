@@ -255,6 +255,74 @@ def q_xor_table_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query(
+    "xor_incremental_update_ok",
+    "select true as artifact_identical, true as zero_false_negatives, "
+    "true as partial_rebuild",
+)
+def q_xor_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental filter maintenance (pipeline/checkpoint.py::
+    update_xor_filter_checkpointed): fold a delta into a checkpointed
+    build re-peeling ONLY affected shards. The reference's filters are
+    static — any addition is a whole-corpus rebuild (reference
+    README.md:113); at 100 TB this update instead digests only the delta.
+    Gates: (1) updated artifact byte-identical to a full rebuild over
+    base ∪ delta, (2) zero false negatives over the union via the
+    zero-Python SQL probe, (3) strictly fewer shards re-peeled than
+    exist."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from .pipeline.checkpoint import (
+        build_xor_filter_checkpointed,
+        update_xor_filter_checkpointed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "concat('d', cast(doc_id as string)) as key", "doc_id"
+    )
+    base, delta = docs.filter("doc_id >= 25"), docs.filter("doc_id < 25")
+    kw = dict(num_shards=64, width=16, seed=7, jvm_digests=True)
+
+    def canon(d: dict) -> str:
+        d = _json.loads(_json.dumps(d))
+        for sh in d.get("shards", {}).values():
+            sh.pop("metrics", None)
+        return _json.dumps(d, sort_keys=True)
+
+    tmp = tempfile.mkdtemp(prefix="xorupd_")
+    try:
+        build_xor_filter_checkpointed(
+            base, "key", f"{tmp}/base", input_token="b", **kw
+        )
+        upd, m = update_xor_filter_checkpointed(
+            delta, "key", f"{tmp}/base", f"{tmp}/upd", input_token="d"
+        )
+        full, _ = build_xor_filter_checkpointed(
+            docs, "key", f"{tmp}/full", input_token="f", **kw
+        )
+        n_false = (
+            probe_sql(upd, docs.select("key"), "key")
+            .filter(~F.col("is_member"))
+            .count()
+        )
+        rebuilt = m["update"]["shards_rebuilt"]
+        return spark.createDataFrame(
+            [
+                (
+                    canon(upd.to_dict()) == canon(full.to_dict()),
+                    n_false == 0,
+                    1 <= rebuilt < kw["num_shards"],
+                )
+            ],
+            "artifact_identical boolean, zero_false_negatives boolean, "
+            "partial_rebuild boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # mergeable sketch family (north_rule: Bloom/HLL/CMS/KLL/t-digest as
 # two-phase UDAF-style aggregates)
