@@ -236,3 +236,98 @@ class TestStreamingDedup:
         # batch fallback is plain dropDuplicates on the key columns
         n = streaming_dedup(ev, ["user_id"], "ts").count()
         assert n == ev.select("user_id").distinct().count()
+
+
+class TestStreamStreamJoin:
+    """interval_join_stream: watermarked stream-stream event-time join."""
+
+    @staticmethod
+    def _sides(df):
+        clicks = df.filter("event_type = 'click'").select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        views = df.filter("event_type = 'view'").select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        return clicks, views
+
+    def test_stream_matches_batch_across_microbatches(self, spark, sf_tiny, tmp_path):
+        from xorfilter_net_spark.streaming.joins import interval_join_stream
+
+        ev = spark.read.parquet(f"{sf_tiny}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        args = (["user_id"], "click_ts", "view_ts", "-24 hours", "0 seconds")
+        expected = {
+            (r["click_id"], r["view_id"])
+            for r in interval_join_stream(*self._sides(ev), *args).collect()
+        }
+        # the batch operator itself must equal the naive inequality join
+        c, v = self._sides(ev)
+        naive = {
+            (r["click_id"], r["view_id"])
+            for r in c.join(v, "user_id").filter(
+                "view_ts >= click_ts - INTERVAL 24 hours "
+                "AND view_ts <= click_ts"
+            ).collect()
+        }
+        assert expected == naive and len(expected) > 0
+
+        # stream: 4 files, one per micro-batch — rows are randomly spread
+        # across files, so most matches pair rows from DIFFERENT batches
+        # and must come out of the retained join state. The generous
+        # watermark only relaxes eviction, never adds matches.
+        src = str(tmp_path / "ev_join_src")
+        ev.repartition(4).write.parquet(src)
+
+        def stream():
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+
+        sc, sv = self._sides(stream())
+        q = (
+            interval_join_stream(
+                sc, sv, *args, watermark_delay="60 days"
+            )
+            .writeStream.format("memory")
+            .queryName("ssjoin_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["click_id"], r["view_id"])
+            for r in spark.sql(
+                "select click_id, view_id from ssjoin_test"
+            ).collect()
+        }
+        assert got == expected
+
+    def test_left_outer_emits_unmatched(self, spark):
+        from xorfilter_net_spark.streaming.joins import interval_join_stream
+
+        clicks = spark.createDataFrame(
+            [(1, _ts(0), 100), (2, _ts(0), 200)],
+            "user_id long, click_ts timestamp, click_id long",
+        )
+        views = spark.createDataFrame(
+            [(1, _ts(0, 30), 10), (1, datetime(2026, 1, 1, 9), 11),
+             (3, _ts(0, 30), 12)],
+            "user_id long, view_ts timestamp, view_id long",
+        )
+        # views joinable if within the hour BEFORE the click... note
+        # view at 10:00:30 is AFTER the 10:00 click -> excluded
+        out = interval_join_stream(
+            clicks, views, ["user_id"], "click_ts", "view_ts",
+            "-1 hours", "0 seconds", how="left_outer",
+        ).collect()
+        rows = {(r["click_id"], r["view_id"]) for r in out}
+        assert rows == {(100, 11), (200, None)}

@@ -556,6 +556,65 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_join_click_view",
+    "select c.user_id as user_id, c.event_id as click_id, "
+    "v.event_id as view_id "
+    "from events c join events v on c.user_id = v.user_id "
+    "where c.event_type = 'click' and v.event_type = 'view' "
+    "and v.ts >= c.ts - INTERVAL '24 hours' and v.ts <= c.ts",
+)
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join through the real
+    streaming engine (streaming/joins.py): clicks and views replayed as
+    two file-source streams, equi-joined on user_id with a 24h time-range
+    condition — join state on both sides is watermark-bounded, matching
+    is JVM-side. Oracle: the identical batch inequality join. Cross-
+    micro-batch state retention is pinned separately in
+    tests/test_streaming_windowed.py."""
+    from .streaming.joins import interval_join_stream
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/events.parque*")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    clicks = stream().filter("event_type = 'click'").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    views = stream().filter("event_type = 'view'").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    pairs = interval_join_stream(
+        clicks,
+        views,
+        ["user_id"],
+        "click_ts",
+        "view_ts",
+        "-24 hours",
+        "0 seconds",
+        watermark_delay="1 hour",
+    )
+    qn = "streaming_join_click_view_sink"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qn).select("user_id", "click_id", "view_id")
+
+
 _QS = (0.01, 0.25, 0.5, 0.75, 0.99)
 _QS_ORACLE = (
     "select * from (values "
