@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     "q_explode_token_counts",
     "q_pivot_event_value_by_type",
     "q_orders_priority_exists",
+    "q_left_join_customer_order_stats",
+    "q_full_outer_user_day_activity",
+    "q_scalar_subquery_big_orders",
+    "q_multi_distinct_agg",
+    "q_topk_per_group_events",
+    "q_running_total_customer_spend",
     "q_exact_quantiles_by_type",
     "q_interval_join_signup_clicks",
     "q_hash_split_documents",
@@ -87,6 +93,7 @@ BENCH_QUERIES = [
     "mg_heavy_hitters_event_types",
     "kll_event_value_quantiles_ok",
     "tdigest_event_value_quantiles_ok",
+    "quantile_bins_documents_ok",
     "text_features",
     "q_token_spans_stats",
     "doc_fingerprint_distinct",

@@ -402,3 +402,68 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("drop table if exists bt_orders")
         spark.sql("drop table if exists bt_lineitem")
+
+
+class TestQuantileBins:
+    """Sketch-driven equal-count binning (relational/binning.py)."""
+
+    def test_assign_bins_arithmetic(self, spark):
+        from xorfilter_net_spark.relational import assign_bins
+
+        df = spark.createDataFrame([(v,) for v in range(1, 11)], "v int")
+        out = {
+            r["v"]: r["bucket"]
+            for r in assign_bins(df, "v", [2.0, 5.0, 8.0]).collect()
+        }
+        # <=2 -> 1, (2,5] -> 2, (5,8] -> 3, >8 -> 4
+        assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 3, 7: 3, 8: 3,
+                       9: 4, 10: 4}
+        # map-only: no exchange anywhere in the assignment plan
+        plan = (
+            assign_bins(df, "v", [2.0, 5.0, 8.0])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_cutpoints_monotone_and_balanced(self, spark):
+        import numpy as np
+
+        from xorfilter_net_spark.relational import quantile_bins
+
+        rng = np.random.default_rng(11)
+        vals = rng.lognormal(3.0, 1.2, size=4000)
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "x double"
+        ).repartition(8)
+        binned, cuts = quantile_bins(df, "x", 5, k=256)
+        assert cuts == sorted(cuts) and len(cuts) == 4
+        counts = {
+            r["bucket"]: r["count"] for r in binned.groupBy("bucket").count().collect()
+        }
+        assert set(counts) == {1, 2, 3, 4, 5}
+        for b, c in counts.items():
+            assert abs(c / 4000 - 0.2) <= 0.05, (b, c)
+
+    def test_partitioning_invariance(self, spark):
+        """Cutpoints from 2 vs 16 partitions agree within the rank bound
+        (merge order must not matter materially)."""
+        import numpy as np
+
+        from xorfilter_net_spark.relational import quantile_cutpoints
+
+        rng = np.random.default_rng(5)
+        vals = sorted(float(v) for v in rng.normal(0, 10, size=3000))
+        rows = [(v,) for v in vals]
+        a = quantile_cutpoints(
+            spark.createDataFrame(rows, "x double").repartition(2), "x", 4
+        )
+        b = quantile_cutpoints(
+            spark.createDataFrame(rows, "x double").repartition(16), "x", 4
+        )
+        arr = np.asarray(vals)
+        for ca, cb in zip(a, b):
+            ra = np.searchsorted(arr, ca) / len(arr)
+            rb = np.searchsorted(arr, cb) / len(arr)
+            assert abs(ra - rb) <= 0.04, (ca, cb, ra, rb)

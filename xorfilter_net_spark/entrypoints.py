@@ -942,6 +942,152 @@ def q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multi_distinct_agg",
+    "select cast(date_trunc('day', ts) as date) as day, "
+    "count(distinct user_id) as n_users, "
+    "count(distinct event_type) as n_types, count(*) as n "
+    "from events group by 1",
+)
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one GROUP BY — Catalyst rewrites
+    this into a single Expand (one replica per distinct set) + two-level
+    aggregate, so the fact table is still scanned exactly once and each
+    distinct set gets map-side partial dedup before the shuffle. At
+    100 TB this is the shape to prefer over N self-joined single-distinct
+    queries (N scans, N shuffles)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_topk_per_group_events",
+    "select event_type, event_id, rk, "
+    "cast(round(value * 100) as bigint) as value_cents from ("
+    " select event_type, event_id, value,"
+    "  row_number() over (partition by event_type "
+    "   order by value desc, event_id) as rk from events) t where rk <= 5",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via rank window. Scale shape: Spark plans a
+    partial TakeOrderedAndProject per map task only for global top-k;
+    for per-group, the window shuffle partitions by event_type — with
+    few heavy groups that skews, so the filter `rk <= 5` must run
+    INSIDE the window stage (Spark's WindowGroupLimit pushes the limit
+    to a per-partition pre-pass before the shuffle on 3.5+), never as a
+    post-collect."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .select(
+            "event_type",
+            "event_id",
+            "rk",
+            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+@query(
+    "q_running_total_customer_spend",
+    "select o_custkey as custkey, o_orderkey as orderkey, "
+    "cast(sum(cast(round(o_totalprice * 100) as bigint)) over ("
+    " partition by o_custkey order by o_orderdate, o_orderkey "
+    " rows between unbounded preceding and current row) as bigint) "
+    "as running_cents from orders",
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-sum window frame (ROWS UNBOUNDED PRECEDING): one
+    shuffle on the partition key, then a streaming frame evaluator —
+    O(1) state per row, no per-frame rescan. Integer cents make the
+    running sum associativity-exact across engines (float left-fold
+    order would differ)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(cents).over(w).cast("bigint").alias("running_cents"),
+    )
+
+
+@query(
+    "q_ntile_doc_length_buckets",
+    "select bucket, count(*) as n, min(n_chars) as min_chars, "
+    "max(n_chars) as max_chars from ("
+    " select ntile(8) over (order by n_chars, doc_id) as bucket, n_chars"
+    " from documents) t group by bucket",
+)
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing for quality-score binning (the training-data
+    curation primitive: split a corpus into equal-count quality tiers).
+    A global ORDER BY window is a single-partition sort — fine for
+    ranking a *sampled* scoreboard, but at 100 TB bin by value instead
+    (percentile_approx cutpoints + a codegen CASE), which this library's
+    kll/tdigest sketches provide; the exact window here doubles as their
+    oracle."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select(F.ntile(8).over(w).alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "quantile_bins_documents_ok",
+    "select * from (values "
+    + ", ".join(f"({b}, true)" for b in range(1, 9))
+    + ") as t(bucket, within_bound)",
+)
+def quantile_bins_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven equal-count binning (relational/binning.py): KLL
+    cutpoints in one mergeable-aggregate pass, then a map-only codegen
+    `1 + sum(col > cut)` assignment — the 100 TB replacement for the
+    single-partition ntile sort. Gate: every bin's mass within 1/8 +-
+    0.04 (KLL rank bound + tie slack; `q_ntile_doc_length_buckets` is
+    the exact small-scale counterpart)."""
+    from .relational import quantile_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    binned, _cuts = quantile_bins(docs, "n_chars", 8, k=256)
+    n = docs.count()
+    counts = {
+        r["bucket"]: r["n"]
+        for r in binned.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = [
+        (b, abs(counts.get(b, 0) / n - 1 / 8) <= 0.04) for b in range(1, 9)
+    ]
+    return spark.createDataFrame(rows, "bucket int, within_bound boolean")
+
+
+@query(
     "q_topk_events",
     "select event_id, event_type, cast(round(value * 100) as bigint) as value_cents "
     "from events order by value desc, event_id limit 20",
@@ -1100,6 +1246,106 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return customer.exceptAll(orders.distinct()).distinct()
+
+
+_SPEND = (
+    "cast(coalesce(sum(cast(o_totalprice as decimal(18,4))), 0) as double) "
+    "as total_spend"
+)
+
+
+@query(
+    "q_left_join_customer_order_stats",
+    "select c_custkey as custkey, c_mktsegment as segment, "
+    "count(o_orderkey) as n_orders, " + _SPEND + " "
+    "from customer c left join orders o on c_custkey = o_custkey "
+    "group by 1, 2",
+)
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + aggregate: every customer appears, zero-order
+    customers with n_orders=0/spend=0 (count over the null-extended
+    side). Broadcast the dim? No — customer is the PRESERVED side here,
+    so Spark keeps it as a shuffled left-outer hash join; at 100 TB both
+    sides partition on the key and AQE handles skew."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.expr(_SPEND),
+        )
+    )
+
+
+@query(
+    "q_full_outer_user_day_activity",
+    "with c as (select user_id, cast(date_trunc('day', ts) as date) as day, "
+    "count(*) as n_clicks from events where event_type = 'click' "
+    "group by 1, 2), "
+    "p as (select user_id, cast(date_trunc('day', ts) as date) as day, "
+    "count(*) as n_purchases from events where event_type = 'purchase' "
+    "group by 1, 2) "
+    "select coalesce(c.user_id, p.user_id) as user_id, "
+    "coalesce(c.day, p.day) as day, "
+    "coalesce(n_clicks, 0) as n_clicks, "
+    "coalesce(n_purchases, 0) as n_purchases "
+    "from c full outer join p on c.user_id = p.user_id and c.day = p.day",
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated activity streams on
+    (user, day) — left-only, right-only, and matched cells all occur at
+    this density. Pre-aggregation before the join shrinks both sides to
+    |users|x|days| BEFORE the outer-join shuffle (never full-outer-join
+    raw fact tables)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def per_day(etype: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(
+                "user_id",
+                F.date_trunc("day", "ts").cast("date").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    c = per_day("click", "n_clicks")
+    p = per_day("purchase", "n_purchases")
+    return (
+        c.join(p, ["user_id", "day"], "full_outer")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+@query(
+    "q_scalar_subquery_big_orders",
+    "select o_orderpriority as priority, count(*) as n "
+    "from orders where o_totalprice > "
+    "0.9 * (select max(o_totalprice) from orders) group by 1",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery as a filter threshold, expressed as
+    a broadcast join against the 1-row aggregate (no driver collect in
+    the plan): at 100 TB the threshold pass is one column's partial-max
+    tree, broadcast for free, then the main scan filters in codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    thr = o.agg((F.lit(0.9) * F.max("o_totalprice")).alias("thr"))
+    return (
+        o.join(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 @query(

@@ -7,6 +7,7 @@ pipeline needs but Spark does not ship as single verbs: as-of join
 """
 
 from .asof import asof_join
+from .binning import assign_bins, quantile_bins, quantile_cutpoints
 from .filter_join import filter_pruned_join, prune_stats
 from .range_join import interval_join
 from .salted import salted_join
@@ -21,6 +22,9 @@ from .sessions import sessionize
 
 __all__ = [
     "asof_join",
+    "assign_bins",
+    "quantile_bins",
+    "quantile_cutpoints",
     "filter_pruned_join",
     "prune_stats",
     "interval_join",
