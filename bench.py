@@ -330,12 +330,18 @@ def main() -> None:
     # query, not executor startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # per-query min over QUERY_ROUNDS passes: the VM's CPU-steal episodes
+    # (see ROUNDS above) hit individual queries for 5-40s at random; steal
+    # only ever ADDS time, so the min is the least-biased per-query wall
     times: dict[str, float] = {}
-    for name in [] if throughput_only else BENCH_QUERIES:
-        fn = entrypoints.QUERIES[name]
-        t0 = time.perf_counter()
-        force(fn(spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t0, 3)
+    query_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_ROUNDS", "2"))
+    for _ in range(query_rounds if not throughput_only else 0):
+        for name in BENCH_QUERIES:
+            fn = entrypoints.QUERIES[name]
+            t0 = time.perf_counter()
+            force(fn(spark, SF_DIR))
+            wall = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, wall), wall)
 
     tp = bench_filter_throughput(spark, SF_DIR, include_cogroup=not throughput_only)
 

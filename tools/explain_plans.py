@@ -117,6 +117,48 @@ def main() -> None:
         )
     )
 
+    # 5. per-group top-k: WindowGroupLimit pre-pass before the shuffle
+    from xorfilter_net_spark import entrypoints as ep
+
+    sections.append(
+        (
+            "Per-group top-k (q_topk_per_group_events)",
+            "A Partial WindowGroupLimit runs per map task BEFORE the "
+            "exchange, so at most k rows per (group, task) ever shuffle — "
+            "the window itself only re-ranks the survivors.",
+            captured_explain(
+                ep.QUERIES["q_topk_per_group_events"](spark, SF_DIR)
+            ),
+        )
+    )
+
+    # 6. multi-DISTINCT aggregate: single scan + Expand, no self-joins
+    sections.append(
+        (
+            "Multi-DISTINCT aggregate (q_multi_distinct_agg)",
+            "One parquet scan feeds an Expand (one replica per distinct "
+            "set) + two-level HashAggregate with map-side partial dedup; "
+            "N DISTINCT columns never become N scans.",
+            captured_explain(ep.QUERIES["q_multi_distinct_agg"](spark, SF_DIR)),
+        )
+    )
+
+    # 7. z-order key derivation: pure codegen, no Python node
+    from xorfilter_net_spark.sources.layout import zorder_column
+
+    ev2 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    zdf = ev2.withColumn(
+        "z", zorder_column(ev2, ["user_id", "event_id"])
+    ).select("z")
+    sections.append(
+        (
+            "Z-order key derivation (sources/layout.py)",
+            "The Morton key is a WholeStageCodegen shift/mask chain over "
+            "the scan — layout rewrites cost one pass and zero Python.",
+            captured_explain(zdf),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",
@@ -136,6 +178,14 @@ def main() -> None:
     assert "ArrowEvalPython" not in probe_plan and "BatchEvalPython" not in probe_plan
     assert probe_plan.count("BroadcastHashJoin") >= 3
     print("probe plan: zero Python nodes, >=3 broadcast hash joins — OK")
+    topk_plan = sections[5][2]
+    assert "WindowGroupLimit" in topk_plan
+    distinct_plan = sections[6][2]
+    assert "Expand" in distinct_plan
+    assert distinct_plan.count("Scan parquet  (") == 1  # single leaf scan
+    z_plan = sections[7][2]
+    assert "Python" not in z_plan
+    print("topk/multi-distinct/z-order plans — OK")
     spark.stop()
 
 
