@@ -120,6 +120,7 @@ def make_spark(cpus: int):
             os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", str(max(2 * cpus, 16))),
         )
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # sort-based shuffle writer: the bypass-merge writer's per-reduce-

@@ -218,3 +218,23 @@ def test_cli_dedup_exact_and_near(spark, tmp_path, cli_out):
     assert 0 in kept_near and not {1, 2} & kept_near
     assert {3, 4}.issubset(kept_near)
     assert nr["removed"] == 2 and nr["near_dup_pairs"] >= 2
+
+
+def test_cli_gen_transcripts(spark, tmp_path, cli_out):
+    out = cli_out(
+        [
+            "gen-transcripts",
+            "--output", str(tmp_path / "corpus"),
+            "--conversations", "150",
+            "--seed", "7",
+            "--partitions", "3",
+        ]
+    )
+    assert out["command"] == "gen-transcripts"
+    df = spark.read.parquet(str(tmp_path / "corpus"))
+    assert df.count() == out["rows"] > 150  # >1 turn per conversation
+    assert df.select("conv_id").distinct().count() == 150
+    # deterministic: regenerating with the same seed matches exactly
+    from xorfilter_net_spark.sources.synthetic import generate_batch
+
+    assert out["rows"] == generate_batch(0, 150, 7, 8).num_rows

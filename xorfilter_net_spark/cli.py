@@ -216,6 +216,35 @@ def cmd_dedup(args: argparse.Namespace) -> dict:
     return out
 
 
+def cmd_gen_transcripts(args: argparse.Namespace) -> dict:
+    """Materialize a deterministic synthetic transcript corpus (custom
+    Python Data Source, sources/synthetic.py) as a partitioned parquet
+    dataset — the no-external-data path to an arbitrarily large test
+    corpus: same (conversations, seed) => same rows on any cluster."""
+    from .sources.sinks import write_dataset
+    from .sources.synthetic import register
+
+    spark = _get_spark("gen-transcripts")
+    register(spark)
+    df = (
+        spark.read.format("synthetic_transcripts")
+        .option("conversations", args.conversations)
+        .option("seed", args.seed)
+        .option("max_turns", args.max_turns)
+        .option("partitions", args.partitions)
+        .load()
+    )
+    write_dataset(df, args.output, files_per_partition=args.partitions)
+    n = spark.read.parquet(args.output).count()
+    return {
+        "command": "gen-transcripts",
+        "conversations": args.conversations,
+        "seed": args.seed,
+        "rows": n,
+        "output": args.output,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="xorfilter_net_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -279,6 +308,17 @@ def main(argv: list[str] | None = None) -> int:
         "--tau", type=float, default=0.5, help="near mode: Jaccard threshold"
     )
     d.set_defaults(fn=cmd_dedup)
+
+    g = sub.add_parser(
+        "gen-transcripts",
+        help="materialize the deterministic synthetic transcript corpus",
+    )
+    g.add_argument("--output", required=True)
+    g.add_argument("--conversations", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--max-turns", type=int, default=8)
+    g.add_argument("--partitions", type=int, default=8)
+    g.set_defaults(fn=cmd_gen_transcripts)
 
     args = p.parse_args(argv)
     out = args.fn(args)

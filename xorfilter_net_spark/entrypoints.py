@@ -1058,6 +1058,36 @@ def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "synthetic_source_role_stats",
+    "select * from (values "
+    "('assistant', 628, 349, 8), ('tool', 459, 303, 3), "
+    "('user', 773, 400, 8)) as t(role, n, n_convs, n_empty)",
+)
+def q_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (sources/synthetic.py, Spark 4
+    SPARK-44076): partition-parallel deterministic transcript generation
+    with conv_id filter pushdown and streaming offsets. The corpus is a
+    pure function of (conversations, seed, max_turns), so the oracle is
+    the pinned aggregate of the 400-conversation seed-42 corpus —
+    sf_dir is unused by design (no external data)."""
+    from .sources.synthetic import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_transcripts")
+        .option("conversations", 400)
+        .option("seed", 42)
+        .option("max_turns", 8)
+        .load()
+    )
+    return df.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.count(F.when(F.col("text") == "", 1)).alias("n_empty"),
+    )
+
+
+@query(
     "quantile_bins_documents_ok",
     "select * from (values "
     + ", ".join(f"({b}, true)" for b in range(1, 9))

@@ -68,6 +68,9 @@ def session_confs(shuffle_partitions: int) -> dict[str, str]:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        # let custom Python data sources (sources/synthetic.py) absorb
+        # predicates in pushFilters (off by default in Spark 4.1)
+        "spark.sql.python.filterPushdown.enabled": "true",
         # always use the sort-based shuffle writer: the bypass-merge
         # writer opens one spill file per reduce partition per map task
         # (16k+ streams for a 128x128 exchange) and collapses under high
