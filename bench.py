@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "q_rollup_events",
     "q_cube_events",
     "q_json_props_histogram",
+    "q_variant_props_stats",
+    "q_lateral_topn_orders_per_segment",
     "q_array_word_stats",
     "q_datetime_daily_activity",
     "q_set_ops_users",

@@ -1211,6 +1211,66 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_variant_props_stats",
+    "select cast(json_extract_string(props, '$.k') as bigint) % 7 "
+    "as k_mod, count(*) as n, "
+    "sum(cast(json_extract_string(props, '$.k') as bigint)) as sum_k "
+    "from events group by 1",
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT coverage: semi-structured props parsed ONCE into
+    the binary variant encoding (`parse_json`), then field access via
+    `variant_get` path expressions — the modern scale path for
+    schema-on-read JSON (one parse, typed sub-field pushout) vs
+    re-parsing the string per extraction like get_json_object does.
+    Values identical to the string-JSON oracle by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 7).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+@query(
+    "q_lateral_topn_orders_per_segment",
+    "select c_mktsegment, o_orderkey, "
+    "cast(round(o_totalprice * 100) as bigint) as price_cents from ("
+    " select c_mktsegment, o_orderkey, o_totalprice,"
+    "  row_number() over (partition by c_mktsegment "
+    "   order by o_totalprice desc, o_orderkey) as rk"
+    " from customer join orders on o_custkey = c_custkey) t where rk <= 3",
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark SQL LATERAL, 3.2+): top-3
+    orders per market segment written as a lateral per-group limit.
+    Catalyst decorrelates it into the same join + ranked-window plan the
+    oracle states directly — proving the correlated form costs nothing
+    extra at scale (no nested-loop re-execution per outer row)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lv_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lv_ord")
+    return spark.sql(
+        """
+        select s.c_mktsegment, t.o_orderkey,
+               cast(round(t.o_totalprice * 100) as bigint) as price_cents
+        from (select distinct c_mktsegment from _lv_cust) s,
+        lateral (
+            select o.o_orderkey, o.o_totalprice
+            from _lv_ord o join _lv_cust c on o.o_custkey = c.c_custkey
+            where c.c_mktsegment = s.c_mktsegment
+            order by o.o_totalprice desc, o.o_orderkey
+            limit 3
+        ) t
+        """
+    )
+
+
+@query(
     "q_array_word_stats",
     "select doc_id, len(string_split(text, ' ')) as n_words, "
     "len(list_distinct(string_split(text, ' '))) as n_distinct_words, "
