@@ -158,3 +158,58 @@ def test_token_spans_offsets_substring_roundtrip(spark):
             for r in out.filter(F.col("doc_id") == doc_id).orderBy("pos").collect()
         ]
         assert got == spans
+
+
+class TestExtractFieldsUdtf:
+    """Polymorphic UDTF: plan-time schema from the constant field list."""
+
+    def test_schema_and_values(self, spark):
+        from xorfilter_net_spark.functions.udtfs import (
+            register_extract_fields_udtf,
+        )
+
+        register_extract_fields_udtf(spark)
+        df = spark.createDataFrame(
+            [
+                (1, "path=/a/b,mode=rw,extra=zzz"),
+                (2, "mode=ro"),
+                (3, None),
+            ],
+            "id int, args string",
+        )
+        df.createOrReplaceTempView("_ef_logs")
+        out = spark.sql(
+            "select l.id, t.path, t.mode from _ef_logs l, "
+            "lateral extract_fields(l.args, 'path,mode') t order by l.id"
+        )
+        assert [f.name for f in out.schema.fields] == ["id", "path", "mode"]
+        rows = [tuple(r) for r in out.collect()]
+        assert rows == [(1, "/a/b", "rw"), (2, None, "ro"), (3, None, None)]
+
+    def test_different_field_list_different_schema(self, spark):
+        from xorfilter_net_spark.functions.udtfs import (
+            register_extract_fields_udtf,
+        )
+
+        register_extract_fields_udtf(spark)
+        out = spark.sql(
+            "select t.* from (select 'a=1,b=2,c=3' as s), "
+            "lateral extract_fields(s, 'c,a') t"
+        )
+        assert [f.name for f in out.schema.fields] == ["c", "a"]
+        assert [tuple(r) for r in out.collect()] == [("3", "1")]
+
+    def test_non_constant_fields_fails_at_plan(self, spark):
+        import pytest
+        from pyspark.errors import AnalysisException
+
+        from xorfilter_net_spark.functions.udtfs import (
+            register_extract_fields_udtf,
+        )
+
+        register_extract_fields_udtf(spark)
+        with pytest.raises(AnalysisException):
+            spark.sql(
+                "select t.* from (select 'a=1' as s, 'a' as f), "
+                "lateral extract_fields(s, f) t"
+            ).collect()

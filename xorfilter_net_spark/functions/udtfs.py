@@ -67,3 +67,57 @@ def token_spans(spark: SparkSession, df, text_col: str = "text", id_col: str = "
         f"select s.{id_col}, t.pos, t.token, t.start, t.end "
         f"from __token_spans_src s, lateral token_spans(s.{text_col}) t"
     )
+
+
+_FIELD_RE = re.compile(r"(\w+)=((?:\\.|[^,\\])*)")
+
+
+@udtf
+class ExtractFields:
+    """Polymorphic UDTF (Spark 4 static ``analyze``): parse ``k=v``
+    pair strings (the tool-call argument encoding in transcript logs)
+    into the caller-chosen columns::
+
+        SELECT t.* FROM logs, LATERAL extract_fields(args, 'path,mode') t
+
+    The output schema is computed at PLAN time from the constant field
+    list — each requested name becomes a string column (missing keys →
+    null) — so downstream pruning/pushdown sees real columns, not a
+    map blob. A non-constant field list is rejected during analysis,
+    exactly like a malformed SQL reference (fail at plan, not per-row).
+    """
+
+    @staticmethod
+    def analyze(text, fields):
+        from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if not fields.isConstantExpression or not isinstance(
+            fields.value, str
+        ):
+            raise ValueError(
+                "extract_fields(text, fields): `fields` must be a constant "
+                "comma-separated string of column names"
+            )
+        names = [f.strip() for f in fields.value.split(",") if f.strip()]
+        if not names:
+            raise ValueError("extract_fields: empty field list")
+        return AnalyzeResult(
+            schema=StructType(
+                [StructField(n, StringType()) for n in names]
+            )
+        )
+
+    def eval(self, text: str | None, fields: str):
+        names = [f.strip() for f in fields.split(",") if f.strip()]
+        if text is None:
+            yield tuple(None for _ in names)
+            return
+        d = {m.group(1): m.group(2) for m in _FIELD_RE.finditer(text)}
+        yield tuple(d.get(n) for n in names)
+
+
+def register_extract_fields_udtf(
+    spark: SparkSession, name: str = "extract_fields"
+):
+    spark.udtf.register(name, ExtractFields)
