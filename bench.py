@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "q_topk_per_group_events",
     "q_running_total_customer_spend",
     "q_exact_quantiles_by_type",
+    "q18_large_volume_customers",
+    "q17_small_quantity_revenue",
+    "q_window_range_frame_orders",
+    "q_higher_order_word_stats",
     "q_interval_join_signup_clicks",
     "q_hash_split_documents",
     "q_chunk_documents",

@@ -2244,6 +2244,228 @@ def _media_frames_oracle() -> str:
 ORACLES["media_frame_sample_counts"] = _media_frames_oracle()
 
 
+# ---------------------------------------------------------------------------
+# additional relational coverage: HAVING-over-agg semi join (TPC-H Q18
+# shape), correlated scalar-agg subquery (Q17 shape), FILTER-clause
+# aggregates + unpivot, RANGE window frames, multiset set ops
+# (INTERSECT/EXCEPT ALL), higher-order array lambdas, null-safe join.
+# ---------------------------------------------------------------------------
+@query(
+    "q18_large_volume_customers",
+    "with big as (select l_orderkey, "
+    + _dec_sum("l_quantity", "total_qty")
+    + " from lineitem group by l_orderkey"
+    "  having sum(cast(l_quantity as decimal(18,4))) > 250) "
+    "select c_custkey, o_orderkey, total_qty, o_totalprice "
+    "from big join orders on o_orderkey = l_orderkey "
+    "join customer on c_custkey = o_custkey",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): GROUP BY + HAVING over the
+    fact table selects ~1% of orders, which then drives the joins — at
+    100 TB the having-filtered aggregate is tiny, so it broadcasts into
+    orders and customer instead of shuffling either. The IN-subquery
+    formulation decorrelates to exactly this aggregate+join plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr(_dec_sum("l_quantity", "total_qty")))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "total_qty", "o_totalprice")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    "with pa as (select l_partkey as pk, count(*) as cnt,"
+    " sum(cast(l_quantity as decimal(18,4))) as sq from lineitem group by 1) "
+    "select count(*) as n_small, "
+    + _dec_sum("l_extendedprice", "total_price")
+    + " from lineitem l join pa on l.l_partkey = pa.pk"
+    " join part p on p.p_partkey = l.l_partkey"
+    " where p.p_brand = 'Brand#2'"
+    "  and cast(5 * l.l_quantity as decimal(18,4)) * cnt < sq",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery `l_quantity < 0.2 * avg(l_quantity) per part` is
+    decorrelated into a per-part aggregate broadcast back into the fact
+    scan. The threshold compare is algebraically cleared of division
+    (5*qty*cnt < sum_qty, exact decimals) so both engines agree on
+    boundary rows bit-for-bit — a double `avg` would not."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.expr("sum(cast(l_quantity as decimal(18,4)))").alias("sq"),
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.pk)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.expr("cast(5 * l_quantity as decimal(18,4)) * cnt < sq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.expr(_dec_sum("l_extendedprice", "total_price")),
+        )
+    )
+
+
+@query(
+    "q_unpivot_event_counts",
+    "with w as (select user_id,"
+    " count(*) filter (where event_type = 'click') as n_click,"
+    " count(*) filter (where event_type = 'view') as n_view,"
+    " count(*) filter (where event_type = 'purchase') as n_purchase"
+    " from events group by user_id) "
+    "select user_id, 'click' as etype, n_click as n from w "
+    "union all select user_id, 'view', n_view from w "
+    "union all select user_id, 'purchase', n_purchase from w",
+)
+def q_unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (one scan, three conditional counts in a
+    single hash aggregate — no self-joins) + `unpivot` back to long form
+    (zero-shuffle generator, the inverse of pivot)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.expr("count(*) filter (where event_type = 'click')").alias("n_click"),
+        F.expr("count(*) filter (where event_type = 'view')").alias("n_view"),
+        F.expr("count(*) filter (where event_type = 'purchase')").alias(
+            "n_purchase"
+        ),
+    )
+    return wide.unpivot(
+        ["user_id"], ["n_click", "n_view", "n_purchase"], "etype", "n"
+    ).select("user_id", F.expr("substring(etype, 3)").alias("etype"), "n")
+
+
+@query(
+    "q_window_range_frame_orders",
+    "select o_orderkey, o_custkey, "
+    "cast(sum(cast(o_totalprice as decimal(18,4))) over ("
+    " partition by o_custkey order by epoch_ms(o_orderdate)"
+    " range between 2592000000 preceding and current row) as double)"
+    " as rolling_30d from orders",
+)
+def q_window_range_frame_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time: per customer, the rolling
+    30-day order volume. RANGE (not ROWS) makes peer rows — same
+    timestamp — aggregate identically regardless of physical order, so
+    the result is deterministic under any partitioning; state per group
+    is bounded by the frame width, not history."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-2592000000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_30d"),
+    )
+
+
+@query(
+    "q_bag_set_ops_events",
+    "select 'intersect_all' as op, count(*) as n from ("
+    " select user_id from events where event_type = 'click'"
+    " intersect all select user_id from events where event_type = 'view') a "
+    "union all "
+    "select 'except_all' as op, count(*) as n from ("
+    " select user_id from events where event_type = 'click'"
+    " except all select user_id from events where event_type = 'view') b",
+)
+def q_bag_set_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operators (INTERSECT ALL / EXCEPT ALL): bag semantics
+    Catalyst plans as count-annotated joins + generate — one shuffle per
+    operand pair, no distinct pre-pass."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    inter = (
+        clicks.intersectAll(views)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "n")
+    )
+    exc = (
+        clicks.exceptAll(views)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "n")
+    )
+    return inter.unionAll(exc)
+
+
+@query(
+    "q_higher_order_word_stats",
+    "with f as (select lang, string_split(text, ' ') as words from documents) "
+    "select lang, "
+    "cast(sum(len(list_filter(words, w -> length(w) > 5))) as bigint)"
+    " as long_words, "
+    "cast(sum(list_sum(list_transform(words, w -> length(w)))) as bigint)"
+    " as word_chars, "
+    "cast(sum(case when len(list_filter(words, w -> regexp_matches(w, '[0-9]')))"
+    " > 0 then 1 else 0 end) as bigint) as docs_with_digit, "
+    "count(*) as n_docs from f group by lang",
+)
+def q_higher_order_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas (`filter`/`transform`+`aggregate`/
+    `exists`) evaluated JVM-side inside codegen — the scale path for
+    per-element array logic that would otherwise fall back to Python."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.expr("size(filter(split(text, ' '), w -> length(w) > 5))").alias(
+                "lw"
+            ),
+            F.expr(
+                "aggregate(split(text, ' '), 0L, (acc, w) -> acc + length(w))"
+            ).alias("wc"),
+            F.expr("exists(split(text, ' '), w -> w rlike '[0-9]')").alias(
+                "hd"
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("lw").alias("long_words"),
+            F.sum("wc").alias("word_chars"),
+            F.sum(F.col("hd").cast("long")).alias("docs_with_digit"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "q_nullsafe_join_tools",
+    f"with {TRANSCRIPTS_CTE} "
+    "select tool, count(*) as n from transcripts group by tool",
+)
+def q_nullsafe_join_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the tool
+    dimension includes NULL (non-tool turns), which a plain equi-join
+    would silently drop; `eqNullSafe` hash-joins NULL as a regular key.
+    The oracle is the equivalent direct GROUP BY."""
+    t = load_transcripts(spark, sf_dir)
+    dim = t.select(F.col("tool").alias("d_tool")).distinct()
+    return (
+        t.join(F.broadcast(dim), t.tool.eqNullSafe(F.col("d_tool")))
+        .groupBy("d_tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("d_tool").alias("tool"), "n")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'has this (conv_id, text-fingerprint) been seen?' over the
     sf0.001 transcripts — XOR16 build + vectorized probe, per-role counts."""
