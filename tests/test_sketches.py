@@ -390,3 +390,75 @@ class TestSketchColumns:
             ).collect()
         }
         assert out == {None: 2.0, "g": 1.0}
+
+
+# -- Bottom-k uniform sample --------------------------------------------------
+def _bk_frames(k=None):
+    """Hashed (h, key, payload) frames mimicking with_sample_hash output."""
+    import hashlib
+
+    keys = pd.Series([f"u{i % 500}" for i in range(6_000)])
+    payload = pd.Series(np.arange(6_000)[::-1] % 977)
+    h = keys.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    return pd.DataFrame({"__bk_hash": h, "k": keys, "v": payload})
+
+
+def test_bottomk_partition_invariant_and_fixed_size():
+    from xorfilter_net_spark.sketches.bottomk import BottomKSample
+
+    sk = BottomKSample(64, "k")
+    pdf = _bk_frames()
+    whole = sk.update(sk.zero(), pdf)
+    assert len(whole) == 64
+    assert whole["k"].is_unique
+    assert list(whole["__bk_hash"]) == sorted(whole["__bk_hash"])
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        assign = rng.integers(0, 9, len(pdf))
+        sts = [
+            sk.update(sk.zero(), pdf[assign == p].reset_index(drop=True))
+            for p in range(9)
+            if (assign == p).any()
+        ]
+        merged = functools.reduce(sk.merge, sts)
+        # identical sample rows (incl. the deterministic payload pick)
+        pd.testing.assert_frame_equal(
+            merged.reset_index(drop=True), whole.reset_index(drop=True)
+        )
+        rev = functools.reduce(sk.merge, list(reversed(sts)))
+        pd.testing.assert_frame_equal(
+            rev.reset_index(drop=True), whole.reset_index(drop=True)
+        )
+
+
+def test_bottomk_zero_identity_and_serialize_roundtrip():
+    from xorfilter_net_spark.sketches.bottomk import BottomKSample
+
+    sk = BottomKSample(16, "k")
+    pdf = _bk_frames()
+    st = sk.update(sk.zero(), pdf)
+    assert sk.merge(st, sk.zero()) is st
+    assert sk.merge(sk.zero(), st) is st
+    rt = sk.deserialize(sk.serialize(st))
+    pd.testing.assert_frame_equal(rt, st)
+    fin = sk.finish(sk.zero())
+    assert len(fin) == 0 and "k" in fin.columns
+
+
+def test_bottomk_spark_end_to_end_matches_sql(spark, sf_small):
+    """Two-phase Spark aggregation == the engine-portable SQL definition
+    (order by md5(key), key limit k) — the driver-contract invariant."""
+    from xorfilter_net_spark.sketches.bottomk import bottomk_sample
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    got = bottomk_sample(ev.repartition(13), "user_id", k=37)
+    exp = (
+        ev.select("user_id")
+        .distinct()
+        .select(F.md5(F.col("user_id").cast("string")).alias("h"), "user_id")
+        .orderBy("h", "user_id")
+        .limit(37)
+        .toPandas()
+    )
+    assert list(got["user_id"]) == list(exp["user_id"])
+    assert list(got["__bk_hash"]) == list(exp["h"])

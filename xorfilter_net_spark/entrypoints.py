@@ -701,6 +701,26 @@ def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bottomk_sample_users",
+    "select user_id, md5(cast(user_id as varchar)) as h "
+    "from (select distinct user_id from events) "
+    "order by h, user_id limit 60",
+)
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k uniform sample (sketches/bottomk.py): the 60
+    md5-smallest distinct user_ids, built as a two-phase aggregate whose
+    shuffle carries one <=60-row state per partition. Deterministic and
+    engine-portable by construction, so the oracle reproduces the exact
+    sample: order by md5(key), key limit k."""
+    from .sketches.bottomk import bottomk_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    pdf = bottomk_sample(ev, "user_id", k=60)
+    out = pdf.rename(columns={"__bk_hash": "h"})[["user_id", "h"]]
+    return spark.createDataFrame(out, "user_id bigint, h string")
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (SURVEY.md §2.2: scan/filter/project/agg/join/window/
 # sort/limit/set-ops/rollup) — exact oracles
