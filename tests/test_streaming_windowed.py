@@ -434,3 +434,92 @@ class TestStatefulGroupSketchTws:
         }
         for g, n in totals.items():
             assert n == counts[g]
+
+
+class TestStreamingSessionize:
+    def test_sessions_merge_across_microbatches(self, spark, tmp_path):
+        """A session split across triggers must come out as ONE session:
+        the state store keeps the open session and extends/merges it when
+        the next micro-batch delivers events within the gap."""
+        from xorfilter_net_spark.relational import sessionize
+
+        base = time.time() - 3600
+        schema = "user_id long, ts timestamp"
+        # slice 0: user 1 events at 10:00 and 10:10 (one open session);
+        # user 2 at 10:00 (its own session)
+        s0 = spark.createDataFrame(
+            [(1, _ts(0)), (1, _ts(10)), (2, _ts(0))], schema
+        )
+        # slice 1: user 1 at 10:25 (within 30m of 10:10 -> same session);
+        # user 2 at 10:45 (gap 45m > 30m -> NEW session)
+        s1 = spark.createDataFrame([(1, _ts(25)), (2, _ts(45))], schema)
+        for i, s in enumerate((s0, s1)):
+            _write_slice(s, str(tmp_path / f"s{i}"), base + 10 * i)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "s*"))
+        )
+        sess = sessionize(
+            stream, key="user_id", ts="ts", gap="30 minutes",
+            watermark_delay="1 hour",
+        )
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("sess_merge_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in spark.table("sess_merge_sink").collect()
+        }
+        assert got == {
+            (1, _ts(0), 3),   # one merged session spanning both batches
+            (2, _ts(0), 1),
+            (2, _ts(45), 1),  # split by the 45-minute gap
+        }
+
+    def test_batch_parity(self, spark, sf_tiny):
+        """The same sessionize() call on batch and on a stream of the
+        same rows yields identical sessions."""
+        from xorfilter_net_spark.relational import sessionize
+
+        ev = (
+            spark.read.parquet(f"{sf_tiny}/events.parquet")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        batch = sessionize(ev, key="user_id", ts="ts", gap="30 minutes")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .parquet(f"{sf_tiny}/events.parque*")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        sess = sessionize(
+            stream, key="user_id", ts="ts", gap="30 minutes",
+            watermark_delay="1 hour",
+        )
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("sess_parity_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            [
+                (r["user_id"], r["session_start"], r["n_events"])
+                for r in spark.table("sess_parity_sink").collect()
+            ]
+        )
+        exp = sorted(
+            [
+                (r["user_id"], r["session_start"], r["n_events"])
+                for r in batch.collect()
+            ]
+        )
+        assert got == exp

@@ -615,6 +615,62 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qn).select("user_id", "click_id", "view_id")
 
 
+@query(
+    "streaming_sessionize_events",
+    "with flagged as (select user_id, ts, case when "
+    " lag(ts) over w is null or "
+    " epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000 "
+    " then 1 else 0 end as is_start from events "
+    " window w as (partition by user_id order by ts, event_id)), "
+    "sess as (select user_id, ts, sum(is_start) over "
+    " (partition by user_id order by ts rows unbounded preceding) as sid "
+    " from flagged) "
+    "select user_id, min(epoch_us(ts)) as session_start_epoch, "
+    "count(*) as n_events from sess group by user_id, sid",
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization through the real streaming engine: the same
+    ``session_window`` expression as the batch query (relational/
+    sessions.py), but evaluated in the streaming state store over a
+    file-source replay — open sessions live as state, merge when a
+    bridging event arrives, and the complete-mode final trigger emits
+    the closed set. Stream/batch parity IS the correctness contract:
+    the oracle is the identical lag/cumsum relational definition the
+    batch query is checked against."""
+    from .relational import sessionize
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.parque*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sess = sessionize(
+        stream,
+        key="user_id",
+        ts="ts",
+        gap="30 minutes",
+        watermark_delay="1 hour",
+    )
+    qn = "streaming_sessionize_events_sink"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qn).select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "session_start_epoch"
+        ),
+        "n_events",
+    )
+
+
 _QS = (0.01, 0.25, 0.5, 0.75, 0.99)
 _QS_ORACLE = (
     "select * from (values "

@@ -28,16 +28,27 @@ def sessionize(
     ts: str,
     gap: str = "30 minutes",
     aggs: list[Column] | None = None,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Aggregate ``df`` into per-(key, session) rows.
 
     Returns one row per session with ``key``, ``session_start`` (the
     session's first event timestamp), ``n_events``, plus any extra
     ``aggs`` expressions.
+
+    Works unchanged on a *streaming* DataFrame: pass ``watermark_delay``
+    and the same session_window expression runs in the streaming state
+    store — open sessions are kept as state, merged as late rows arrive
+    (sessions can merge when a bridging event lands between two open
+    ones), and evicted once the watermark passes their close. State is
+    bounded by (open sessions x delay), not history.
     """
     aggs = aggs or []
+    src = df
+    if df.isStreaming and watermark_delay is not None:
+        src = df.withWatermark(ts, watermark_delay)
     return (
-        df.groupBy(key, F.session_window(ts, gap).alias("__w"))
+        src.groupBy(key, F.session_window(ts, gap).alias("__w"))
         .agg(
             F.min(ts).alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
