@@ -159,6 +159,63 @@ def main() -> None:
         )
     )
 
+    # 8. Q18 shape: HAVING-filtered aggregate broadcasts into the joins
+    sections.append(
+        (
+            "HAVING-over-agg semi join (q18_large_volume_customers)",
+            "The having-filtered per-order aggregate (tiny output) sits "
+            "under BroadcastExchange on both joins — orders and customer "
+            "are probed map-side; no fact-side shuffle for the join.",
+            captured_explain(
+                ep.QUERIES["q18_large_volume_customers"](spark, SF_DIR)
+            ),
+        )
+    )
+
+    # 9. explicit GROUPING SETS: one scan, one Expand
+    sections.append(
+        (
+            "Explicit GROUPING SETS (q_grouping_sets_events)",
+            "Three grouping sets = one parquet scan + one Expand (3 "
+            "replicas) + a two-level HashAggregate — never three scans.",
+            captured_explain(ep.QUERIES["q_grouping_sets_events"](spark, SF_DIR)),
+        )
+    )
+
+    # 10. higher-order array lambdas stay JVM-side
+    sections.append(
+        (
+            "Higher-order array lambdas (q_higher_order_word_stats)",
+            "filter/transform/aggregate/exists lambdas evaluate inside "
+            "the codegen stage — no ArrowEvalPython/BatchEvalPython node.",
+            captured_explain(
+                ep.QUERIES["q_higher_order_word_stats"](spark, SF_DIR)
+            ),
+        )
+    )
+
+    # 11. MERGE INTO: base read is partition-pruned to touched buckets
+    import tempfile
+
+    from xorfilter_net_spark.sources.upsert import BUCKET_COL, write_snapshot
+
+    snap = tempfile.mkdtemp(prefix="xfns_plan_merge_") + "/snap"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    write_snapshot(docs, snap, "doc_id", n_buckets=16)
+    base_pruned = spark.read.parquet(snap).filter(
+        F.col(BUCKET_COL).isin([1, 5, 9])
+    )
+    sections.append(
+        (
+            "MERGE INTO base read (sources/upsert.py)",
+            "The merge reads the snapshot with the touched-bucket set as "
+            "a PartitionFilter: untouched bucket dirs are pruned at "
+            "planning time and never opened — merge cost is O(delta + "
+            "touched buckets), not O(snapshot).",
+            captured_explain(base_pruned),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",
@@ -185,7 +242,15 @@ def main() -> None:
     assert distinct_plan.count("Scan parquet  (") == 1  # single leaf scan
     z_plan = sections[7][2]
     assert "Python" not in z_plan
-    print("topk/multi-distinct/z-order plans — OK")
+    q18_plan = sections[8][2]
+    assert q18_plan.count("BroadcastHashJoin") >= 2
+    gs_plan = sections[9][2]
+    assert "Expand" in gs_plan and gs_plan.count("Scan parquet  (") == 1
+    hof_plan = sections[10][2]
+    assert "ArrowEvalPython" not in hof_plan and "BatchEvalPython" not in hof_plan
+    merge_plan = sections[11][2]
+    assert "PartitionFilters: [bucket" in merge_plan
+    print("topk/multi-distinct/z-order/q18/grouping-sets/hof/merge plans — OK")
     spark.stop()
 
 
