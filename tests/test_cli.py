@@ -238,3 +238,32 @@ def test_cli_gen_transcripts(spark, tmp_path, cli_out):
     from xorfilter_net_spark.sources.synthetic import generate_batch
 
     assert out["rows"] == generate_batch(0, 150, 7, 8).num_rows
+
+
+def test_cli_merge_init_and_apply(spark, sf_tiny, tmp_path, cli_out):
+    docs = f"{sf_tiny}/documents.parquet"
+    snap = str(tmp_path / "snap")
+    out = cli_out(
+        ["merge", "init", "--snapshot", snap, "--input", docs,
+         "--key-col", "doc_id", "--buckets", "8"]
+    )
+    n0 = out["rows"]
+    assert n0 > 0
+
+    delta_path = str(tmp_path / "delta")
+    from pyspark.sql import functions as F
+
+    d = (
+        spark.read.parquet(docs)
+        .filter("doc_id % 7 = 0")
+        .withColumn("text", F.lit("updated"))
+    )
+    d.write.parquet(delta_path)
+    out = cli_out(
+        ["merge", "apply", "--snapshot", snap, "--input", delta_path,
+         "--key-col", "doc_id"]
+    )
+    assert out["rows"] == n0  # pure update: no inserts/deletes
+    assert 0 < out["buckets_touched"] <= 8
+    got = spark.read.parquet(snap)
+    assert got.filter("text = 'updated'").count() == d.count()

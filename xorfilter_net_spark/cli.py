@@ -245,6 +245,32 @@ def cmd_gen_transcripts(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_merge(args: argparse.Namespace) -> dict:
+    """MERGE INTO a keyed snapshot (sources/upsert.py): ``init`` writes
+    the bucket-partitioned snapshot; ``apply`` folds a delta parquet
+    (optionally with a boolean delete-marker column) into it, rewriting
+    only the touched bucket dirs."""
+    from .sources.upsert import merge_into, read_snapshot, write_snapshot
+
+    spark = _get_spark("merge")
+    if args.action == "init":
+        df = spark.read.parquet(args.input)
+        write_snapshot(df, args.snapshot, args.key_col, args.buckets)
+        stats = {"buckets_touched": args.buckets, "n_buckets": args.buckets}
+    else:
+        delta = spark.read.parquet(args.input)
+        stats = merge_into(
+            spark, args.snapshot, delta, deleted_col=args.deleted_col
+        )
+    return {
+        "command": "merge",
+        "action": args.action,
+        "snapshot": args.snapshot,
+        "rows": read_snapshot(spark, args.snapshot).count(),
+        **stats,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="xorfilter_net_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -308,6 +334,17 @@ def main(argv: list[str] | None = None) -> int:
         "--tau", type=float, default=0.5, help="near mode: Jaccard threshold"
     )
     d.set_defaults(fn=cmd_dedup)
+
+    m = sub.add_parser(
+        "merge", help="MERGE INTO a keyed snapshot (bucket-pruned rewrite)"
+    )
+    m.add_argument("action", choices=["init", "apply"])
+    m.add_argument("--snapshot", required=True)
+    m.add_argument("--input", required=True, help="source/delta parquet")
+    m.add_argument("--key-col", default="doc_id")
+    m.add_argument("--buckets", type=int, default=64)
+    m.add_argument("--deleted-col", default=None)
+    m.set_defaults(fn=cmd_merge)
 
     g = sub.add_parser(
         "gen-transcripts",
