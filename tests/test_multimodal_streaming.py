@@ -165,3 +165,41 @@ class TestStreamingIncremental:
         s2, m2 = acc.load()
         assert sk.serialize(s1) == sk.serialize(s2)
         assert m1["rows"] == m2["rows"] == 100
+
+
+class TestResize:
+    def test_resize_shapes_and_determinism(self, media):
+        from xorfilter_net_spark.multimodal.media import resize_media
+
+        r1 = resize_media(media, out_w=8, out_h=8).orderBy("media_id")
+        rows = r1.limit(20).collect()
+        assert rows, "resize produced no rows"
+        for r in rows:
+            assert len(bytes(r["pixels"])) == 8 * 8
+            assert (r["out_w"], r["out_h"]) == (8, 8)
+        # deterministic: a second pass yields identical checksums
+        a = {r["media_id"]: r["checksum"] for r in r1.collect()}
+        b = {
+            r["media_id"]: r["checksum"]
+            for r in resize_media(media, out_w=8, out_h=8).collect()
+        }
+        assert a == b
+
+    def test_resize_matches_direct_numpy(self, media):
+        from xorfilter_net_spark.multimodal.media import (
+            decode_media,
+            resize_media,
+        )
+
+        src = media.orderBy("media_id").limit(5).collect()
+        got = {
+            r["media_id"]: bytes(r["pixels"])
+            for r in resize_media(media, out_w=4, out_h=6).collect()
+        }
+        for r in src:
+            px = decode_media(
+                bytes(r["payload"]), int(r["width"]), int(r["height"])
+            )
+            iy = (np.arange(6) * px.shape[0]) // 6
+            ix = (np.arange(4) * px.shape[1]) // 4
+            assert got[r["media_id"]] == px[np.ix_(iy, ix)].tobytes()

@@ -2352,6 +2352,55 @@ def _media_frames_oracle() -> str:
 ORACLES["media_frame_sample_counts"] = _media_frames_oracle()
 
 
+@query("media_resize_stats", None)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize (multimodal/media.py::resize_media): per
+    media_type row counts + total resized bytes (pure functions of the
+    metadata, exact in the oracle) + a Spark-side determinism gate (two
+    independent resize passes must agree checksum-for-checksum; oracle
+    expects TRUE)."""
+    from .multimodal.media import media_table, resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = media_table(spark, docs)
+    r1 = resize_media(m, out_w=8, out_h=8)
+    r2 = resize_media(m, out_w=8, out_h=8).withColumnRenamed(
+        "checksum", "checksum2"
+    ).select("media_id", "checksum2")
+    stable = (
+        r1.join(r2, "media_id")
+        .agg(
+            F.min(F.col("checksum") == F.col("checksum2")).alias("det"),
+            F.min(F.length("pixels") == 64).alias("sized"),
+        )
+        .first()
+    )
+    return (
+        r1.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_resized"),
+            F.sum(F.length("pixels")).alias("resized_bytes"),
+        )
+        .withColumn(
+            "deterministic", F.lit(bool(stable["det"] and stable["sized"]))
+        )
+    )
+
+
+def _media_resize_oracle() -> str:
+    from .multimodal.media import media_select
+
+    return (
+        f"with media as ({media_select('duckdb')}) "
+        "select media_type, count(*) as n_resized, "
+        "cast(count(*) * 64 as bigint) as resized_bytes, "
+        "true as deterministic from media group by media_type"
+    )
+
+
+ORACLES["media_resize_stats"] = _media_resize_oracle()
+
+
 # ---------------------------------------------------------------------------
 # additional relational coverage: HAVING-over-agg semi join (TPC-H Q18
 # shape), correlated scalar-agg subquery (Q17 shape), FILTER-clause

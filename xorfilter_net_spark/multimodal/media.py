@@ -141,3 +141,64 @@ def sample_frames(
     return media.select("media_id", payload_col, "n_frames").mapInPandas(
         gen, schema="media_id long, frame_idx int, frame binary"
     )
+
+
+def resize_media(
+    media: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    payload_col: str = "payload",
+    codec: str = "fake",
+) -> DataFrame:
+    """Nearest-neighbor resize of every decoded pixel grid to
+    (out_h, out_w) — the thumbnail/normalization step of an image
+    pipeline. The resample itself is real (pure NumPy index gather, no
+    codec dependence); only the decode behind it is the pluggable stub.
+    Emits the resized grid as bytes plus a deterministic checksum so
+    tests can pin batch-shape and value stability end to end."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, types, blobs, sums = [], [], [], []
+            for mid, mtype, payload, w, h in zip(
+                pdf["media_id"],
+                pdf["media_type"],
+                pdf[payload_col],
+                pdf["width"],
+                pdf["height"],
+            ):
+                px = decode_media(bytes(payload), int(w), int(h), codec)
+                iy = (np.arange(out_h) * px.shape[0]) // out_h
+                ix = (np.arange(out_w) * px.shape[1]) // out_w
+                small = px[np.ix_(iy, ix)]
+                ids.append(mid)
+                types.append(mtype)
+                blobs.append(small.tobytes())
+                # order-sensitive checksum: position-mixed so permuted
+                # pixel grids do not collide
+                vals = small.reshape(-1).astype(np.uint64)
+                pos = np.arange(vals.size, dtype=np.uint64)
+                sums.append(
+                    int(splitmix64(vals * np.uint64(31) + pos).sum()
+                        & np.uint64(0x7FFFFFFFFFFFFFFF))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": types,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "pixels": blobs,
+                    "checksum": sums,
+                }
+            )
+
+    return media.select(
+        "media_id", "media_type", payload_col, "width", "height"
+    ).mapInPandas(
+        gen,
+        schema=(
+            "media_id long, media_type string, out_w int, out_h int, "
+            "pixels binary, checksum long"
+        ),
+    )
