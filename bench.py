@@ -93,6 +93,15 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q14_promo_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
     "theta_set_ops_users",
     "xor16_zero_false_negatives",
     "xor_sharded_zero_false_negatives",

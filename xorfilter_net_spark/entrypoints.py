@@ -963,6 +963,442 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_forecast_revenue",
+    "select "
+    + _dec_sum("l_extendedprice * l_discount", "revenue")
+    + ", count(*) as n_items from lineitem"
+    " where l_shipdate >= timestamp '1996-01-01 00:00:00'"
+    "  and l_shipdate < timestamp '1997-01-01 00:00:00'"
+    "  and l_discount >= 0.05 and l_discount <= 0.07"
+    "  and l_quantity < 24",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast-revenue change): pure scan-filter-agg.
+    Every predicate is a base-column comparison, so all four push to the
+    parquet scan (PushedFilters) and row groups outside the shipdate
+    window never leave disk; the plan has zero shuffles (partial agg per
+    scan task + one singleton exchange of 2 values). At 100 TB this is
+    the canonical IO-bound query — throughput == scan bandwidth."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.expr(_dec_sum("l_extendedprice * l_discount", "revenue")),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    "select supp_nation, cust_nation, l_year, "
+    + _dec_sum("volume", "revenue")
+    + " from (select n1.n_name as supp_nation, n2.n_name as cust_nation,"
+    "  year(l.l_shipdate) as l_year,"
+    "  l.l_extendedprice * (1 - l.l_discount) as volume"
+    " from supplier s join lineitem l on s.s_suppkey = l.l_suppkey"
+    " join orders o on o.o_orderkey = l.l_orderkey"
+    " join customer c on c.c_custkey = o.o_custkey"
+    " join nation n1 on s.s_nationkey = n1.n_nationkey"
+    " join nation n2 on c.c_nationkey = n2.n_nationkey"
+    " where ((n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')"
+    "   or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1'))"
+    "  and l.l_shipdate >= timestamp '1996-01-01 00:00:00'"
+    "  and l.l_shipdate < timestamp '1998-01-01 00:00:00') shipping"
+    " group by supp_nation, cust_nation, l_year",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral volume shipping): the disjunctive
+    nation-pair predicate references both sides of the orderkey join, so
+    each side is pre-pruned to the 2-nation superset (broadcast dim
+    joins, map-side) and only the residual (pair-orientation) filter
+    runs after the single fact-fact shuffle — the shuffle carries ~2/25
+    of the fact rows instead of all of them."""
+    pair = ("NATION_1", "NATION_2")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li_s = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).select(
+        "l_orderkey",
+        "supp_nation",
+        F.year("l_shipdate").alias("l_year"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    o_c = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    return (
+        li_s.join(o_c, li_s.l_orderkey == o_c.o_orderkey)
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.expr(_dec_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    "select o_year, "
+    + _dec_sum(
+        "case when nation = 'NATION_3' then volume else 0 end", "nation_volume"
+    )
+    + ", "
+    + _dec_sum("volume", "total_volume")
+    + " from (select year(o.o_orderdate) as o_year,"
+    "  l.l_extendedprice * (1 - l.l_discount) as volume, n1.n_name as nation"
+    " from part p join lineitem l on p.p_partkey = l.l_partkey"
+    " join supplier s on s.s_suppkey = l.l_suppkey"
+    " join orders o on o.o_orderkey = l.l_orderkey"
+    " join customer c on c.c_custkey = o.o_custkey"
+    " join nation n2 on c.c_nationkey = n2.n_nationkey"
+    " join region r on n2.n_regionkey = r.r_regionkey"
+    " join nation n1 on s.s_nationkey = n1.n_nationkey"
+    " where r.r_name = 'ASIA' and p.p_type = 'ECONOMY'"
+    "  and o.o_orderdate >= timestamp '1996-01-01 00:00:00'"
+    "  and o.o_orderdate < timestamp '1998-01-01 00:00:00') all_nations"
+    " group by o_year",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): 7-table star over the
+    lineitem fact. Selective dims (region->customer-nation, part type)
+    broadcast-prune each fact input before the single orderkey shuffle;
+    the share numerator is a conditional aggregate (no second scan).
+    Numerator/denominator cross the engines as exact decimals; the
+    caller derives the ratio (division would compare doubles)."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o_c = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("nation")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nk")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "nation")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "nation", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o_c, li.l_orderkey == o_c.o_orderkey)
+        .groupBy("o_year")
+        .agg(
+            F.expr(
+                _dec_sum(
+                    "case when nation = 'NATION_3' then"
+                    " l_extendedprice * (1 - l_discount) else 0 end",
+                    "nation_volume",
+                )
+            ),
+            F.expr(_dec_sum("l_extendedprice * (1 - l_discount)", "total_volume")),
+        )
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    "select nation, o_year, "
+    + _dec_sum("amount", "sum_profit")
+    + " from (select n.n_name as nation, year(o.o_orderdate) as o_year,"
+    "  l.l_extendedprice * (1 - l.l_discount) as amount"
+    " from part p join lineitem l on p.p_partkey = l.l_partkey"
+    " join supplier s on s.s_suppkey = l.l_suppkey"
+    " join orders o on o.o_orderkey = l.l_orderkey"
+    " join nation n on s.s_nationkey = n.n_nationkey"
+    " where p.p_name like '%red%') profit"
+    " group by nation, o_year",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit, adapted: the testdata star
+    has no partsupp table so profit = revenue; reference schema gap
+    noted in SURVEY.md §2.2). The LIKE '%red%' part filter cannot prune
+    row groups (no prefix) but still broadcast-prunes the fact before
+    the orderkey shuffle — the join carries ~1/6 of lineitem."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("nation")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("supp_nk")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "nation")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "nation", "l_extendedprice", "l_discount")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(F.expr(_dec_sum("l_extendedprice * (1 - l_discount)", "sum_profit")))
+    )
+
+
+@query(
+    "q10_returned_items",
+    "select c_custkey, c_name, "
+    + _dec_sum("l_extendedprice * (1 - l_discount)", "revenue")
+    + ", c_acctbal, n_name, c_mktsegment"
+    " from customer c join orders o on c.c_custkey = o.o_custkey"
+    " join lineitem l on l.l_orderkey = o.o_orderkey"
+    " join nation n on c.c_nationkey = n.n_nationkey"
+    " where o.o_orderdate >= timestamp '1996-07-01 00:00:00'"
+    "  and o.o_orderdate < timestamp '1996-10-01 00:00:00'"
+    "  and l.l_returnflag = 'R'"
+    " group by c_custkey, c_name, c_acctbal, n_name, c_mktsegment"
+    " order by revenue desc, c_custkey limit 20",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): quarter-sliced orders
+    x returnflag-sliced lineitem -> one orderkey shuffle -> group by
+    customer -> global top-20. The final top-k is a
+    TakeOrderedAndProject (per-partition heap + driver merge of 20-row
+    heads), not a global sort; ties broken by c_custkey and revenue kept
+    exact-decimal so both engines pick identical rows."""
+    cutoff_lo = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    cutoff_hi = F.lit("1996-10-01 00:00:00").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(F.expr(_dec_sum("l_extendedprice * (1 - l_discount)", "revenue")))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment"
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    "select c_count, count(*) as custdist from ("
+    " select c.c_custkey, count(o.o_orderkey) as c_count"
+    " from customer c left outer join orders o on c.c_custkey = o.o_custkey"
+    "  and o.o_orderpriority <> '1-URGENT'"
+    " group by c.c_custkey) c_orders group by c_count",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): left outer
+    join with a non-equi residual ON condition (priority filter must NOT
+    drop customers, so it lives in the join condition, not a WHERE),
+    double aggregation. First agg shuffles on custkey; the second input
+    is one row per customer, so its shuffle is negligible. count(col)
+    vs count(*) distinction: unmatched customers count 0, not 1."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    "with revenue as (select l_suppkey as supplier_no,"
+    " sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as total_rev"
+    " from lineitem"
+    " where l_shipdate >= timestamp '1996-01-01 00:00:00'"
+    "  and l_shipdate < timestamp '1996-04-01 00:00:00'"
+    " group by l_suppkey) "
+    "select s.s_suppkey, s.s_name, cast(total_rev as double) as total_revenue"
+    " from supplier s join revenue on s.s_suppkey = supplier_no"
+    " where total_rev = (select max(total_rev) from revenue)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): aggregate view reused twice —
+    once grouped, once reduced to its max — with the scalar max
+    broadcast back as a single-row join (no second scan of the fact:
+    the quarter-sliced agg is tiny, one row per supplier). Equality on
+    the threshold is exact-decimal, so 'the' max row set is identical
+    in both engines even under revenue ties."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.expr(
+            "sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4)))"
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    "select "
+    + _dec_sum("l_extendedprice * (1 - l_discount)", "revenue")
+    + ", count(*) as n_items"
+    " from lineitem l join part p on p.p_partkey = l.l_partkey"
+    " where (p.p_brand = 'Brand#1' and p.p_size between 1 and 10"
+    "        and l.l_quantity >= 1 and l.l_quantity <= 11)"
+    "    or (p.p_brand = 'Brand#2' and p.p_size between 1 and 20"
+    "        and l.l_quantity >= 10 and l.l_quantity <= 20)"
+    "    or (p.p_brand = 'Brand#3' and p.p_size between 1 and 30"
+    "        and l.l_quantity >= 20 and l.l_quantity <= 30)",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs): the disjunction
+    mixes part and lineitem columns, so no single conjunct pushes past
+    the join on its own. Each side gets its manually-derived superset
+    predicate (part: brand-in-set + size cap; lineitem: quantity hull
+    1..30) pushed to its scan — the classic constraint-propagation
+    rewrite engines apply to Q19 — and the exact OR runs as the
+    residual after the broadcast join."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 30)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 20)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 30)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.expr(_dec_sum("l_extendedprice * (1 - l_discount)", "revenue")),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    "with pos as (select count(*) as cnt,"
+    " sum(cast(c_acctbal as decimal(18,4))) as tot"
+    " from customer where c_acctbal > 0) "
+    "select n.n_name, count(*) as numcust, "
+    + _dec_sum("c_acctbal", "totacctbal")
+    + " from customer c cross join pos"
+    " join nation n on c.c_nationkey = n.n_nationkey"
+    " where n.n_nationkey < 10"
+    "  and cast(c.c_acctbal as decimal(18,4)) * pos.cnt > pos.tot"
+    "  and not exists (select 1 from orders o where o.o_custkey = c.c_custkey"
+    "                  and o.o_orderpriority = '1-URGENT')"
+    " group by n.n_name",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity, adapted: nation key
+    range stands in for the phone-prefix list — the testdata schema has
+    no c_phone): above-average-balance customers with no orders. The
+    uncorrelated avg subquery broadcasts as a single (count, sum) row
+    and the threshold is division-free exact decimal (bal*cnt > sum, as
+    in q17); the NOT EXISTS ('no urgent order' — this corpus gives every
+    customer at least one order, so the literal 'no orders' predicate is
+    vacuous) is a left-anti join whose orders side is pre-filtered by
+    the pushed priority predicate before the custkey shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.expr("sum(cast(c_acctbal as decimal(18,4)))").alias("tot"),
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        F.expr("cast(c_acctbal as decimal(18,4)) * cnt > tot")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.expr(_dec_sum("c_acctbal", "totacctbal")),
+        )
+    )
+
+
+@query(
     "q_filter_pruned_join",
     "select c_mktsegment, count(*) as n_orders, "
     + _dec_sum("o_totalprice", "total_price")
