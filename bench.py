@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "tdigest_event_value_quantiles_ok",
     "quantile_bins_documents_ok",
     "text_features",
+    "redact_documents",
     "q_token_spans_stats",
     "doc_fingerprint_distinct",
     "xor_table_cogroup_zero_false_negatives",

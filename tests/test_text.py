@@ -213,3 +213,68 @@ class TestExtractFieldsUdtf:
                 "select t.* from (select 'a=1' as s, 'a' as f), "
                 "lateral extract_fields(s, f) t"
             ).collect()
+
+
+class TestRedaction:
+    """text/redact.py — engine-portable PII scrubbing (map-only codegen)."""
+
+    SAMPLE = (
+        "mail bob.smith+x@corp.example.org link https://a.io/p?q=1 "
+        "ip 192.168.0.1 card 4111111111111111 tel 555-867-5309 "
+        "key 0123456789abcdef0123456789abcdef done"
+    )
+
+    def _spark_redact(self, spark, texts):
+        from xorfilter_net_spark.text.redact import redact_text
+
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "id long, text string")
+        return redact_text(df, "text").orderBy("id").collect()
+
+    def test_all_rules_fire_and_counts(self, spark):
+        [r] = self._spark_redact(spark, [self.SAMPLE])
+        assert r["redacted"] == (
+            "mail <EMAIL> link <URL> ip <IP> card <CARD> tel <PHONE> "
+            "key <KEY> done"
+        )
+        for rule in ("email", "url", "ipv4", "card", "phone", "hexkey"):
+            assert r[f"n_{rule}"] == 1, rule
+
+    def test_clean_text_untouched(self, spark):
+        [r] = self._spark_redact(spark, ["just plain words here"])
+        assert r["redacted"] == "just plain words here"
+        assert all(
+            r[f"n_{n}"] == 0
+            for n in ("email", "url", "ipv4", "card", "phone", "hexkey")
+        )
+
+    def test_rule_order_url_consumes_embedded_ip(self, spark):
+        [r] = self._spark_redact(spark, ["see http://10.0.0.1/admin now"])
+        assert r["redacted"] == "see <URL> now"
+        # counts are measured on the ORIGINAL text: both patterns matched
+        assert r["n_url"] == 1 and r["n_ipv4"] == 1
+
+    def test_duckdb_parity_bit_exact(self, spark):
+        import duckdb
+
+        from xorfilter_net_spark.text.redact import redact_exprs
+
+        texts = [
+            self.SAMPLE,
+            "just plain words",
+            "two mails a@b.co c@d.org and 10.1.2.3 4111111111111111",
+            "http://u:p@host/x then e@f.gg",
+            "",
+        ]
+        got = self._spark_redact(spark, texts)
+        exprs = redact_exprs("duckdb", "text")
+        cols = ", ".join(f"{sql} as {name}" for name, sql in exprs.items())
+        con = duckdb.connect()
+        con.execute("create table t(id bigint, text varchar)")
+        con.executemany("insert into t values (?, ?)",
+                        [(i, t) for i, t in enumerate(texts)])
+        want = con.execute(f"select {cols} from t order by id").df()
+        for i, row in enumerate(got):
+            assert row["redacted"] == want["redacted"][i], texts[i]
+            for n in ("email", "url", "ipv4", "card", "phone", "hexkey"):
+                assert row[f"n_{n}"] == want[f"n_{n}"][i], (texts[i], n)

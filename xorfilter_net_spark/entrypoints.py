@@ -2685,6 +2685,49 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["text_features"] = _text_oracle()
 
 
+def _seeded_pii(dialect: str) -> str:
+    """Deterministic PII-bearing text, rendered identically by both
+    engines: the corpus itself contains no digits/emails (synthetic word
+    salad), so the redaction gate injects known PII per row — otherwise
+    the oracle would pass vacuously on an all-clean corpus."""
+    cast = "string" if dialect == "spark" else "varchar"
+    d = f"cast(doc_id as {cast})"
+    m = f"cast(doc_id % 256 as {cast})"
+    return (
+        f"text || ' contact u' || {d} || '@example.com or"
+        f" https://ex.com/p/' || {d} || ' ip 10.0.' || {m} || '.7"
+        f" card 4111111111111111 tel 555-867-5309"
+        f" key 0123456789abcdef0123456789abcdef'"
+    )
+
+
+def _redact_oracle() -> str:
+    from .text.redact import redact_exprs
+
+    exprs = redact_exprs("duckdb", "text")
+    cols = ", ".join(f"{sql} as {name}" for name, sql in exprs.items())
+    return (
+        f"with seeded as (select doc_id, {_seeded_pii('duckdb')} as text"
+        f" from documents) select doc_id, {cols} from seeded"
+    )
+
+
+@query("redact_documents", None)
+def q_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing (text/redact.py): 6 ordered regexp_replace
+    rules + per-rule match counts, all whole-stage codegen, map-only.
+    The oracle compares the full redacted string byte-for-byte."""
+    from .text.redact import redact_text
+
+    d = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _seeded_pii("spark") + " as text"
+    )
+    return redact_text(d, "text").drop("text")
+
+
+ORACLES["redact_documents"] = _redact_oracle()
+
+
 @query(
     "doc_fingerprint_distinct",
     "select source, count(distinct text) as n_unique_fp from documents "
