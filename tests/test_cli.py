@@ -267,3 +267,21 @@ def test_cli_merge_init_and_apply(spark, sf_tiny, tmp_path, cli_out):
     assert 0 < out["buckets_touched"] <= 8
     got = spark.read.parquet(snap)
     assert got.filter("text = 'updated'").count() == d.count()
+
+
+def test_cli_compact_dry_run_then_execute(spark, tmp_path, cli_out):
+    root = str(tmp_path / "frag")
+    spark.range(5000).selectExpr("id", "'x' as lang").repartition(
+        12
+    ).write.partitionBy("lang").parquet(root)
+
+    out = cli_out(["compact", root, "--dry-run"])
+    assert out["dry_run"] and len(out["directories"]) == 1
+    assert out["directories"][0]["n_files"] == 12
+
+    out = cli_out(["compact", root])
+    assert not out["dry_run"] and len(out["directories"]) == 1
+    got = sorted(r["id"] for r in spark.read.parquet(root).collect())
+    assert got == list(range(5000))
+    # second run is a no-op
+    assert cli_out(["compact", root])["directories"] == []

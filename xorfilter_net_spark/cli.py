@@ -271,6 +271,33 @@ def cmd_merge(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_compact(args: argparse.Namespace) -> dict:
+    """Small-file compaction (sources/maintenance.py): metadata-planned,
+    rewrites only flagged partition dirs; ``--dry-run`` prints the plan
+    without touching data."""
+    from .sources.maintenance import compact_dataset, plan_compaction
+
+    if args.dry_run:
+        plans = plan_compaction(args.path, args.target_file_bytes)
+    else:
+        spark = _get_spark("compact")
+        plans = compact_dataset(spark, args.path, args.target_file_bytes)
+    return {
+        "command": "compact",
+        "path": args.path,
+        "dry_run": args.dry_run,
+        "directories": [
+            {
+                "dir": p.directory,
+                "n_files": p.n_files,
+                "total_bytes": p.total_bytes,
+                "target_files": p.target_files,
+            }
+            for p in plans
+        ],
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="xorfilter_net_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -345,6 +372,17 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--buckets", type=int, default=64)
     m.add_argument("--deleted-col", default=None)
     m.set_defaults(fn=cmd_merge)
+
+    cp = sub.add_parser(
+        "compact",
+        help="compact small files (rewrites only fragmented partition dirs)",
+    )
+    cp.add_argument("path")
+    cp.add_argument(
+        "--target-file-bytes", type=int, default=128 * 1024 * 1024
+    )
+    cp.add_argument("--dry-run", action="store_true")
+    cp.set_defaults(fn=cmd_compact)
 
     g = sub.add_parser(
         "gen-transcripts",
