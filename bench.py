@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
     "theta_set_ops_users",
+    "bottomk_weighted_docs",
     "xor16_zero_false_negatives",
     "xor_sharded_zero_false_negatives",
     "xor_sql_probe_zero_false_negatives",

@@ -462,3 +462,67 @@ def test_bottomk_spark_end_to_end_matches_sql(spark, sf_small):
     )
     assert list(got["user_id"]) == list(exp["user_id"])
     assert list(got["__bk_hash"]) == list(exp["h"])
+
+
+class TestWeightedBottomK:
+    """Weighted bottom-k (ticket-min Efraimidis-Spirakis, exact arith)."""
+
+    def test_spark_matches_duckdb_definition(self, spark, sf_small):
+        import duckdb
+
+        from xorfilter_net_spark.sketches.bottomk import (
+            bottomk_weighted,
+            weighted_oracle_sql,
+        )
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        got = bottomk_weighted(
+            docs.repartition(11), "doc_id", "n_chars", k=50
+        )
+        con = duckdb.connect()
+        con.execute(
+            "create view documents as select * from "
+            f"read_parquet('{sf_small}/documents.parquet')"
+        )
+        want = con.execute(
+            weighted_oracle_sql("documents", "doc_id", "n_chars", k=50)
+        ).df()
+        assert list(got["doc_id"]) == list(want["key"])
+        assert list(got["__bk_hash"]) == list(want["h"])
+
+    def test_weight_monotone_inclusion(self, spark):
+        """Keys with weight 32 must be strongly overrepresented vs
+        weight 1 (expected ~32:1 odds per slot; assert a loose 2:1)."""
+        from xorfilter_net_spark.sketches.bottomk import bottomk_weighted
+
+        df = spark.range(2000).selectExpr(
+            "id", "case when id % 2 = 0 then 32 else 1 end as w"
+        )
+        pdf = bottomk_weighted(df, "id", "w", k=200)
+        heavy = int((pdf["id"] % 2 == 0).sum())
+        assert len(pdf) == 200
+        assert heavy > 2 * (200 - heavy), heavy
+
+    def test_weight_clamp_and_null_weight(self, spark):
+        """Weights <=0 / null behave as 1; w_max caps the tickets (so a
+        weight of 10^9 costs w_max md5 evals, not 10^9)."""
+        from xorfilter_net_spark.sketches.bottomk import (
+            bottomk_weighted,
+            with_weighted_hash,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, -5), (3, 1)], "id long, w int"
+        )
+        hashed = with_weighted_hash(df, "id", "w", w_max=64).collect()
+        by_id = {r["id"]: r["__bk_hash"] for r in hashed}
+        import hashlib
+
+        for i in (1, 2, 3):
+            assert by_id[i] == hashlib.md5(f"{i}:0".encode()).hexdigest()
+        big = spark.createDataFrame([(7, 10**9)], "id long, w long")
+        pdf = bottomk_weighted(big, "id", "w", k=1, w_max=8)
+        expect = min(
+            hashlib.md5(f"7:{j}".encode()).hexdigest() for j in range(8)
+        )
+        assert pdf["__bk_hash"][0] == expect

@@ -777,6 +777,29 @@ def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "user_id bigint, h string")
 
 
+def _weighted_bottomk_oracle() -> str:
+    from .sketches.bottomk import weighted_oracle_sql
+
+    return weighted_oracle_sql("documents", "doc_id", "n_chars", k=80)
+
+
+@query("bottomk_weighted_docs", None)
+def q_bottomk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted bottom-k sample (sketches/bottomk.py): inclusion
+    probability rises with n_chars via the exact-arithmetic ticket-min
+    scheme (Efraimidis–Spirakis without pow/ln). Deterministic, so the
+    oracle reproduces the exact 80-document sample."""
+    from .sketches.bottomk import bottomk_weighted
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = bottomk_weighted(docs, "doc_id", "n_chars", k=80)
+    out = pdf.rename(columns={"__bk_hash": "h", "doc_id": "key"})[["key", "h"]]
+    return spark.createDataFrame(out, "key bigint, h string")
+
+
+ORACLES["bottomk_weighted_docs"] = _weighted_bottomk_oracle()
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (SURVEY.md §2.2: scan/filter/project/agg/join/window/
 # sort/limit/set-ops/rollup) — exact oracles

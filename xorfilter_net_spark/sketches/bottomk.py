@@ -108,6 +108,74 @@ def with_sample_hash(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def with_weighted_hash(
+    df: DataFrame, key_col: str, weight_col: str, w_max: int = 64
+) -> DataFrame:
+    """Attach the WEIGHTED ordering hash: the minimum of ``w`` ticket
+    hashes ``md5(key:j)``, ``w = clamp(weight, 1, w_max)``.
+
+    This is Efraimidis–Spirakis weighted sampling (keep keys with the
+    largest ``u^(1/w)``) realized in *exact* engine-portable arithmetic:
+    the min of ``w`` iid uniform hashes has the same ranking
+    distribution as ``1 - u^(1/w)`` but needs only string comparisons —
+    no ``pow``/``ln``, whose last-ulp behavior differs across engines
+    and could flip the k-th/k+1-th boundary. The whole expression is a
+    codegen higher-order function (``transform`` + ``array_min``): no
+    row explosion, no Python, ``w_max`` bounds the per-row work (and
+    caps effective weight — documented clamp, mirrored by the oracle).
+    """
+    w = f"least(greatest(cast({weight_col} as int), 1), {w_max})"
+    return df.withColumn(
+        BottomKSample.HASH_COL,
+        F.expr(
+            f"array_min(transform(sequence(0, {w} - 1),"
+            f" j -> md5(concat(cast({key_col} as string), ':',"
+            f" cast(j as string)))))"
+        ),
+    )
+
+
+def weighted_oracle_sql(
+    table: str, key_expr: str, weight_expr: str, k: int, w_max: int = 64
+) -> str:
+    """DuckDB rendering of the identical selection (exact reproduction)."""
+    w = f"least(greatest(cast({weight_expr} as int), 1), {w_max})"
+    h = (
+        f"list_min(list_transform(range(0, {w}),"
+        f" j -> md5(cast({key_expr} as varchar) || ':' || cast(j as varchar))))"
+    )
+    return (
+        f"select key, h from (select distinct {key_expr} as key, {h} as h"
+        f" from {table}) t order by h, key limit {k}"
+    )
+
+
+def bottomk_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    payload_cols: list[str] | None = None,
+    w_max: int = 64,
+    depth: int = 2,
+) -> pd.DataFrame:
+    """Two-phase fixed-size WEIGHTED sample of distinct keys: inclusion
+    probability rises with ``weight_col`` (ticket-min scheme above).
+    Same mergeable state shape as :func:`bottomk_sample` — one ≤k-row
+    state per partition crosses the shuffle.
+
+    Note: a duplicated key must carry the same weight for the ranking to
+    be well-defined; with conflicting weights the min ticket across
+    occurrences wins (equivalent to taking the max weight)."""
+    from .base import aggregate
+
+    sk = BottomKSample(k, key_col)
+    cols = [BottomKSample.HASH_COL, key_col, *(payload_cols or [])]
+    hashed = with_weighted_hash(df, key_col, weight_col, w_max)
+    state = aggregate(hashed, cols, sk, depth=depth)
+    return sk.finish(state)
+
+
 def bottomk_sample(
     df: DataFrame,
     key_col: str,
