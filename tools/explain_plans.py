@@ -216,6 +216,51 @@ def main() -> None:
         )
     )
 
+    # 12. Q6: every predicate reaches the scan; no join, no shuffle
+    sections.append(
+        (
+            "Pushdown scan-aggregate (q6_forecast_revenue)",
+            "All four predicates appear in PushedFilters; the plan is "
+            "scan -> filter -> partial agg -> single 1-row exchange — "
+            "throughput at 100 TB is scan bandwidth.",
+            captured_explain(ep.QUERIES["q6_forecast_revenue"](spark, SF_DIR)),
+        )
+    )
+
+    # 13. Q8: 7-table star — dims broadcast, one fact-fact shuffle
+    sections.append(
+        (
+            "7-table star join (q8_market_share)",
+            "Every dimension (region, nation x2, customer, supplier, "
+            "part) is under a BroadcastExchange; the only shuffled join "
+            "is lineitem x orders on orderkey.",
+            captured_explain(ep.QUERIES["q8_market_share"](spark, SF_DIR)),
+        )
+    )
+
+    # 14. Q19: manually-derived superset predicates on both scans
+    sections.append(
+        (
+            "Disjunctive join predicate (q19_disjunctive_revenue)",
+            "The OR-of-ANDs mixes columns of both tables, so neither "
+            "side's scan could prune from the residual alone; the "
+            "manually-derived hulls (brand set + size cap; quantity "
+            "range) show in both PushedFilters lists.",
+            captured_explain(ep.QUERIES["q19_disjunctive_revenue"](spark, SF_DIR)),
+        )
+    )
+
+    # 15. PII redaction: regexp chain fully inside codegen
+    sections.append(
+        (
+            "PII redaction (redact_documents)",
+            "Six regexp_replace rules + six match counters evaluate in "
+            "one WholeStageCodegen projection over the scan — map-only, "
+            "no Python node, no shuffle.",
+            captured_explain(ep.QUERIES["redact_documents"](spark, SF_DIR)),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",
@@ -250,7 +295,26 @@ def main() -> None:
     assert "ArrowEvalPython" not in hof_plan and "BatchEvalPython" not in hof_plan
     merge_plan = sections[11][2]
     assert "PartitionFilters: [bucket" in merge_plan
-    print("topk/multi-distinct/z-order/q18/grouping-sets/hof/merge plans — OK")
+    q6_plan = sections[12][2]
+    assert "l_shipdate" in q6_plan.split("PushedFilters: ")[1].splitlines()[0]
+    assert "Join" not in q6_plan
+    q8_plan = sections[13][2]
+    assert q8_plan.count("BroadcastHashJoin Inner") >= 5
+    # exactly one shuffled fact-fact join ("formatted" repeats each
+    # operator in the detail section, so count tree lines only)
+    assert (
+        q8_plan.count("SortMergeJoin Inner")
+        + q8_plan.count("ShuffledHashJoin Inner")
+        <= 1
+    )
+    q19_plan = sections[14][2]
+    assert "In(p_brand" in q19_plan and "l_quantity,30.0" in q19_plan
+    redact_plan = sections[15][2]
+    assert "Python" not in redact_plan and "Exchange" not in redact_plan
+    print(
+        "topk/multi-distinct/z-order/q18/grouping-sets/hof/merge/"
+        "q6/q8/q19/redact plans — OK"
+    )
     spark.stop()
 
 
