@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "q18_large_volume_customers",
     "q17_small_quantity_revenue",
     "q_window_range_frame_orders",
+    "q_rank_functions_events",
     "q_higher_order_word_stats",
     "q_interval_join_signup_clicks",
     "q_hash_split_documents",

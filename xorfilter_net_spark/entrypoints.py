@@ -1563,6 +1563,47 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_rank_functions_events",
+    "select event_type, event_id, rnk, drnk, pr_e6, cd_e6 from ("
+    " select event_type, event_id,"
+    "  rank() over w as rnk, dense_rank() over w as drnk,"
+    "  cast(floor(1000000.0 * percent_rank() over w) as bigint) as pr_e6,"
+    "  cast(floor(1000000.0 * cume_dist() over w) as bigint) as cd_e6"
+    " from events window w as ("
+    "  partition by event_type order by cast(round(value * 100) as bigint))"
+    ") t where rnk <= 10",
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family over one window spec: rank (gaps on
+    ties), dense_rank, percent_rank, cume_dist — one shuffle on the
+    partition key, one sort, all four functions evaluated in a single
+    WindowExec pass. Ties are real (value is ordered on rounded cents),
+    exercising the peer-group semantics that distinguish the four.
+    Fractional ranks cross engines as floored micro-units; ordering by
+    the bigint cents (not raw double) keeps peer groups identical."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(cents)
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.floor(F.percent_rank().over(w) * 1000000.0)
+            .cast("bigint")
+            .alias("pr_e6"),
+            F.floor(F.cume_dist().over(w) * 1000000.0)
+            .cast("bigint")
+            .alias("cd_e6"),
+        )
+        .filter("rnk <= 10")
+    )
+
+
+@query(
     "q_ntile_doc_length_buckets",
     "select bucket, count(*) as n, min(n_chars) as min_chars, "
     "max(n_chars) as max_chars from ("
