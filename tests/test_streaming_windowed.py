@@ -523,3 +523,69 @@ class TestStreamingSessionize:
             ]
         )
         assert got == exp
+
+
+class TestEnrichStream:
+    """Stream-static enrichment join (streaming/joins.py::enrich_stream)."""
+
+    def test_stream_matches_batch_and_keeps_unmatched(
+        self, spark, sf_tiny, tmp_path
+    ):
+        from xorfilter_net_spark.streaming.joins import enrich_stream
+
+        ev = spark.read.parquet(f"{sf_tiny}/events.parquet").select(
+            "event_id", "user_id", "event_type"
+        )
+        # dim covers only some users -> left join must keep the rest
+        dim = (
+            spark.read.parquet(f"{sf_tiny}/customer.parquet")
+            .selectExpr("c_custkey as user_id", "c_mktsegment")
+            .filter("user_id % 3 = 0")
+        )
+        expected = {
+            (r["event_id"], r["c_mktsegment"])
+            for r in enrich_stream(ev, dim, ["user_id"]).collect()
+        }
+        assert len(expected) > 0
+        assert any(seg is None for _, seg in expected)  # unmatched kept
+        assert any(seg is not None for _, seg in expected)
+
+        src = str(tmp_path / "enrich_src")
+        ev.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            enrich_stream(stream, dim, ["user_id"])
+            .writeStream.format("memory")
+            .queryName("enrich_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["event_id"], r["c_mktsegment"])
+            for r in spark.sql(
+                "select event_id, c_mktsegment from enrich_test"
+            ).collect()
+        }
+        assert got == expected
+
+    def test_plan_is_stateless_broadcast(self, spark, sf_tiny):
+        from xorfilter_net_spark.streaming.joins import enrich_stream
+
+        ev = spark.read.parquet(f"{sf_tiny}/events.parquet")
+        dim = spark.read.parquet(f"{sf_tiny}/customer.parquet").selectExpr(
+            "c_custkey as user_id", "c_mktsegment"
+        )
+        plan = (
+            enrich_stream(ev, dim, ["user_id"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "StateStore" not in plan  # stateless: no join state
