@@ -526,3 +526,54 @@ class TestWeightedBottomK:
             hashlib.md5(f"7:{j}".encode()).hexdigest() for j in range(8)
         )
         assert pdf["__bk_hash"][0] == expect
+
+
+# -- Count sketch / AMS F2 -----------------------------------------------------
+def test_countsketch_frequency_within_l2_bound():
+    from xorfilter_net_spark.sketches.countsketch import CountSketch
+
+    cs = CountSketch(d=7, w=2048)
+    heavy = ["a"] * 5000 + ["b"] * 2000 + ["c"] * 700
+    tail = [f"t{i}" for i in range(10_000)]
+    data = pd.Series(heavy + tail)
+    st = fold(cs, [data])
+    est = cs.estimate_series(st, pd.Series(["a", "b", "c", "t0", "absent"]))
+    true = np.array([5000, 2000, 700, 1, 0])
+    l2 = np.sqrt(5000.0**2 + 2000**2 + 700**2 + 10_000)
+    # published: |est - f| <= eps * ||f||_2 w.p. 1-delta, eps = sqrt(3/w)
+    assert (np.abs(est - true) <= cs.eps * l2).all()
+
+
+def test_countsketch_f2_within_variance_envelope():
+    from xorfilter_net_spark.sketches.countsketch import CountSketch
+
+    cs = CountSketch(d=9, w=4096)
+    counts = RNG.integers(1, 50, 4000)
+    data = pd.Series(np.repeat([f"k{i}" for i in range(4000)], counts))
+    st = fold(cs, [data])
+    f2_true = float((counts.astype(np.float64) ** 2).sum())
+    # per-row rel sd = sqrt(2/w); median of 9 rows well inside 4 sd
+    assert abs(cs.f2(st) - f2_true) / f2_true < 4 * cs.f2_rel_sd
+
+
+def test_countsketch_merge_exactly_partition_independent():
+    from xorfilter_net_spark.sketches.countsketch import CountSketch
+
+    cs = CountSketch(d=5, w=1024)
+    parts = random_splits(KEYS, 6, seed=4)
+    sts = [cs.update(cs.zero(), pd.DataFrame({"x": p})) for p in parts]
+    left = functools.reduce(cs.merge, sts)
+    right = functools.reduce(cs.merge, list(reversed(sts)))
+    whole = fold(cs, [KEYS])
+    assert np.array_equal(left, whole) and np.array_equal(right, whole)
+
+
+def test_countsketch_serialize_roundtrip_and_exact_when_collision_free():
+    from xorfilter_net_spark.sketches.countsketch import CountSketch
+
+    cs = CountSketch(d=7, w=8192)
+    data = pd.Series(["x"] * 10 + ["y"] * 3 + ["z"] * 1)
+    st = cs.deserialize(cs.serialize(fold(cs, [data])))
+    est = cs.estimate_series(st, pd.Series(["x", "y", "z"]))
+    # 3 keys in 8192 buckets: median over 7 rows is collision-free => exact
+    assert np.array_equal(est, np.array([10.0, 3.0, 1.0]))

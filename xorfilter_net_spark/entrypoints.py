@@ -475,6 +475,58 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "countsketch_event_type_counts",
+    "select event_type, count(*) as est_count from events group by event_type",
+)
+def q_countsketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-sketch (signed/unbiased, Charikar-Chen-Farach-Colton)
+    frequency estimates for event_type. With w=8192 >> cardinality the
+    median-over-rows estimate is collision-free in a majority of rows,
+    so the sketch reproduces the exact GROUP BY counts (the general
+    eps*||f||_2 bound is property-tested in test_sketches.py)."""
+    import pandas as pd
+
+    from .sketches.base import aggregate
+    from .sketches.countsketch import CountSketch
+
+    ev = load_table(spark, sf_dir, "events")
+    cs = CountSketch(d=7, w=8192, key_col="event_type")
+    st = aggregate(ev, ["event_type"], cs)
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    est = cs.estimate_series(st, pd.Series(types))
+    return spark.createDataFrame(
+        [(t, int(round(e))) for t, e in zip(types, est)],
+        "event_type string, est_count bigint",
+    )
+
+
+@query(
+    "countsketch_f2_users_ok",
+    "select true as f2_ok",
+)
+def q_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS self-join-size gate: the count sketch's median-over-rows
+    sum-of-squares estimate of F2 = sum_u f(u)^2 over events.user_id
+    must sit within 4 per-row standard deviations (sqrt(2/w) relative)
+    of the exact self-join size — the Alon-Matias-Szegedy variance
+    bound. F2 is the canonical join-cardinality-planning statistic."""
+    from .sketches.base import aggregate
+    from .sketches.countsketch import CountSketch
+
+    ev = load_table(spark, sf_dir, "events")
+    cs = CountSketch(d=9, w=4096, key_col="user_id")
+    st = aggregate(ev.select(F.col("user_id").cast("string")), ["user_id"], cs)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+        .collect()[0]["f2"]
+    )
+    ok = abs(cs.f2(st) - float(exact)) / float(exact) < 4 * cs.f2_rel_sd
+    return spark.createDataFrame([(bool(ok),)], "f2_ok boolean")
+
+
+@query(
     "mg_heavy_hitters_event_types",
     "select event_type, count(*) as est_count from events group by event_type",
 )
