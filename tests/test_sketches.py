@@ -577,3 +577,71 @@ def test_countsketch_serialize_roundtrip_and_exact_when_collision_free():
     est = cs.estimate_series(st, pd.Series(["x", "y", "z"]))
     # 3 keys in 8192 buckets: median over 7 rows is collision-free => exact
     assert np.array_equal(est, np.array([10.0, 3.0, 1.0]))
+
+
+# -- Frequent Directions -------------------------------------------------------
+def _fd_data(n=3000, d=32, seed=7):
+    rng = np.random.default_rng(seed)
+    # low-rank-plus-noise: the realistic embedding-corpus spectrum
+    basis = rng.normal(size=(4, d))
+    A = rng.normal(size=(n, 4)) @ basis * 3.0 + rng.normal(size=(n, d)) * 0.3
+    return A
+
+
+def _fd_fold(fd, mats):
+    sts = [
+        fd.update(fd.zero(), pd.DataFrame({"v": list(m)})) for m in mats if len(m)
+    ]
+    return functools.reduce(fd.merge, sts)
+
+
+def test_fd_spectral_bound_and_underestimate_only():
+    from xorfilter_net_spark.sketches.fd import FrequentDirections
+
+    A = _fd_data()
+    fd = FrequentDirections(ell=16, d=32)
+    st = _fd_fold(fd, [A])
+    diff = A.T @ A - fd.gram(st)
+    eigs = np.linalg.eigvalsh(diff)
+    fro2 = float((A**2).sum())
+    assert eigs.max() <= 2.0 * fro2 / fd.ell + 1e-6  # published bound
+    assert eigs.max() <= fd.cov_error_bound(st) + 1e-6
+    assert eigs.min() >= -1e-6 * fro2  # A'A - B'B is PSD: never overestimates
+
+
+def test_fd_bound_survives_arbitrary_merge_trees():
+    from xorfilter_net_spark.sketches.fd import FrequentDirections
+
+    A = _fd_data()
+    fd = FrequentDirections(ell=16, d=32)
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        assign = rng.integers(0, 7, len(A))
+        st = _fd_fold(fd, [A[assign == p] for p in range(7)])
+        diff = A.T @ A - fd.gram(st)
+        eigs = np.linalg.eigvalsh(diff)
+        assert eigs.max() <= fd.cov_error_bound(st) + 1e-6
+        assert eigs.min() >= -1e-6 * (A**2).sum()
+
+
+def test_fd_exact_below_buffer_and_serialize_roundtrip():
+    from xorfilter_net_spark.sketches.fd import FrequentDirections
+
+    A = _fd_data(n=20, d=32)
+    fd = FrequentDirections(ell=16, d=32)  # buffer 32 > 20 rows: no shrink
+    st = _fd_fold(fd, [A[:9], A[9:]])
+    assert np.allclose(fd.gram(st), A.T @ A)
+    st2 = fd.deserialize(fd.serialize(st))
+    assert np.allclose(fd.gram(st2), fd.gram(st)) and st2[1] == st[1]
+
+
+def test_fd_top_direction_recovered():
+    from xorfilter_net_spark.sketches.fd import FrequentDirections
+
+    A = _fd_data()
+    fd = FrequentDirections(ell=16, d=32)
+    st = _fd_fold(fd, [A])
+    # the dominant eigenvector of B'B aligns with the exact one
+    _, v_exact = np.linalg.eigh(A.T @ A)
+    _, v_sk = np.linalg.eigh(fd.gram(st))
+    assert abs(v_exact[:, -1] @ v_sk[:, -1]) > 0.99

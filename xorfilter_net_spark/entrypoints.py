@@ -527,6 +527,41 @@ def q_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fd_embeddings_ok",
+    "select true as spectral_ok, true as psd_ok",
+)
+def q_fd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions gate over the embedding corpus: the mergeable
+    ell-row matrix sketch B (two-phase aggregate, one <=2*ell-row state
+    per partition crossing the shuffle) must satisfy the published
+    deterministic guarantee vs the exact Gram matrix A'A (computed
+    driver-side at test scale only):
+      spectral_ok:  lambda_max(A'A - B'B) <= 2*||A||_F^2 / ell
+      psd_ok:       A'A - B'B >= 0 (the sketch never overestimates the
+                    energy of any direction)
+    This is the PCA/covariance primitive for 100 TB embedding tables —
+    exact Gram accumulation is replaced by ell rows per partition."""
+    import numpy as np
+
+    from .sketches.base import aggregate
+    from .sketches.fd import FrequentDirections
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    d = len(emb.first()["embedding"])
+    fd = FrequentDirections(ell=24, d=d, vec_col="embedding")
+    st = aggregate(emb.repartition(8), ["embedding"], fd)
+    A = np.stack([r["embedding"] for r in emb.collect()]).astype(np.float64)
+    diff = A.T @ A - fd.gram(st)
+    eigs = np.linalg.eigvalsh(diff)
+    fro2 = float((A**2).sum())
+    spectral_ok = bool(eigs.max() <= fd.cov_error_bound(st) + 1e-9 * fro2)
+    psd_ok = bool(eigs.min() >= -1e-9 * fro2)
+    return spark.createDataFrame(
+        [(spectral_ok, psd_ok)], "spectral_ok boolean, psd_ok boolean"
+    )
+
+
+@query(
     "mg_heavy_hitters_event_types",
     "select event_type, count(*) as est_count from events group by event_type",
 )
