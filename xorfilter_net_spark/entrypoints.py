@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .filters.fuse_spark import build_fuse_filter, probe_fuse
+from .filters.xor_core import table_size as xor_table_size
 from .filters.spark_build import (
     build_sharded_xor_filter,
     build_xor_filter,
@@ -139,6 +141,59 @@ def q_xor32_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     xf = build_xor_filter(members, "key", width=32, seed=777)
     return probe(t.select("key").distinct(), xf, "key").filter("is_member").select(
         "key"
+    )
+
+
+@query(
+    "fuse16_zero_false_negatives",
+    f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
+)
+def q_fuse16_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary fuse filter (Graf & Lemire, arXiv:2201.01174) — the family
+    successor to the reference's XOR filter: same zero-false-negative
+    contract at ~1.125n slots instead of 1.23n (BaseXorFilter.cs:31-32),
+    with segment-local probe gathers."""
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    ff = build_fuse_filter(t, "key", width=16, seed=12345)
+    r = probe_fuse(t.select("key").distinct(), ff, "key")
+    return r.agg(F.sum(F.col("is_member").cast("long")).alias("n_members_found"))
+
+
+@query(
+    "fuse8_space_fpr_ok",
+    "select true as zero_fn, true as fpr_ok, true as space_ok",
+)
+def q_fuse8_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuse8 statistical gates: zero FN on members, FPR < 1% on a disjoint
+    probe set (the reference's own XOR8 bound,
+    DeterministicIntegrationTests.cs:109-141), and — the reason the fuse
+    construction exists — a strictly smaller slot table than the XOR
+    sizing max(3, ceil(1.23 n)) would allocate for the same key set
+    (asserted whenever n is past the small-set regime where the segmented
+    layout's rounding dominates)."""
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    members = t.select("key").distinct()
+    ff = build_fuse_filter(members, "key", width=8, seed=12345)
+    fn_count = (
+        probe_fuse(members, ff, "key")
+        .agg(F.sum((~F.col("is_member")).cast("long")).alias("fn"))
+        .collect()[0]["fn"]
+    )
+    non = members.selectExpr("'nm:' || key as key")
+    stats = (
+        probe_fuse(non, ff, "key")
+        .agg(
+            F.sum(F.col("is_member").cast("long")).alias("fp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    fpr = stats["fp"] / max(stats["n"], 1)
+    n_keys = ff.metrics["n_keys"]
+    space_ok = n_keys < 20_000 or ff.size < xor_table_size(n_keys)
+    return t.sparkSession.createDataFrame(
+        [(fn_count == 0, fpr < 0.01, bool(space_ok))],
+        "zero_fn boolean, fpr_ok boolean, space_ok boolean",
     )
 
 
