@@ -278,3 +278,52 @@ class TestRedaction:
             assert row["redacted"] == want["redacted"][i], texts[i]
             for n in ("email", "url", "ipv4", "card", "phone", "hexkey"):
                 assert row[f"n_{n}"] == want[f"n_{n}"][i], (texts[i], n)
+
+
+class TestTokenCooccurrence:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (1, "a b c"),
+            (2, "a b"),
+            (3, "b c d"),
+            (4, "a a b"),  # within-doc dup: counts once
+            (5, "e"),
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_exact_pair_counts(self, docs):
+        from xorfilter_net_spark.text.cooccur import token_cooccurrence
+
+        got = {
+            (r["tok_a"], r["tok_b"]): (r["pair_docs"], r["df_a"], r["df_b"])
+            for r in token_cooccurrence(docs, "doc_id", "text").collect()
+        }
+        assert got[("a", "b")] == (3, 3, 4)  # docs 1,2,4
+        assert got[("b", "c")] == (2, 4, 2)  # docs 1,3
+        assert got[("a", "c")] == (1, 3, 2)  # doc 1
+        assert got[("c", "d")] == (1, 2, 1)  # doc 3
+        assert ("e", "e") not in got and not any(
+            a >= b for a, b in got
+        )  # strict ordering, no self pairs
+
+    def test_pair_docs_bounded_by_marginals(self, docs):
+        from xorfilter_net_spark.text.cooccur import token_cooccurrence
+
+        for r in token_cooccurrence(docs, "doc_id", "text").collect():
+            assert r["pair_docs"] <= min(r["df_a"], r["df_b"])
+
+    def test_top_v_cap_is_deterministic(self, docs):
+        from xorfilter_net_spark.text.cooccur import token_cooccurrence
+
+        # df: b=4, a=3, c=2, d=1, e=1 -> top-2 = {b, a}
+        rows = token_cooccurrence(docs, "doc_id", "text", top_v=2).collect()
+        assert {(r["tok_a"], r["tok_b"]) for r in rows} == {("a", "b")}
+
+    def test_vocab_prune_is_broadcast(self, docs):
+        from xorfilter_net_spark.text.cooccur import token_cooccurrence
+
+        plan = token_cooccurrence(
+            docs, "doc_id", "text", top_v=2
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

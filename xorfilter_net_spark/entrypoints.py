@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .filters.fuse_spark import build_fuse_filter, probe_fuse
+from .text.cooccur import token_cooccurrence
 from .filters.xor_core import table_size as xor_table_size
 from .filters.spark_build import (
     build_sharded_xor_filter,
@@ -2043,6 +2044,79 @@ def q_array_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.array_sort(F.array_distinct(words)), 1).alias(
             "min_word"
         ),
+    )
+
+
+@query(
+    "q_token_cooccurrence",
+    "with toks as (select doc_id, tok from (select doc_id, "
+    "  unnest(list_distinct(string_split(text, ' '))) as tok from documents) "
+    "  where tok <> ''), "
+    "freq as (select tok, count(*) as df from toks group by tok "
+    "  qualify row_number() over (order by df desc, tok) <= 20), "
+    "toks2 as (select t.doc_id, t.tok from toks t join freq f using(tok)), "
+    "pairs as (select a.tok as tok_a, b.tok as tok_b, count(*) as pair_docs "
+    "  from toks2 a join toks2 b using(doc_id) where a.tok < b.tok "
+    "  group by 1, 2) "
+    "select p.tok_a, p.tok_b, p.pair_docs, fa.df as df_a, fb.df as df_b "
+    "from pairs p join freq fa on fa.tok = p.tok_a "
+    "join freq fb on fb.tok = p.tok_b",
+)
+def q_token_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence counts (PMI numerators) over documents, capped
+    to the top-20 most document-frequent tokens: per-doc dedup in codegen,
+    broadcast vocabulary prune, one co-partitioned self-join; output is
+    vocabulary-bounded regardless of corpus size. Integer counts only —
+    the PMI log stays consumer-side (cross-engine float logs differ in
+    the last ulp)."""
+    d = load_table(spark, sf_dir, "documents")
+    return token_cooccurrence(d, "doc_id", "text", top_v=20)
+
+
+@query(
+    "q_not_in_null_semantics",
+    "select "
+    "(select count(*) from documents "
+    " where lang not in (select source from documents)) as n_clean, "
+    "(select count(*) from documents "
+    " where lang not in (select nullif(source, 'src0') from documents)) "
+    " as n_with_null",
+)
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery coverage incl. the three-valued-logic trap: langs
+    are disjoint from sources, so the clean subquery keeps every doc,
+    while a single NULL in the subquery makes `x NOT IN (...)` UNKNOWN
+    for every row — zero rows survive. Spark plans the nullable side as a
+    null-aware anti join (broadcast NAAJ), not a nested loop; both counts
+    are checked against DuckDB's identical ANSI semantics."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_nin_docs")
+    return spark.sql(
+        """
+        select
+          (select count(*) from _nin_docs
+            where lang not in (select source from _nin_docs)) as n_clean,
+          (select count(*) from _nin_docs
+            where lang not in (select nullif(source, 'src0') from _nin_docs))
+            as n_with_null
+        """
+    )
+
+
+@query(
+    "q_collect_set_langs",
+    "select source, "
+    "array_to_string(list_sort(list_distinct(list(lang))), ',') as langs, "
+    "count(*) as n_docs from documents group by source",
+)
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic collect_set aggregation: per-source sorted distinct
+    language list, flattened to a string so the value is engine-portable
+    (array ordering from an unsorted collect is partition-dependent —
+    sort_array makes it a pure function of the group's contents)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
 
 
