@@ -215,6 +215,67 @@ class TestIvf:
         assert both.filter("c1 <> c2").count() == 0
 
 
+class TestPq:
+    def _queries(self, emb):
+        return [
+            (r["vec_id"], list(r["embedding"]))
+            for r in emb.filter("vec_id % 25 = 0").collect()
+        ]
+
+    def test_codebooks_deterministic_shape(self, spark, sf_tiny):
+        from xorfilter_net_spark.ann.pq import train_codebooks
+
+        emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+        a = train_codebooks(emb, "vec_id", "embedding", m=8, n_codes=8, iters=3)
+        b = train_codebooks(emb, "vec_id", "embedding", m=8, n_codes=8, iters=3)
+        assert a.shape == (8, 8, 8)  # 64-dim / m=8
+        assert (a == b).all()
+
+    def test_encode_is_m_bytes_per_vector(self, spark, sf_tiny):
+        from xorfilter_net_spark.ann.pq import encode_pq, train_codebooks
+
+        emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+        books = train_codebooks(emb, "vec_id", "embedding", m=8, n_codes=8, iters=3)
+        codes = encode_pq(emb, "vec_id", "embedding", books).collect()
+        assert len(codes) == emb.count()
+        assert all(len(r["code"]) == 8 for r in codes)
+        # codes are valid centroid ids
+        assert all(max(r["code"]) < 8 for r in codes)
+
+    def test_recall_and_exact_rerank_scores(self, spark, sf_tiny):
+        from xorfilter_net_spark.ann.pq import pq_topk_cosine
+
+        emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+        queries = self._queries(emb)
+        exact = topk_cosine(emb, "vec_id", "embedding", queries, k=10)
+        approx = pq_topk_cosine(
+            emb, "vec_id", "embedding", queries, k=10, m=16, n_codes=16,
+            iters=3, oversample=6,
+        )
+        hits = exact.join(approx, ["qid", "neighbor_id"], "left_semi").count()
+        assert hits / exact.count() > 0.5  # loose at tiny SF
+        # every returned score equals the brute-force score (rerank exact)
+        both = exact.selectExpr("qid", "neighbor_id", "cos_e6 as c1").join(
+            approx.selectExpr("qid", "neighbor_id", "cos_e6 as c2"),
+            ["qid", "neighbor_id"],
+        )
+        assert both.filter("c1 <> c2").count() == 0
+
+    def test_no_self_matches_and_k_bound(self, spark, sf_tiny):
+        from xorfilter_net_spark.ann.pq import pq_topk_cosine
+
+        emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+        queries = self._queries(emb)
+        res = pq_topk_cosine(
+            emb, "vec_id", "embedding", queries, k=5, m=8, n_codes=8, iters=3
+        ).collect()
+        assert all(r["qid"] != r["neighbor_id"] for r in res)
+        per_q = {}
+        for r in res:
+            per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+        assert all(v <= 5 for v in per_q.values())
+
+
 class TestConnectedComponents:
     """dedup/clusters.py: large-star/small-star CC + survivor selection."""
 

@@ -1706,6 +1706,36 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_first_last_event_per_user",
+    "select distinct user_id, "
+    "first_value(event_type) over w as first_et, "
+    "last_value(event_type) over "
+    " (w rows between unbounded preceding and unbounded following) as last_et, "
+    "nth_value(event_type, 2) over "
+    " (w rows between unbounded preceding and unbounded following) as second_et "
+    "from events "
+    "window w as (partition by user_id order by ts, event_id)",
+)
+def q_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value frame coverage: the frame distinction is load-
+    bearing — last_value over the default frame (UNBOUNDED PRECEDING ..
+    CURRENT ROW) would return the current row, so both engines must agree
+    on explicit full-partition frames; (ts, event_id) ordering makes the
+    answer deterministic."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_et"),
+        F.last("event_type").over(wf).alias("last_et"),
+        F.nth_value("event_type", 2).over(wf).alias("second_et"),
+    ).distinct()
+
+
+@query(
     "q_rank_functions_events",
     "select event_type, event_id, rnk, drnk, pr_e6, cd_e6 from ("
     " select event_type, event_id,"
@@ -2933,6 +2963,31 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk_cosine(
         emb, "vec_id", "embedding", queries_, k=10, n_cells=32, nprobe=10,
         iters=5,
+    )
+    hits = exact.join(approx, ["qid", "neighbor_id"], "left_semi").count()
+    total = exact.count()
+    return spark.createDataFrame(
+        [(total > 0 and hits / total >= 0.7,)], "recall_ok boolean"
+    )
+
+
+@query("ann_pq_recall_ok", "select true as recall_ok")
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (per-subspace codebooks, m-bytes-per-vector
+    codes, ADC candidate scan + exact rerank) recall@10 vs the brute-force
+    baseline; gate mean recall >= 0.7."""
+    from .ann.brute import topk_cosine
+    from .ann.pq import pq_topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_ = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter("vec_id % 50 = 0").collect()
+    ]
+    exact = topk_cosine(emb, "vec_id", "embedding", queries_, k=10)
+    approx = pq_topk_cosine(
+        emb, "vec_id", "embedding", queries_, k=10, m=16, n_codes=32,
+        iters=5, oversample=6,
     )
     hits = exact.join(approx, ["qid", "neighbor_id"], "left_semi").count()
     total = exact.count()
