@@ -261,6 +261,35 @@ def main() -> None:
         )
     )
 
+    # 16. NOT IN: null-aware anti join, not a nested loop
+    sections.append(
+        (
+            "NOT IN subquery (q_not_in_null_semantics)",
+            "Spark plans `x NOT IN (subquery)` over a nullable subquery "
+            "as a single-key BroadcastHashJoin LeftAnti in null-aware "
+            "mode (NAAJ) — NOT a BroadcastNestedLoopJoin, which would be "
+            "O(n x m) at scale.",
+            captured_explain(
+                ep.QUERIES["q_not_in_null_semantics"](spark, SF_DIR)
+            ),
+        )
+    )
+
+    # 17. token co-occurrence: vocabulary prune is broadcast; the only
+    # exchange of corpus-derived data is the doc_id self-join
+    sections.append(
+        (
+            "Token co-occurrence (q_token_cooccurrence)",
+            "The top-V vocabulary prune and both df_a/df_b enrichments "
+            "are BroadcastHashJoins (vocabulary-sized dims); only the "
+            "(doc_id, token) pair set shuffles for the self-join, and "
+            "the output aggregate is vocabulary-bounded.",
+            captured_explain(
+                ep.QUERIES["q_token_cooccurrence"](spark, SF_DIR)
+            ),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",
@@ -311,9 +340,14 @@ def main() -> None:
     assert "In(p_brand" in q19_plan and "l_quantity,30.0" in q19_plan
     redact_plan = sections[15][2]
     assert "Python" not in redact_plan and "Exchange" not in redact_plan
+    nin_plan = sections[16][2]
+    assert "BroadcastNestedLoopJoin" not in nin_plan
+    assert "BroadcastHashJoin LeftAnti" in nin_plan
+    cooc_plan = sections[17][2]
+    assert cooc_plan.count("BroadcastHashJoin") >= 3
     print(
         "topk/multi-distinct/z-order/q18/grouping-sets/hof/merge/"
-        "q6/q8/q19/redact plans — OK"
+        "q6/q8/q19/redact/not-in/cooccur plans — OK"
     )
     spark.stop()
 
