@@ -199,6 +199,29 @@ def q_fuse8_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuse_sharded_zero_false_negatives",
+    f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
+)
+def q_fuse_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-parallel fuse construction (per-shard applyInPandas peel,
+    JVM codegen digests — no raw key ever crosses the Arrow boundary):
+    the scale path for the smaller filter family."""
+    from .filters.fuse_spark import (
+        build_sharded_fuse_filter,
+        is_member_sharded_fuse,
+    )
+
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    sff = build_sharded_fuse_filter(
+        t, "key", num_shards=16, width=16, seed=42, jvm_digests=True
+    )
+    r = t.select("key").distinct().withColumn(
+        "is_member", is_member_sharded_fuse(spark, sff, "key")
+    )
+    return r.agg(F.sum(F.col("is_member").cast("long")).alias("n_members_found"))
+
+
+@query(
     "xor_sharded_zero_false_negatives",
     f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
 )

@@ -20,7 +20,14 @@ from ..kernels.column import digest_series as _digest_batch
 from .fuse_core import FuseFilter, build_fuse_from_digests
 from .spark_build import key_digests
 
-__all__ = ["build_fuse_filter", "is_member_fuse", "probe_fuse"]
+__all__ = [
+    "build_fuse_filter",
+    "is_member_fuse",
+    "probe_fuse",
+    "ShardedFuseFilter",
+    "build_sharded_fuse_filter",
+    "is_member_sharded_fuse",
+]
 
 
 def build_fuse_filter(
@@ -65,3 +72,241 @@ def probe_fuse(
     df: DataFrame, ff: FuseFilter, key_col: str, out: str = "is_member"
 ) -> DataFrame:
     return df.withColumn(out, is_member_fuse(df.sparkSession, ff, key_col))
+
+
+# ---------------------------------------------------------------------------
+# sharded (executor-parallel) construction — the 10^9+-unique-key scale path,
+# mirroring spark_build.build_sharded_xor_filter: digests hash-partition into
+# shards, one independent fuse filter peels per shard inside applyInPandas,
+# probes route by the same shard hash. No driver peel, no global merge.
+# ---------------------------------------------------------------------------
+
+
+class ShardedFuseFilter:
+    """A bank of independent fuse filters addressed by digest shard."""
+
+    def __init__(
+        self,
+        width: int,
+        seed: int,
+        shards: dict[int, FuseFilter],
+        num_shards: int,
+        digest_kind: str = "murmur",
+    ):
+        self.width = width
+        self.seed = seed
+        self.shards = shards
+        self.num_shards = num_shards
+        self.digest_kind = digest_kind
+
+    def _flat(self) -> dict:
+        """Flattened probe state: concatenated slot arrays + per-shard
+        (offset, segment_length, segment_count, seed, present) lookup
+        vectors — one vectorized gather pass per Arrow batch, no
+        per-shard Python loop."""
+        fl = getattr(self, "_flat_cache", None)
+        if fl is not None:
+            return fl
+        ns = self.num_shards
+        offsets = np.zeros(ns, dtype=np.int64)
+        seeds = np.zeros(ns, dtype=np.uint64)
+        seg_len = np.ones(ns, dtype=np.uint64)
+        seg_cnt = np.ones(ns, dtype=np.uint64)
+        present = np.zeros(ns, dtype=bool)
+        parts, off = [], 0
+        for sid in range(ns):
+            f = self.shards.get(sid)
+            if f is None:
+                continue
+            present[sid] = True
+            offsets[sid] = off
+            seeds[sid] = f.seed
+            seg_len[sid] = f.segment_length
+            seg_cnt[sid] = f.segment_count
+            parts.append(f.slots)
+            off += f.size
+        slots = np.concatenate(parts) if parts else np.zeros(1, dtype=np.uint8)
+        fl = {
+            "slots": slots,
+            "offsets": offsets,
+            "seeds": seeds,
+            "seg_len": seg_len,
+            "seg_cnt": seg_cnt,
+            "present": present,
+        }
+        self._flat_cache = fl
+        return fl
+
+    @staticmethod
+    def route(d0: np.ndarray, num_shards: int) -> np.ndarray:
+        s = d0.view(np.int64) % np.int64(num_shards)
+        return np.where(s < 0, s + num_shards, s)
+
+    def contains_digests(self, d0: np.ndarray, d1: np.ndarray) -> np.ndarray:
+        from ..kernels.hashes import splitmix64
+        from .fuse_core import ARITY
+        from .xor_core import digest_fingerprint
+
+        fl = self._flat()
+        d0 = d0.astype(np.uint64)
+        shard = self.route(d0, self.num_shards)
+        h = splitmix64(d0 ^ fl["seeds"][shard])
+        q = ((h >> np.uint64(32)) * fl["seg_cnt"][shard]) >> np.uint64(32)
+        sl = fl["seg_len"][shard]
+        base = fl["offsets"][shard] + (q * sl).astype(np.int64)
+        acc = np.zeros(d0.shape[0], dtype=np.uint64)
+        for j in range(ARITY):
+            lane = splitmix64(
+                h ^ np.uint64((0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF)
+            )
+            idx = base + (j * sl + (lane & (sl - np.uint64(1)))).astype(np.int64)
+            acc ^= fl["slots"][idx].astype(np.uint64)
+        fp = digest_fingerprint(d1.astype(np.uint64), self.width)
+        return (acc == fp) & fl["present"][shard]
+
+    def metrics(self) -> dict:
+        n = sum(f.metrics.get("n_keys", 0) for f in self.shards.values())
+        size = sum(f.size for f in self.shards.values())
+        return {
+            "n_keys": n,
+            "total_slots": size,
+            "bits_per_key": size * self.width / max(n, 1),
+            "num_shards": self.num_shards,
+        }
+
+
+def _fuse_artifact_row(sid: int, f: FuseFilter) -> pd.DataFrame:
+    import json
+
+    meta = f.to_dict()
+    slots_hex = meta.pop("slots_hex")
+    return pd.DataFrame(
+        {
+            "shard": [sid],
+            "meta": [json.dumps(meta)],
+            "slots": [bytes.fromhex(slots_hex)],
+        }
+    )
+
+
+def fuse_shard_build_kernel(width: int, seed: int):
+    """applyInPandas kernel: one (d0, d1, shard) group -> one fuse
+    artifact row. In-shard dedup (duplicates share d0, hence a shard)."""
+    from .spark_build import _dedup_digests
+
+    def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["shard"].iloc[0])
+        d0 = pdf["d0"].to_numpy(dtype=np.int64).view(np.uint64)
+        d1 = pdf["d1"].to_numpy(dtype=np.int64).view(np.uint64)
+        d0, d1 = _dedup_digests(d0, d1)
+        f = build_fuse_from_digests(
+            d0, d1, width=width, seed=seed ^ (sid * 0x9E37), assume_unique=True
+        )
+        return _fuse_artifact_row(sid, f)
+
+    return build_one
+
+
+def build_sharded_fuse_filter(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int = 32,
+    width: int = 8,
+    seed: int = 0,
+    jvm_digests: bool = False,
+) -> ShardedFuseFilter:
+    """One shuffle of 16-byte digest rows, per-shard fuse peel in
+    applyInPandas, per-shard deterministic seeds — artifacts are
+    rebuild-stable across runs and partitionings. ``jvm_digests=True``
+    computes (d0, d1) in whole-stage codegen so no raw key string ever
+    crosses the Arrow boundary (same scale trick as the XOR path, D7)."""
+    import json
+
+    from .spark_build import key_digests, key_digests_jvm
+
+    digest_fn = key_digests_jvm if jvm_digests else key_digests
+    dig = digest_fn(df, key_col).withColumn(
+        "shard", F.pmod(F.col("d0"), F.lit(num_shards)).cast("int")
+    )
+    build_one = fuse_shard_build_kernel(width, seed)
+    res = (
+        dig.repartition(num_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(build_one, schema="shard int, meta string, slots binary")
+        .toPandas()
+    )
+    shards = {}
+    for r in res.itertuples(index=False):
+        d = json.loads(r.meta)
+        d["slots_hex"] = bytes(r.slots).hex()
+        shards[int(r.shard)] = FuseFilter.from_dict(d)
+    return ShardedFuseFilter(
+        width, seed, shards, num_shards,
+        "xxhash64jvm" if jvm_digests else "murmur",
+    )
+
+
+def is_member_sharded_fuse(
+    spark: SparkSession, sff: ShardedFuseFilter, col: Column | str
+) -> Column:
+    """Vectorized probe against a broadcast sharded fuse filter. Routes
+    by the same digest kind the build used."""
+    from ..kernels.hashes import digest128
+    from ..kernels.column import series_to_bytes as _series_to_bytes
+    from .spark_build import jvm_digest_cols
+
+    bc = spark.sparkContext.broadcast(
+        {
+            "width": sff.width,
+            "seed": sff.seed,
+            "num_shards": sff.num_shards,
+            "digest_kind": sff.digest_kind,
+            "shards": {str(k): v.to_dict() for k, v in sff.shards.items()},
+        }
+    )
+
+    def _rebuild(art: dict) -> ShardedFuseFilter:
+        return ShardedFuseFilter(
+            art["width"],
+            art["seed"],
+            {int(k): FuseFilter.from_dict(v) for k, v in art["shards"].items()},
+            art["num_shards"],
+            art["digest_kind"],
+        )
+
+    if sff.digest_kind == "xxhash64jvm":
+
+        @pandas_udf("boolean")
+        def _probe_jvm(d0: pd.Series, d1: pd.Series) -> pd.Series:
+            f = _cached_sharded_fuse(bc.value, _rebuild)
+            return pd.Series(
+                f.contains_digests(
+                    d0.to_numpy(dtype=np.int64).view(np.uint64),
+                    d1.to_numpy(dtype=np.int64).view(np.uint64),
+                )
+            )
+
+        c0, c1 = jvm_digest_cols(col)
+        return _probe_jvm(c0, c1)
+
+    @pandas_udf("boolean")
+    def _probe(s: pd.Series) -> pd.Series:
+        f = _cached_sharded_fuse(bc.value, _rebuild)
+        from ..kernels.column import digest_series
+
+        d0, d1 = digest_series(s)
+        return pd.Series(f.contains_digests(d0, d1))
+
+    return _probe(F.col(col) if isinstance(col, str) else col)
+
+
+_SHARDED_FUSE_CACHE: dict[int, tuple[object, "ShardedFuseFilter"]] = {}
+
+
+def _cached_sharded_fuse(art: dict, rebuild) -> "ShardedFuseFilter":
+    k = id(art)
+    hit = _SHARDED_FUSE_CACHE.get(k)
+    if hit is None or hit[0] is not art:
+        _SHARDED_FUSE_CACHE.clear()
+        _SHARDED_FUSE_CACHE[k] = (art, rebuild(art))
+    return _SHARDED_FUSE_CACHE[k][1]
