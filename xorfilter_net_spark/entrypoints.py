@@ -723,6 +723,50 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_event_counts",
+    "select event_type, count(*) as n, count(distinct event_id) as n_ids "
+    "from events group by event_type",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest dedup through the real streaming engine: the
+    events stream is deliberately double-delivered (each row duplicated
+    map-side, modeling at-least-once redelivery), then deduplicated in
+    the state store via dropDuplicatesWithinWatermark — whose state is
+    bounded by watermark-delay x arrival rate, not corpus cardinality.
+    The oracle is the plain batch GROUP BY over the ORIGINAL events: if
+    even one duplicate leaked, n would double somewhere and the value
+    hash would break."""
+    from .streaming.windowed import streaming_dedup
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.parque*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        # duplicate every row: at-least-once delivery, deterministically
+        .withColumn("_dup", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("_dup")
+    )
+    deduped = streaming_dedup(
+        stream, key_cols=["event_id"], time_col="ts", watermark_delay="2 hours"
+    )
+    qn = "streaming_dedup_event_counts_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qn).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
+@query(
     "streaming_join_click_view",
     "select c.user_id as user_id, c.event_id as click_id, "
     "v.event_id as view_id "
