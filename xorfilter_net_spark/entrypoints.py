@@ -767,6 +767,76 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stateful_hll_per_type",
+    "select event_type, true as within_bound from events "
+    "where event_type is not null and user_id is not null "
+    "group by event_type",
+)
+def q_streaming_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator through the real engine: a
+    running per-event_type HLL of distinct users lives in the streaming
+    state store (applyInPandasWithState), updated across micro-batches
+    of the replayed events stream. The final per-group estimate (the
+    update-mode row with the largest n_rows) must sit within 4 sigma of
+    the exact batch countDistinct — the same bound the batch HLL gates
+    use, proving batch/stream sketch parity."""
+    from .sketches.hll import HllSketch
+    from .streaming.windowed import stateful_group_sketch
+
+    h = HllSketch(p=12, key_col="user_id")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.parque*")
+        .filter("event_type is not null and user_id is not null")
+    )
+    est = stateful_group_sketch(
+        stream,
+        group_col="event_type",
+        value_cols=["user_id"],
+        sketch=h,
+        finish=lambda sk, st: int(sk.estimate(st)),
+    )
+    qn = "streaming_stateful_hll_sink"
+    q = (
+        est.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per group per micro-batch; the final
+    # state is the row with the largest n_rows per group
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("group").orderBy(F.desc("n_rows"))
+    final = (
+        spark.table(qn)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(F.col("group").alias("event_type"), "estimate")
+        .collect()
+    )
+    est_by_type = {r["event_type"]: r["estimate"] for r in final}
+    ev = load_table(spark, sf_dir, "events").filter(
+        "event_type is not null and user_id is not null"
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = [
+        (et, abs(est_by_type.get(et, 0) - ex) / max(ex, 1) <= 4 * h.rel_std_error)
+        for et, ex in exact.items()
+    ]
+    return spark.createDataFrame(rows, "event_type string, within_bound boolean")
+
+
+@query(
     "streaming_join_click_view",
     "select c.user_id as user_id, c.event_id as click_id, "
     "v.event_id as view_id "
