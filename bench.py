@@ -268,6 +268,51 @@ def bench_filter_throughput(
             extras["probe_cogroup_sec"] = round(dt, 3)
             extras["probe_cogroup_keys_per_sec"] = int(n_probe / dt)
 
+        if tag == "main" and "fuse_construction_keys_per_sec" not in extras:
+            # fuse-family comparison point (one pass, not min-of-rounds):
+            # same corpus, same shard shuffle shape; probe is the Arrow
+            # path (fuse has no sqlhash addressing), timed at steady
+            # state via plan re-execution like the main probe below
+            from xorfilter_net_spark.filters.fuse_spark import (
+                build_sharded_fuse_filter,
+                is_member_sharded_fuse,
+            )
+
+            t0 = time.perf_counter()
+            sff = build_sharded_fuse_filter(
+                corpus, "key", num_shards=BENCH_SHARDS, width=16,
+                seed=12345, jvm_digests=True,
+            )
+            dt = time.perf_counter() - t0
+            extras["fuse_construction_sec"] = round(dt, 3)
+            extras["fuse_construction_keys_per_sec"] = int(n_keys / dt)
+            fm = sff.metrics()
+            extras["fuse_bits_per_key"] = round(fm["bits_per_key"], 3)
+            # same denominator as the fuse metric: UNIQUE keys (the
+            # replicated corpus carries within-conversation duplicate
+            # texts, which both builds dedup in-shard)
+            xn = sum(
+                f.metrics.get("n_keys", 0) for f in sxf.shards.values()
+            )
+            extras["xor_bits_per_key"] = round(
+                sum(f.size for f in sxf.shards.values()) * 16 / max(xn, 1), 3
+            )
+            fprobe = probe_df.withColumn(
+                "m", is_member_sharded_fuse(spark, sff, "key")
+            )
+            nf = (
+                fprobe.agg(F.sum(F.col("m").cast("long")).alias("n"))
+                .collect()[0]["n"]
+            )
+            assert nf == n_probe, f"fuse false negatives: {n_probe - nf}"
+            fjrdd = fprobe._jdf.queryExecution().executedPlan().execute()
+            fjrdd.count()  # warm
+            t0 = time.perf_counter()
+            fjrdd.count()
+            dt = time.perf_counter() - t0
+            extras["fuse_probe_sec"] = round(dt, 3)
+            extras["fuse_probe_keys_per_sec"] = int(n_probe / dt)
+
         # zero-false-negative assert on the build corpus (probe_df is the
         # same key set replicated, so this checks every probed key) — it
         # also pays the one-time slots-frame persist for this filter
