@@ -2288,6 +2288,96 @@ def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_date_spine_order_gaps",
+    "with b as (select cast(min(o_orderdate) as date) as lo, "
+    " cast(max(o_orderdate) as date) as hi from orders), "
+    "spine as (select cast(unnest(generate_series(lo, hi, "
+    " interval 1 day)) as date) as day from b), "
+    "daily as (select cast(o_orderdate as date) as day, count(*) as n "
+    " from orders group by 1) "
+    "select date_diff('day', date '1970-01-01', s.day) as day_epoch, "
+    "coalesce(d.n, 0) as n_orders "
+    "from spine s left join daily d on s.day = d.day",
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar-spine pattern: generate every day between the
+    corpus min/max dates (sequence+explode, JVM-side) and left-join the
+    daily counts so gap days surface as explicit zeros — the shape every
+    time-series rollup needs before interpolation/charting. The spine is
+    date-arithmetic-sized (thousands of rows), so the join broadcasts;
+    days ride as epoch-day integers for cross-engine exactness."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day")
+    )
+    bounds = o.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    daily = o.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    return spine.join(daily, "day", "left").select(
+        F.unix_date("day").alias("day_epoch"),
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+    )
+
+
+@query(
+    "q_corr_quantity_price",
+    "select l_returnflag, corr_e6, cov_e6 from ("
+    " select l_returnflag,"
+    "  cast(floor(1000000.0 * (n * sxy - sx * sy) /"
+    "   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) as bigint)"
+    "   as corr_e6,"
+    "  cast(floor(1000000.0 * (n * sxy - sx * sy) / (n * n)) as bigint)"
+    "   as cov_e6"
+    " from ("
+    "  select l_returnflag,"
+    "   cast(count(*) as double) as n,"
+    "   cast(sum(x) as double) as sx, cast(sum(y) as double) as sy,"
+    "   cast(sum(x * y) as double) as sxy,"
+    "   cast(sum(x * x) as double) as sxx,"
+    "   cast(sum(y * y) as double) as syy"
+    "  from (select l_returnflag,"
+    "        cast(l_quantity as bigint) as x,"
+    "        cast(round(l_extendedprice) as bigint) as y from lineitem) t"
+    "  group by l_returnflag) s) f",
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / covariance per group with cross-engine-exact
+    arithmetic: the moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    exact int64 (quantity and dollar-rounded price are small enough that
+    every sum stays below 2^53), convert once to double, and the closing
+    formula is a fixed tree of correctly-rounded IEEE ops — identical
+    inputs ⇒ bit-identical corr on both engines, floored to micro-units.
+    The built-in corr() would stream in float with engine-specific
+    accumulation order and could differ in the last ulp."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag",
+        F.floor(F.lit(1000000.0) * num / den).cast("bigint").alias("corr_e6"),
+        F.floor(F.lit(1000000.0) * num / (F.col("n") * F.col("n")))
+        .cast("bigint")
+        .alias("cov_e6"),
+    )
+
+
+@query(
     "q_datetime_daily_activity",
     "select cast(date_trunc('day', ts) as date) as day, "
     "extract(hour from ts) as hr, count(*) as n, "
