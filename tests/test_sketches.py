@@ -645,3 +645,38 @@ def test_fd_top_direction_recovered():
     _, v_exact = np.linalg.eigh(A.T @ A)
     _, v_sk = np.linalg.eigh(fd.gram(st))
     assert abs(v_exact[:, -1] @ v_sk[:, -1]) > 0.99
+
+
+# -- Counting Bloom -----------------------------------------------------------
+def test_cbf_delete_semantics_and_merge():
+    from xorfilter_net_spark.sketches.cbf import CountingBloomSketch
+
+    cb = CountingBloomSketch.for_capacity(30_000, fpp=0.01)
+    ins = fold(cb, [KEYS])
+    dele = fold(cb, [KEYS[::3].reset_index(drop=True)])
+    live = cb.subtract(ins, dele)
+    keeps = KEYS[KEYS.index % 3 != 0].reset_index(drop=True)
+    # (a) no false negatives on surviving keys
+    assert cb.contains(live, keeps).all()
+    # (b) deleted keys genuinely removed: hit rate ~ FPR, not 1.0
+    deleted = KEYS[::3].reset_index(drop=True)
+    assert cb.contains(live, deleted).mean() < 0.05
+    # (c) merge is partition-order independent (counter addition)
+    parts = random_splits(KEYS, 5, seed=7)
+    sts = [cb.update(cb.zero(), pd.DataFrame({"x": p})) for p in parts]
+    left = functools.reduce(cb.merge, sts)
+    right = functools.reduce(cb.merge, list(reversed(sts)))
+    assert np.array_equal(left.counts, right.counts)
+    assert np.array_equal(left.counts, ins.counts)
+
+
+def test_cbf_subtract_rejects_non_subset_and_roundtrips():
+    from xorfilter_net_spark.sketches.cbf import CountingBloomSketch
+
+    cb = CountingBloomSketch.for_capacity(1000, fpp=0.01)
+    ins = cb.update(cb.zero(), pd.DataFrame({"x": KEYS[:500]}))
+    rogue = cb.update(cb.zero(), pd.DataFrame({"x": pd.Series(["never_inserted"])}))
+    with pytest.raises(ValueError):
+        cb.subtract(ins, rogue)
+    st2 = cb.deserialize(cb.serialize(ins))
+    assert np.array_equal(ins.counts, st2.counts) and st2.n_added == ins.n_added

@@ -441,6 +441,78 @@ def q_bloom_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cbf_delete_semantics_ok",
+    "select true as zero_fn_live, true as deleted_rejected, true as fpr_ok",
+)
+def q_cbf_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting Bloom filter — the deletable membership sketch the static
+    XOR/fuse family can't be (reference README.md:113: add/remove
+    requires rebuild). Build one CBF over all distinct event ids and one
+    over a strict subset (the deletes), subtract counter-wise, then gate:
+    (a) every surviving key still probes true (deletes cannot create
+    false negatives when delete ⊆ insert), (b) deleted keys are rejected
+    at ~FPR (they are genuinely gone, not tombstoned), (c) a disjoint
+    probe set stays within 3x the published FPR for the LIVE count —
+    deletes reclaim space."""
+    import pandas as pd
+
+    from .sketches.base import aggregate
+    from .sketches.cbf import CountingBloomSketch
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "cast(event_id as string) as key", "event_id"
+    )
+    inserts = ev.select("key", "event_id").distinct()
+    n_all = inserts.count()
+    deletes = inserts.filter("event_id % 3 = 0").select("key")
+    keeps = inserts.filter("event_id % 3 != 0").select("key")
+    sk = CountingBloomSketch.for_capacity(n_all, fpp=0.01, key_col="key")
+    live = sk.subtract(
+        aggregate(inserts.select("key"), ["key"], sk),
+        aggregate(deletes, ["key"], sk),
+    )
+    bc = spark.sparkContext.broadcast(sk.serialize(live))
+    params = (sk.m, sk.k)
+
+    @F.pandas_udf("boolean")
+    def cbf_probe(s: pd.Series) -> pd.Series:
+        from .sketches.cbf import CountingBloomSketch as CBS
+
+        sk2 = CBS(*params)
+        st2 = sk2.deserialize(bc.value)
+        return pd.Series(sk2.contains(st2, s))
+
+    n_keep = keeps.count()
+    found_live = (
+        keeps.withColumn("m", cbf_probe("key"))
+        .agg(F.sum(F.col("m").cast("long")).alias("n"))
+        .collect()[0]["n"]
+    )
+    bound = 3 * sk.fpr_bound(n_keep)
+    del_stats = (
+        deletes.withColumn("m", cbf_probe("key"))
+        .agg(F.sum(F.col("m").cast("long")).alias("fp"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    non = keeps.selectExpr("'nm:' || key as key")
+    non_stats = (
+        non.withColumn("m", cbf_probe("key"))
+        .agg(F.sum(F.col("m").cast("long")).alias("fp"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                found_live == n_keep,
+                del_stats["fp"] / max(del_stats["n"], 1) < max(bound, 0.005),
+                non_stats["fp"] / max(non_stats["n"], 1) < max(bound, 0.005),
+            )
+        ],
+        "zero_fn_live boolean, deleted_rejected boolean, fpr_ok boolean",
+    )
+
+
+@query(
     "hll_distinct_per_source_ok",
     "select source, true as within_bound from documents group by source",
 )
