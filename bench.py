@@ -270,12 +270,13 @@ def bench_filter_throughput(
 
         if tag == "main" and "fuse_construction_keys_per_sec" not in extras:
             # fuse-family comparison point (one pass, not min-of-rounds):
-            # same corpus, same shard shuffle shape; probe is the Arrow
-            # path (fuse has no sqlhash addressing), timed at steady
-            # state via plan re-execution like the main probe below
+            # same corpus, same shard shuffle shape; probe is the
+            # zero-Python SQL path (sqlhash addressing, the jvm-digest
+            # default — same plan shape as the XOR probe_sql), timed at
+            # steady state via plan re-execution like the main probe below
             from xorfilter_net_spark.filters.fuse_spark import (
                 build_sharded_fuse_filter,
-                is_member_sharded_fuse,
+                probe_sql_fuse,
             )
 
             t0 = time.perf_counter()
@@ -297,9 +298,7 @@ def bench_filter_throughput(
             extras["xor_bits_per_key"] = round(
                 sum(f.size for f in sxf.shards.values()) * 16 / max(xn, 1), 3
             )
-            fprobe = probe_df.withColumn(
-                "m", is_member_sharded_fuse(spark, sff, "key")
-            )
+            fprobe = probe_sql_fuse(sff, probe_df, "key", "m")
             nf = (
                 fprobe.agg(F.sum(F.col("m").cast("long")).alias("n"))
                 .collect()[0]["n"]

@@ -224,3 +224,57 @@ class TestSparkFuse:
             .collect()[0][0]
         )
         assert fp <= max(3, int(0.005 * non.count()))
+
+
+class TestFuseSqlProbe:
+    def test_sql_probe_row_identical_to_arrow(self, spark):
+        from pyspark.sql import functions as F
+
+        from xorfilter_net_spark.filters.fuse_spark import (
+            build_sharded_fuse_filter,
+            is_member_sharded_fuse,
+            probe_sql_fuse,
+        )
+
+        rows = [(f"k-{i}",) for i in range(20_000)]
+        df = spark.createDataFrame(rows, "key string")
+        sff = build_sharded_fuse_filter(
+            df, "key", num_shards=8, width=16, seed=9, jvm_digests=True
+        )
+        assert sff.mode == "sqlhash"
+        # members + guaranteed non-members through both probe paths
+        probes = df.union(
+            spark.createDataFrame([(f"nm-{i}",) for i in range(20_000)], "key string")
+        )
+        sql = probe_sql_fuse(sff, probes, "key", "m")
+        arrow = probes.withColumn("m", is_member_sharded_fuse(spark, sff, "key"))
+        # row-for-row identical, INCLUDING false positives
+        assert sql.exceptAll(arrow).count() == 0
+        assert arrow.exceptAll(sql).count() == 0
+        # zero false negatives on the 20k members
+        n_mem = (
+            sql.filter(~F.col("key").startswith("nm-"))
+            .agg(F.sum(F.col("m").cast("long")))
+            .collect()[0][0]
+        )
+        assert n_mem == 20_000
+        # and the plan is Python-free: no ArrowEvalPython / BatchEvalPython
+        # (the createDataFrame scan line mentions PythonRDD — that's the
+        # test input, not the probe)
+        plan = sql._sc._jvm.PythonSQLUtils.explainString(
+            sql._jdf.queryExecution(), "formatted"
+        )
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+
+    def test_sql_probe_rejects_digest_mode(self, spark):
+        from xorfilter_net_spark.filters.fuse_spark import (
+            build_sharded_fuse_filter,
+            probe_sql_fuse,
+        )
+
+        df = spark.createDataFrame([(f"k-{i}",) for i in range(500)], "key string")
+        sff = build_sharded_fuse_filter(df, "key", num_shards=2, width=8, seed=1)
+        with pytest.raises(ValueError):
+            probe_sql_fuse(sff, df, "key")

@@ -222,6 +222,26 @@ def q_fuse_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuse_sql_probe_zero_false_negatives",
+    f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
+)
+def q_fuse_sql_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-Python fuse pipeline: sqlhash addressing + the probe evaluated
+    entirely in whole-stage codegen (``probe_sql_fuse``) — fuse addressing
+    is simpler in SQL than XOR's (fastrange segment + power-of-two offset
+    masks, no unsigned-mod corrections). Row-identical to the Arrow probe
+    (tests/test_fuse_core.py::TestFuseSqlProbe)."""
+    from .filters.fuse_spark import build_sharded_fuse_filter, probe_sql_fuse
+
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    sff = build_sharded_fuse_filter(
+        t, "key", num_shards=16, width=16, seed=42, jvm_digests=True
+    )
+    r = probe_sql_fuse(sff, t.select("key").distinct(), "key")
+    return r.agg(F.sum(F.col("is_member").cast("long")).alias("n_members_found"))
+
+
+@query(
     "xor_sharded_zero_false_negatives",
     f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
 )

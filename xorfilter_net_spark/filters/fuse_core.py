@@ -38,7 +38,14 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..kernels.hashes import derive_attempt_seeds, digest128, pack_bytes, splitmix64
+from ..kernels.hashes import (
+    SPARK_XXHASH64_DEFAULT_SEED,
+    derive_attempt_seeds,
+    digest128,
+    pack_bytes,
+    splitmix64,
+    xxh64_long,
+)
 from .xor_core import (
     _DTYPES,
     _MASKS,
@@ -47,6 +54,7 @@ from .xor_core import (
     XorConstructionError,
     digest_fingerprint,
     fill_slots,
+    sqlhash_fingerprint,
     try_peel,
 )
 
@@ -103,6 +111,56 @@ def _fuse_idx(
     return np.stack(cols, axis=1)
 
 
+_SQL_SEED = _U64(SPARK_XXHASH64_DEFAULT_SEED)
+
+
+def _fuse_idx_sqlhash(
+    d0: np.ndarray, seed: np.uint64, segment_length: int, segment_count: int
+) -> np.ndarray:
+    """(n, 3) slot indices in ``sqlhash`` addressing: every hash step is a
+    Spark-SQL-recomputable builtin chain so the probe can run with ZERO
+    Python (``fuse_spark.probe_sql_fuse``), mirroring the XOR core's
+    sqlhash mode (SURVEY §7 D9):
+
+    - ``h   = xxhash64(d0, seed)``       (two-column builtin chain)
+    - window segment by fastrange on the high 32 bits of ``h`` —
+      ``q = ((h >>> 32) * segment_count) >> 32`` stays below 2^63, so the
+      SQL side needs no unsigned-mod correction at all;
+    - ``lane_j = xxhash64(h, j+1)``; the in-segment offset is
+      ``lane_j & (segment_length - 1)`` — segment_length is a power of
+      two, so the mask works identically on signed longs.
+    """
+    h = xxh64_long(seed, xxh64_long(d0.astype(_U64), _SQL_SEED))
+    q = ((h >> _U64(32)) * _U64(segment_count)) >> _U64(32)
+    hh = xxh64_long(h, _SQL_SEED)
+    mask = _U64(segment_length - 1)
+    sl = np.int64(segment_length)
+    cols = []
+    for j in range(ARITY):
+        lane = xxh64_long(_U64(j + 1), hh)
+        cols.append(
+            (q.astype(np.int64) + j) * sl + (lane & mask).astype(np.int64)
+        )
+    return np.stack(cols, axis=1)
+
+
+def fuse_idx(
+    d0: np.ndarray,
+    seed: np.uint64,
+    segment_length: int,
+    segment_count: int,
+    mode: str = "digest",
+) -> np.ndarray:
+    fn = _fuse_idx_sqlhash if mode == "sqlhash" else _fuse_idx
+    return fn(d0, seed, segment_length, segment_count)
+
+
+def fuse_fingerprint(d1: np.ndarray, width: int, mode: str = "digest") -> np.ndarray:
+    if mode == "sqlhash":
+        return sqlhash_fingerprint(d1.astype(_U64), width)
+    return digest_fingerprint(d1.astype(_U64), width)
+
+
 @dataclass
 class FuseFilter:
     """Immutable built artifact: segmented slot table + one seed per build."""
@@ -117,17 +175,22 @@ class FuseFilter:
     attempts: int = 1
     metrics: dict = field(default_factory=dict)
     kind: str = "fuse3"
+    mode: str = "digest"  # slot addressing: 'digest' (splitmix) | 'sqlhash'
 
     def contains_digests(self, d0: np.ndarray, d1: np.ndarray) -> np.ndarray:
-        idx = _fuse_idx(
-            d0.astype(_U64), self.seed, self.segment_length, self.segment_count
+        idx = fuse_idx(
+            d0.astype(_U64),
+            self.seed,
+            self.segment_length,
+            self.segment_count,
+            self.mode,
         )
         got = (
             self.slots[idx[:, 0]].astype(_U64)
             ^ self.slots[idx[:, 1]].astype(_U64)
             ^ self.slots[idx[:, 2]].astype(_U64)
         )
-        return got == digest_fingerprint(d1.astype(_U64), self.width)
+        return got == fuse_fingerprint(d1, self.width, self.mode)
 
     def contains_bytes(self, values) -> np.ndarray:
         buf, lens = pack_bytes(values)
@@ -146,6 +209,7 @@ class FuseFilter:
             "user_seed": self.user_seed,
             "attempts": self.attempts,
             "metrics": self.metrics,
+            "mode": self.mode,
         }
 
     def to_json(self) -> str:
@@ -166,6 +230,7 @@ class FuseFilter:
             user_seed=d["user_seed"],
             attempts=d.get("attempts", 1),
             metrics=d.get("metrics", {}),
+            mode=d.get("mode", "digest"),
         )
 
     @classmethod
@@ -179,6 +244,7 @@ def build_fuse_from_digests(
     width: int = 8,
     seed: int = 0,
     assume_unique: bool = False,
+    mode: str = "digest",
 ) -> FuseFilter:
     """Build a 3-wise binary fuse filter from deduplicated 128-bit digests.
 
@@ -203,7 +269,7 @@ def build_fuse_from_digests(
     t0 = time.perf_counter()
     segment_length, segment_count, array_length = fuse_layout(n)
     capacity = array_length
-    fp = digest_fingerprint(d1u, width)
+    fp = fuse_fingerprint(d1u, width, mode)
     for attempt in range(MAX_RETRIES):
         if attempt > 0 and attempt % RETRIES_BEFORE_RESIZE == 0:
             capacity = math.ceil(capacity * GROWTH)
@@ -211,7 +277,7 @@ def build_fuse_from_digests(
                 n, capacity=capacity
             )
         aseed = derive_attempt_seeds(seed, attempt)[0]
-        idx = _fuse_idx(d0u, aseed, segment_length, segment_count)
+        idx = fuse_idx(d0u, aseed, segment_length, segment_count, mode)
         rounds = try_peel(idx, array_length)
         if rounds is not None:
             slots = fill_slots(rounds, idx, fp, array_length, width)
@@ -224,6 +290,7 @@ def build_fuse_from_digests(
                 slots=slots,
                 user_seed=seed,
                 attempts=attempt + 1,
+                mode=mode,
                 metrics={
                     "n_keys": n,
                     "table_size": array_length,
