@@ -327,3 +327,48 @@ class TestTokenCooccurrence:
             docs, "doc_id", "text", top_v=2
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestContamination:
+    def test_partial_and_full_overlap(self, spark):
+        from pyspark.sql import functions as F
+
+        from xorfilter_net_spark.text.contamination import contamination_report
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        rows = [
+            (0, shared),  # exact eval copy -> 100% contaminated
+            (1, "one two three four five six seven eight nine ten"),  # clean
+            # first 8 tokens shared (4 of its 9 shingles), then distinct
+            (2, shared + " iota kappa lam mu nu"),
+            (3, "tiny doc"),  # < 5 tokens -> excluded from the report
+        ]
+        train = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = spark.createDataFrame([(shared,)], "text string")
+        rep = contamination_report(train, ev, "doc_id", "text", n=5,
+                                   threshold_pct=50).toPandas()
+        rep = rep.set_index("doc_id")
+        assert set(rep.index) == {0, 1, 2}
+        assert rep.loc[0, "n_matched"] == rep.loc[0, "n_shingles"] == 4
+        assert bool(rep.loc[0, "contaminated"])
+        assert rep.loc[1, "n_matched"] == 0 and not rep.loc[1, "contaminated"]
+        # doc 2: 13 tokens -> 9 shingles, the 4 eval shingles match
+        assert rep.loc[2, "n_shingles"] == 9
+        assert rep.loc[2, "n_matched"] == 4
+        assert not bool(rep.loc[2, "contaminated"])  # 4*100 < 50*9
+        # at a 40% threshold doc 2 flips
+        rep40 = (
+            contamination_report(train, ev, "doc_id", "text", n=5,
+                                 threshold_pct=40)
+            .filter(F.col("doc_id") == 2).toPandas()
+        )
+        assert bool(rep40["contaminated"].iloc[0])  # 4*100 >= 40*9
+
+    def test_shingles_guard_short_docs(self, spark):
+        from xorfilter_net_spark.text.contamination import shingles_col
+
+        df = spark.createDataFrame(
+            [("a b c d",), ("a b c d e",), ("a b c d e f",)], "text string"
+        )
+        out = df.select(shingles_col("text", 5).alias("sh")).collect()
+        assert [len(r["sh"]) for r in out] == [0, 1, 2]

@@ -2333,6 +2333,43 @@ def q_token_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contamination_report_documents",
+    "with tk as (select doc_id, string_split(text, ' ') as t from documents), "
+    "tr as (select doc_id, array_to_string(t[i+1:i+5], ' ') as sh "
+    "  from tk, unnest(range(0, greatest(len(t) - 4, 0))) as u(i) "
+    "  group by 1, 2), "
+    "ev as (select distinct sh from tr where doc_id % 37 = 0), "
+    "tot as (select doc_id, count(*) as n_shingles from tr group by 1), "
+    "hit as (select tr.doc_id, count(*) as n_matched from tr join ev using (sh) "
+    "  group by 1) "
+    "select tot.doc_id, tot.n_shingles, "
+    "coalesce(hit.n_matched, 0) as n_matched, "
+    "coalesce(hit.n_matched, 0) * 100 >= 50 * tot.n_shingles as contaminated "
+    "from tot left join hit using (doc_id)",
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Llama 2 A.6 pattern):
+    flag training documents whose 5-gram shingles overlap an eval set
+    above a threshold. Eval set = every 37th document verbatim, so those
+    documents are 100%-contaminated by construction (the corpus is random
+    word salad — organic 5-gram collisions are ~impossible, making the
+    gate non-vacuous). Plan: codegen shingling, broadcast eval shingle
+    set, matched-pairs-only shuffle — the training corpus itself is never
+    shuffled (text/contamination.py)."""
+    from .text.contamination import contamination_report
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter("doc_id % 37 = 0").select("text")
+    rep = contamination_report(d, ev, "doc_id", "text", n=5, threshold_pct=50)
+    return rep.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "contaminated",
+    )
+
+
+@query(
     "q_not_in_null_semantics",
     "select "
     "(select count(*) from documents "
