@@ -290,6 +290,43 @@ def main() -> None:
         )
     )
 
+    # 18. fuse SQL probe: zero Python, power-of-two masks (no mod math)
+    from xorfilter_net_spark.filters.fuse_spark import (
+        build_sharded_fuse_filter,
+        probe_sql_fuse,
+    )
+
+    sff = build_sharded_fuse_filter(
+        t, "key", num_shards=32, width=16, seed=7, jvm_digests=True
+    )
+    fuse_probed = probe_sql_fuse(sff, t.select("key").distinct(), "key")
+    sections.append(
+        (
+            "Fuse SQL probe (probe_sql_fuse, sqlhash addressing)",
+            "Same zero-Python shape as the XOR probe — per-shard params "
+            "broadcast + three BroadcastHashJoins against the flattened "
+            "slot table — but the index math is simpler: fastrange "
+            "segment selection and power-of-two offset masks, so no "
+            "unsigned-mod correction branches appear in the projection.",
+            captured_explain(fuse_probed),
+        )
+    )
+
+    # 19. contamination: eval shingles broadcast; the corpus never shuffles
+    sections.append(
+        (
+            "Benchmark decontamination (contamination_report_documents)",
+            "Shingling is codegen over the scan; the eval shingle set and "
+            "the per-doc hit counts both enter via BroadcastExchange — "
+            "the only hash exchanges in the plan carry matched (doc_id, "
+            "shingle) pairs and the tiny eval side, never the training "
+            "corpus.",
+            captured_explain(
+                ep.QUERIES["contamination_report_documents"](spark, SF_DIR)
+            ),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",
@@ -345,9 +382,19 @@ def main() -> None:
     assert "BroadcastHashJoin LeftAnti" in nin_plan
     cooc_plan = sections[17][2]
     assert cooc_plan.count("BroadcastHashJoin") >= 3
+    fuse_plan = sections[18][2]
+    assert "ArrowEvalPython" not in fuse_plan and "BatchEvalPython" not in fuse_plan
+    assert fuse_plan.count("BroadcastHashJoin") >= 3
+    contam_plan = sections[19][2]
+    assert "Python" not in contam_plan
+    assert contam_plan.count("BroadcastHashJoin") >= 2
+    # no sort-merge/shuffled-hash join anywhere: the corpus never joins
+    # through an exchange
+    assert "SortMergeJoin" not in contam_plan
+    assert "ShuffledHashJoin" not in contam_plan
     print(
         "topk/multi-distinct/z-order/q18/grouping-sets/hof/merge/"
-        "q6/q8/q19/redact/not-in/cooccur plans — OK"
+        "q6/q8/q19/redact/not-in/cooccur/fuse-sql/contamination plans — OK"
     )
     spark.stop()
 
