@@ -461,6 +461,92 @@ def q_bloom_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cuckoo_triad_ok",
+    "select true as zero_fn_live, true as deleted_rejected, "
+    "true as fpr_ok, true as space_ok",
+)
+def q_cuckoo_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo filter (CoNEXT'14) — completes the comparison triad of the
+    reference's own paper citation, "Xor Filters: Faster and Smaller Than
+    Bloom and Cuckoo Filters" (reference README.md:18,121). Build over
+    all distinct event ids, delete a strict subset, then gate: (a) zero
+    false negatives on survivors, (b) deleted keys rejected at ~FPR,
+    (c) disjoint probe set within 3x the published bound 2b/2^f, (d) at
+    the realized load, bits/key beats a Bloom filter targeting the same
+    FPR (1.44 log2(1/eps)) whenever load >= 0.9 (power-of-two rounding
+    can land lower — then the space gate is vacuously true, the FPR/FN
+    gates never are)."""
+    import math
+
+    import pandas as pd
+
+    from .filters.cuckoo import build_cuckoo_from_digests
+    from .filters.spark_build import key_digests_jvm
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "cast(event_id as string) as key", "event_id"
+    )
+    inserts = ev.select("key", "event_id").distinct()
+    deletes = inserts.filter("event_id % 3 = 0").select("key")
+    keeps = inserts.filter("event_id % 3 != 0").select("key")
+    # digests JVM-side; only 16 bytes/key reach the driver build
+    dig = key_digests_jvm(inserts, "key").dropDuplicates(["d0", "d1"]).toPandas()
+    import numpy as np
+
+    f = build_cuckoo_from_digests(
+        dig["d0"].to_numpy(np.int64).view(np.uint64),
+        dig["d1"].to_numpy(np.int64).view(np.uint64),
+    )
+    ddig = key_digests_jvm(deletes, "key").dropDuplicates(["d0", "d1"]).toPandas()
+    f.delete_digests(
+        ddig["d0"].to_numpy(np.int64).view(np.uint64),
+        ddig["d1"].to_numpy(np.int64).view(np.uint64),
+    )
+    bc = spark.sparkContext.broadcast(f.serialize())
+
+    @F.pandas_udf("boolean")
+    def ck_probe(d0: pd.Series, d1: pd.Series) -> pd.Series:
+        from .filters.cuckoo import CuckooFilter as CF
+
+        g = CF.deserialize(bc.value)
+        return pd.Series(
+            g.contains_digests(
+                d0.to_numpy(np.int64).view(np.uint64),
+                d1.to_numpy(np.int64).view(np.uint64),
+            )
+        )
+
+    from .filters.spark_build import jvm_digest_cols
+
+    def probe_count(df):
+        c0, c1 = jvm_digest_cols("key")
+        return (
+            df.withColumn("m", ck_probe(c0, c1))
+            .agg(F.sum(F.col("m").cast("long")).alias("fp"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+
+    kc = probe_count(keeps)
+    dc = probe_count(deletes)
+    nc = probe_count(keeps.selectExpr("'nm:' || key as key"))
+    bound = max(3 * f.fpr_bound(), 0.002)
+    bloom_bits = 1.44 * math.log2(1 / f.fpr_bound())
+    space_ok = f.load_factor < 0.9 or f.bits_per_key < bloom_bits
+    return spark.createDataFrame(
+        [
+            (
+                kc["fp"] == kc["n"],
+                dc["fp"] / max(dc["n"], 1) < bound,
+                nc["fp"] / max(nc["n"], 1) < bound,
+                bool(space_ok),
+            )
+        ],
+        "zero_fn_live boolean, deleted_rejected boolean, "
+        "fpr_ok boolean, space_ok boolean",
+    )
+
+
+@query(
     "cbf_delete_semantics_ok",
     "select true as zero_fn_live, true as deleted_rejected, true as fpr_ok",
 )
