@@ -680,3 +680,35 @@ def test_cbf_subtract_rejects_non_subset_and_roundtrips():
         cb.subtract(ins, rogue)
     st2 = cb.deserialize(cb.serialize(ins))
     assert np.array_equal(ins.counts, st2.counts) and st2.n_added == ins.n_added
+
+
+def test_countsketch_join_size_within_variance_envelope():
+    from xorfilter_net_spark.sketches.countsketch import CountSketch
+
+    # two relations with known overlap: f_A(k)=a_k, f_B(k)=b_k on shared keys
+    rng = np.random.default_rng(99)
+    keys = [f"k_{i}" for i in range(2000)]
+    a_rows = pd.Series(np.repeat(keys, rng.integers(1, 6, 2000)))
+    b_rows = pd.Series(np.repeat(keys[:1200], rng.integers(1, 6, 1200)))
+    fa = a_rows.value_counts()
+    fb = b_rows.value_counts()
+    exact = int((fa * fb).dropna().sum())
+
+    cs = CountSketch(d=7, w=8192)
+    sa = cs.update(cs.zero(), pd.DataFrame({"x": a_rows}))
+    sb = cs.update(cs.zero(), pd.DataFrame({"x": b_rows}))
+    est = cs.inner_product(sa, sb)
+    # variance <= 2 F2(A) F2(B) / w per row; gate at 6 per-row sigmas
+    f2a = float((fa**2).sum())
+    f2b = float((fb**2).sum())
+    sd = (2 * f2a * f2b / cs.w) ** 0.5
+    assert abs(est - exact) < 6 * sd
+    # merge-invariance: partition either side arbitrarily, same estimate
+    parts = random_splits(a_rows, 5, seed=3)
+    sa2 = functools.reduce(
+        cs.merge, [cs.update(cs.zero(), pd.DataFrame({"x": p})) for p in parts]
+    )
+    assert np.array_equal(sa, sa2)
+    # geometry guard
+    with pytest.raises(ValueError):
+        cs.inner_product(sa, np.zeros((2, 2)))

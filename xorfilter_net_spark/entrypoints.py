@@ -784,6 +784,59 @@ def q_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "countsketch_join_size_ok",
+    "select (select count(*) from orders o join customer c "
+    "on o.o_custkey = c.c_custkey) as exact_join_size, "
+    "true as within_bound",
+)
+def q_countsketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-cardinality estimation (Alon-Gibbons-Matias-
+    Szegedy, PODS'99): orders and customer are count-sketched
+    INDEPENDENTLY on custkey (one mergeable pass each — the join never
+    runs), and the median-over-rows inner product of the two states must
+    sit within 6 per-row standard deviations (sqrt(2 F2a F2b / w)) of
+    the exact |orders ⋈ customer|. This is the planning statistic that
+    lets a 100 TB optimizer size a join from two O(d·w) states instead
+    of executing it; the exact join runs here only as the oracle."""
+    from .sketches.base import aggregate
+    from .sketches.countsketch import CountSketch
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    cs = CountSketch(d=9, w=8192, key_col="k")
+    sa = aggregate(orders, ["k"], cs)
+    sb = aggregate(cust, ["k"], cs)
+    est = cs.inner_product(sa, sb)
+
+    def f2_of(df):
+        return float(
+            df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+            .collect()[0]["f2"]
+        )
+
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .count()
+    )
+    sd = (2 * f2_of(orders) * f2_of(cust) / cs.w) ** 0.5
+    ok = abs(est - exact) < 6 * sd
+    return spark.createDataFrame(
+        [(int(exact), bool(ok))],
+        "exact_join_size long, within_bound boolean",
+    )
+
+
+@query(
     "fd_embeddings_ok",
     "select true as spectral_ok, true as psd_ok",
 )

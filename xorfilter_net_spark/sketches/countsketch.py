@@ -110,3 +110,19 @@ class CountSketch:
         """Median-over-rows AMS self-join-size estimate."""
         per_row = (state.astype(np.float64) ** 2).sum(axis=1)
         return float(np.median(per_row))
+
+    def inner_product(self, a: np.ndarray, b: np.ndarray) -> float:
+        """Cross-relation equi-join size estimate (Alon-Gibbons-Matias-
+        Szegedy, PODS'99 "Tracking join and self-join sizes in limited
+        storage"): for two relations sketched with the SAME instance
+        (same row seeds), each row's ``sum_w a[i,w] * b[i,w]`` is an
+        unbiased estimator of ``|A join B| = sum_x f_A(x) * f_B(x)``
+        with variance ``<= 2 * F2(A) * F2(B) / w``; the median over
+        ``d`` rows concentrates. This is the classic sketch input to
+        join planning: both sides are sketched independently (one pass
+        each, mergeable across partitions), the join itself never runs.
+        """
+        if a.shape != (self.d, self.w) or b.shape != (self.d, self.w):
+            raise ValueError("states must come from this sketch's geometry")
+        per_row = (a.astype(np.float64) * b.astype(np.float64)).sum(axis=1)
+        return float(np.median(per_row))
