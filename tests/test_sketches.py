@@ -712,3 +712,22 @@ def test_countsketch_join_size_within_variance_envelope():
     # geometry guard
     with pytest.raises(ValueError):
         cs.inner_product(sa, np.zeros((2, 2)))
+
+
+def test_hll_sparse_wire_format_roundtrip_and_size():
+    h = HllSketch(p=12)
+    # small group -> sparse encoding, much smaller than the dense array
+    small = h.update(h.zero(), pd.DataFrame({"x": KEYS[:50]}))
+    blob_small = h.serialize(small)
+    assert len(blob_small) < h.m // 4
+    rt = h.deserialize(blob_small)
+    assert np.array_equal(rt, small)
+    assert h.estimate(rt) == h.estimate(small)
+    # big group -> dense encoding, still roundtrips
+    big = h.update(h.zero(), pd.DataFrame({"x": KEYS}))
+    rt2 = h.deserialize(h.serialize(big))
+    assert np.array_equal(rt2, big)
+    # encoding is a pure function of the registers: equal states ->
+    # byte-identical blobs (the rollup byte-identity gate relies on this)
+    small_b = h.update(h.zero(), pd.DataFrame({"x": KEYS[:50].iloc[::-1]}))
+    assert h.serialize(small_b) == blob_small

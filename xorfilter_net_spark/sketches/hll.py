@@ -62,12 +62,35 @@ class HllSketch:
         return np.maximum(a, b)
 
     def serialize(self, regs: np.ndarray) -> bytes:
+        """Size-adaptive wire format (HLL++'s sparse idea, Heule et al.
+        EDBT'13 §5.3, on the classic register array): a state whose
+        nonzero registers are sparse enough ships as (index, rank) pairs
+        — 5 bytes per LIVE register instead of 2^p bytes total. Matters
+        for per-group sketch-COLUMN tables (``sketches/columns.py``):
+        with millions of groups, most groups are small, and state-table
+        bytes are what the rollup shuffles and persists. Encoding is a
+        pure function of the registers, so equal states serialize
+        byte-identically (the rollup byte-identity gate still holds),
+        and estimates are EXACTLY those of the dense form — it is the
+        same register array, re-encoded."""
+        nz = np.flatnonzero(regs)
+        if 5 * nz.size <= self.m:
+            return pickle.dumps(
+                (self.p, ("s", nz.astype(np.int32).tobytes(), regs[nz].tobytes()))
+            )
         return pickle.dumps((self.p, regs.tobytes()))
 
     def deserialize(self, blob: bytes) -> np.ndarray:
-        p, raw = pickle.loads(blob)
+        p, payload = pickle.loads(blob)
         assert p == self.p, "merging incompatible HLL precision"
-        return np.frombuffer(raw, dtype=np.uint8).copy()
+        if isinstance(payload, tuple):  # sparse: ("s", indexes, ranks)
+            _, idx_raw, val_raw = payload
+            regs = np.zeros(self.m, dtype=np.uint8)
+            regs[np.frombuffer(idx_raw, dtype=np.int32)] = np.frombuffer(
+                val_raw, dtype=np.uint8
+            )
+            return regs
+        return np.frombuffer(payload, dtype=np.uint8).copy()
 
     def estimate(self, regs: np.ndarray) -> float:
         m = float(self.m)
