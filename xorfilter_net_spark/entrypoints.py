@@ -2471,8 +2471,7 @@ def q_token_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_cooccurrence(d, "doc_id", "text", top_v=20)
 
 
-@query(
-    "contamination_report_documents",
+_CONTAM_ORACLE = (
     "with tk as (select doc_id, string_split(text, ' ') as t from documents), "
     "tr as (select doc_id, array_to_string(t[i+1:i+5], ' ') as sh "
     "  from tk, unnest(range(0, greatest(len(t) - 4, 0))) as u(i) "
@@ -2484,8 +2483,11 @@ def q_token_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "select tot.doc_id, tot.n_shingles, "
     "coalesce(hit.n_matched, 0) as n_matched, "
     "coalesce(hit.n_matched, 0) * 100 >= 50 * tot.n_shingles as contaminated "
-    "from tot left join hit using (doc_id)",
+    "from tot left join hit using (doc_id)"
 )
+
+
+@query("contamination_report_documents", _CONTAM_ORACLE)
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C / Llama 2 A.6 pattern):
     flag training documents whose 5-gram shingles overlap an eval set
@@ -2500,6 +2502,29 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ev = d.filter("doc_id % 37 = 0").select("text")
     rep = contamination_report(d, ev, "doc_id", "text", n=5, threshold_pct=50)
+    return rep.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "contaminated",
+    )
+
+
+@query("contamination_xor_pruned_documents", _CONTAM_ORACLE)
+def q_contamination_xor_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beyond-broadcast decontamination path, gated against the SAME
+    exact oracle as the broadcast path: exploded train shingles are
+    pre-pruned by a zero-Python XOR-filter probe of the eval shingle set
+    before the exact semi-join (zero false negatives, so every true
+    match survives; the 2^-16 FPR trickle dies in the join) — the report
+    must be row-for-row identical to the exact broadcast-join one."""
+    from .text.contamination import contamination_report
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter("doc_id % 37 = 0").select("text")
+    rep = contamination_report(
+        d, ev, "doc_id", "text", n=5, threshold_pct=50, prune="xor"
+    )
     return rep.select(
         "doc_id",
         F.col("n_shingles").cast("long").alias("n_shingles"),

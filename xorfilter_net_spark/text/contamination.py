@@ -64,6 +64,7 @@ def contamination_report(
     text_col: str = "text",
     n: int = 5,
     threshold_pct: int = 50,
+    prune: str = "broadcast",
 ) -> DataFrame:
     """Per-training-document contamination report against an eval set.
 
@@ -72,8 +73,14 @@ def contamination_report(
     ``contaminated = n_matched * 100 >= threshold_pct * n_shingles``.
 
     ``eval_df`` needs only ``text_col``. See the module docstring for the
-    plan shape; the eval shingle set is broadcast, so this performs zero
-    shuffles of the training corpus.
+    plan shape; with ``prune='broadcast'`` (default) the eval shingle set
+    is broadcast, so this performs zero shuffles of the training corpus.
+    ``prune='xor'`` is the beyond-broadcast composition: the exploded
+    train shingles are pre-pruned by a zero-Python XOR-filter probe of
+    the eval shingle set BEFORE the exact semi-join
+    (``relational/filter_join.py`` pattern) — row-identical output
+    (zero false negatives; the FPR trickle dies in the exact join), with
+    the semi-join shuffle carrying only ~matches + 2^-16 x |shingles|.
     """
     sh = f"__contam_sh"
     base = train.select(
@@ -84,12 +91,16 @@ def contamination_report(
         eval_df.select(F.explode(shingles_col(text_col, n)).alias(sh))
         .distinct()
     )
-    hits = (
-        base.select(id_col, F.explode(sh).alias(sh))
-        .join(F.broadcast(eval_shingles), sh)
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-    )
+    exploded = base.select(id_col, F.explode(sh).alias(sh))
+    if prune == "xor":
+        from ..relational.filter_join import filter_pruned_join
+
+        matched = filter_pruned_join(
+            exploded, eval_shingles, sh, sh, how="left_semi"
+        )
+    else:
+        matched = exploded.join(F.broadcast(eval_shingles), sh)
+    hits = matched.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matched"))
     report = (
         base.select(F.col(id_col), F.size(sh).alias("n_shingles"))
         .join(F.broadcast(hits), id_col, "left")
