@@ -731,3 +731,64 @@ def test_hll_sparse_wire_format_roundtrip_and_size():
     # byte-identical blobs (the rollup byte-identity gate relies on this)
     small_b = h.update(h.zero(), pd.DataFrame({"x": KEYS[:50].iloc[::-1]}))
     assert h.serialize(small_b) == blob_small
+
+
+# -- DDSketch ------------------------------------------------------------------
+def test_ddsketch_relative_error_bound():
+    from xorfilter_net_spark.sketches.ddsketch import DDSketch
+
+    d = DDSketch(alpha=0.01)
+    st = fold(d, [pd.Series(VALS)])
+    srt = np.sort(VALS)
+    for q in QS:
+        exact = srt[int(np.floor(q * (len(srt) - 1)))]
+        est = d.quantile(st, q)
+        # published guarantee: |est - x_q| <= alpha * x_q (+ log-ulp slack)
+        assert abs(est - exact) <= d.alpha * abs(exact) * 1.0001
+
+
+def test_ddsketch_merge_bit_identical_any_partitioning():
+    from xorfilter_net_spark.sketches.ddsketch import DDSketch
+
+    d = DDSketch(alpha=0.01)
+    whole = fold(d, [pd.Series(VALS)])
+    for seed in (1, 2, 3):
+        parts = random_splits(pd.Series(VALS), 8, seed=seed)
+        st = fold(d, parts)
+        # merge is plain counter addition: the merged state is EXACTLY the
+        # single-pass state under any partitioning (strongest in the family)
+        assert st.pos == whole.pos and st.neg == whole.neg
+        assert st.zeros == whole.zeros and st.n == whole.n
+        assert d.serialize(st) == d.serialize(whole)
+
+
+def test_ddsketch_zero_negative_and_serialize_roundtrip():
+    from xorfilter_net_spark.sketches.ddsketch import DDSketch
+
+    d = DDSketch(alpha=0.02)
+    vals = np.concatenate([-np.abs(VALS[:40_000]), np.zeros(5_000), np.abs(VALS[40_000:80_000])])
+    st = fold(d, [pd.Series(vals)])
+    rt = d.deserialize(d.serialize(st))
+    assert rt.pos == st.pos and rt.neg == st.neg and rt.zeros == st.zeros
+    srt = np.sort(vals)
+    for q in (0.05, 0.25, 0.47, 0.5, 0.75, 0.95):
+        exact = srt[int(np.floor(q * (len(srt) - 1)))]
+        est = d.quantile(st, q)
+        if exact == 0.0:
+            assert est == 0.0
+        else:
+            assert abs(est - exact) <= d.alpha * abs(exact) * 1.0001
+
+
+def test_ddsketch_collapse_caps_bins_and_keeps_upper_quantiles():
+    from xorfilter_net_spark.sketches.ddsketch import DDSketch
+
+    rng = np.random.default_rng(7)
+    vals = np.exp(rng.uniform(-20, 20, 50_000))  # huge dynamic range
+    d = DDSketch(alpha=0.02, max_bins=256)
+    st = fold(d, random_splits(pd.Series(vals), 6, seed=4))
+    assert len(st.pos) + len(st.neg) <= 256
+    srt = np.sort(vals)
+    for q in (0.9, 0.95, 0.99):  # above the collapsed mass
+        exact = srt[int(np.floor(q * (len(srt) - 1)))]
+        assert abs(d.quantile(st, q) - exact) <= d.alpha * exact * 1.0001

@@ -1224,6 +1224,19 @@ QUERIES["tdigest_event_value_quantiles_ok"] = _quantile_bound_query(
 )
 ORACLES["tdigest_event_value_quantiles_ok"] = _QS_ORACLE
 
+# DDSketch (sketches/ddsketch.py): relative-error quantiles whose merge is
+# plain bucket-count addition — bit-identical under any partitioning, the
+# strongest merge contract in the quantile family (KLL/t-digest merges only
+# agree within their error bound). Same rank-bound gate as its siblings;
+# the value-relative published bound is asserted in tests/test_sketches.py.
+QUERIES["ddsketch_event_value_quantiles_ok"] = _quantile_bound_query(
+    lambda: __import__(
+        "xorfilter_net_spark.sketches.ddsketch", fromlist=["DDSketch"]
+    ).DDSketch(alpha=0.01, value_col="value"),
+    lambda sk, st, q: sk.quantile(st, q),
+)
+ORACLES["ddsketch_event_value_quantiles_ok"] = _QS_ORACLE
+
 
 @query(
     "theta_set_ops_users",
