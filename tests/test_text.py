@@ -372,3 +372,54 @@ class TestContamination:
         )
         out = df.select(shingles_col("text", 5).alias("sh")).collect()
         assert [len(r["sh"]) for r in out] == [0, 1, 2]
+
+
+class TestTfidfTopk:
+    @pytest.fixture()
+    def docs(self, spark):
+        rows = [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry"),
+            (3, "apple durian"),
+            (4, "banana banana banana"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_scores_and_tiebreak(self, docs):
+        from xorfilter_net_spark.text.tfidf import tfidf_topk
+
+        out = {
+            (r["doc_id"], r["rnk"]): (r["tok"], r["tf"], r["df"])
+            for r in tfidf_topk(docs, "doc_id", "text", k=2).collect()
+        }
+        # df: apple=2, banana=3, cherry=2, durian=1
+        # doc1: apple 2/2=1.0 > cherry 1/2=0.5 > banana 1/3
+        assert out[(1, 1)] == ("apple", 2, 2)
+        assert out[(1, 2)] == ("cherry", 1, 2)
+        # doc2: cherry 2/2=1.0 > banana 1/3
+        assert out[(2, 1)] == ("cherry", 2, 2)
+        assert out[(2, 2)] == ("banana", 1, 3)
+        # doc3: durian 1/1=1.0 > apple 1/2 (tie impossible; ratio decides)
+        assert out[(3, 1)] == ("durian", 1, 1)
+        assert out[(3, 2)] == ("apple", 1, 2)
+        # doc4: single distinct term
+        assert out[(4, 1)] == ("banana", 3, 3)
+        assert (4, 2) not in out
+
+    def test_k_bounds_rows_per_doc(self, docs):
+        from xorfilter_net_spark.text.tfidf import tfidf_topk
+
+        rows = tfidf_topk(docs, "doc_id", "text", k=1).collect()
+        assert len(rows) == 4 and all(r["rnk"] == 1 for r in rows)
+
+    def test_topk_plan_has_partial_window_group_limit(self, docs):
+        from xorfilter_net_spark.text.tfidf import tfidf_topk
+
+        plan = (
+            tfidf_topk(docs, "doc_id", "text", k=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the pre-exchange prune: at most k rows per (doc, map task) shuffle
+        assert "WindowGroupLimit" in plan

@@ -2484,6 +2484,32 @@ def q_token_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_cooccurrence(d, "doc_id", "text", top_v=20)
 
 
+@query(
+    "q_tfidf_topk_terms",
+    "with toks as (select doc_id, tok from (select doc_id, "
+    "  unnest(string_split(text, ' ')) as tok from documents) where tok <> ''), "
+    "tf as (select doc_id, tok, count(*) as tf from toks group by 1, 2), "
+    "dfq as (select tok, count(*) as df from tf group by 1), "
+    "scored as (select tf.doc_id, tf.tok, tf.tf, dfq.df, "
+    "  row_number() over (partition by tf.doc_id "
+    "    order by cast(tf.tf as double) / dfq.df desc, tf.tok) as rnk "
+    "  from tf join dfq using (tok)) "
+    "select doc_id, tok, tf, df, rnk from scored where rnk <= 5",
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 salient terms by TF-IDF (text/tfidf.py): codegen
+    tokenize -> (doc, term) partial aggregate (raw text never shuffles) ->
+    vocabulary-sized df aggregate over the tf table -> hash join -> per-doc
+    row_number with a Partial WindowGroupLimit before the exchange. Score
+    is the raw ratio tf/df (one correctly-rounded IEEE division over exact
+    integers -> bit-identical ranking in any engine); the log damping stays
+    consumer-side like the PMI log in q_token_cooccurrence."""
+    from .text.tfidf import tfidf_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(d, "doc_id", "text", k=5)
+
+
 _CONTAM_ORACLE = (
     "with tk as (select doc_id, string_split(text, ' ') as t from documents), "
     "tr as (select doc_id, array_to_string(t[i+1:i+5], ' ') as sh "
