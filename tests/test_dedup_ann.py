@@ -364,3 +364,68 @@ class TestConnectedComponents:
         empty = spark.createDataFrame([], "id_a long, id_b long")
         assert connected_components(empty).count() == 0
         assert near_dup_survivors(docs, empty, "doc_id").count() == 2
+
+
+class TestPrefixJoin:
+    """Exact prefix-filtering all-pairs join (dedup/prefix_join.py)."""
+
+    def _corpus(self, spark, n=24):
+        rows = [(i, f"{BASE} unique tail {i} " + "pad " * i) for i in range(n)]
+        base3 = rows[3][1]
+        rows.append((100, base3[: int(len(base3) * 0.92)]))
+        rows.append((101, base3 + " x"))
+        rows.append((102, "short"))  # sub-k-gram doc exercises the fallback
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_bruteforce_exact(self, spark):
+        from xorfilter_net_spark.dedup.minhash import verify_pairs
+        from xorfilter_net_spark.dedup.prefix_join import jaccard_prefix_join
+
+        docs = self._corpus(spark)
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard_e6"])
+            for r in jaccard_prefix_join(docs, "doc_id", "text", tau=0.5).collect()
+        }
+        ids = docs.select("doc_id")
+        all_pairs = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("a.doc_id < b.doc_id"))
+            .selectExpr("a.doc_id as id_a", "b.doc_id as id_b")
+        )
+        want = {
+            (r["id_a"], r["id_b"], r["jaccard_e6"])
+            for r in verify_pairs(docs, all_pairs, "doc_id", "text", 500000).collect()
+        }
+        assert got == want
+        assert (3, 100) in {(a, b) for a, b, _ in got}
+        assert (3, 101) in {(a, b) for a, b, _ in got}
+
+    def test_prefix_prunes_candidates(self, spark):
+        from xorfilter_net_spark.dedup.prefix_join import prefix_filter_candidates
+
+        docs = self._corpus(spark)
+        n = docs.count()
+        cands = prefix_filter_candidates(docs, "doc_id", "text", 500000).count()
+        assert cands < n * (n - 1) // 2  # strictly fewer than all pairs
+
+    def test_high_tau_matches_bruteforce(self, spark):
+        from xorfilter_net_spark.dedup.minhash import verify_pairs
+        from xorfilter_net_spark.dedup.prefix_join import jaccard_prefix_join
+
+        docs = self._corpus(spark)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_prefix_join(docs, "doc_id", "text", tau=0.85).collect()
+        }
+        ids = docs.select("doc_id")
+        all_pairs = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.expr("a.doc_id < b.doc_id"))
+            .selectExpr("a.doc_id as id_a", "b.doc_id as id_b")
+        )
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in verify_pairs(docs, all_pairs, "doc_id", "text", 850000).collect()
+        }
+        assert got == want
+        assert {(3, 100), (3, 101)} <= got

@@ -3351,6 +3351,21 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "prefix_join_near_dup_pairs",
+    f"with {_EXACT_PAIRS_CTES} select id_a, id_b, jaccard_e6 from pairs",
+)
+def q_prefix_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs set-similarity self-join via prefix filtering
+    (AllPairs/PPJoin, dedup/prefix_join.py): zero false negatives by
+    construction, no recall parameter — the deterministic counterpart to
+    the MinHash path, verified against the same exact all-pairs oracle."""
+    from .dedup.prefix_join import jaccard_prefix_join
+
+    corpus = _doc_dup_corpus(spark, sf_dir)
+    return jaccard_prefix_join(corpus, "doc_id", "text", tau=0.5)
+
+
+@query(
     "near_dup_clusters",
     # exact connected components over the exact pair set: min-label
     # propagation as a recursive CTE (a label walks an edge u->v only while
