@@ -3313,6 +3313,61 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(exact_corpus, "doc_id", ["text"]).select("doc_id")
 
 
+def _curate_oracle() -> str:
+    from .relational.sampling import sample_sql
+    from .text.analysis import text_feature_exprs
+
+    e = text_feature_exprs("duckdb")
+    return (
+        f"with corpus as ({_DOC_DUP_SELECT}), "
+        "exact_corpus as (select doc_id, text from corpus union all "
+        " select doc_id + 2000000 as doc_id, text from corpus where doc_id % 5 = 0), "
+        "dedup as (select min(doc_id) as doc_id, text from exact_corpus group by text), "
+        f"feats as (select doc_id, text, {e['quality_score']} as quality_score, "
+        f"{e['lang_pred']} as lang_pred from dedup), "
+        "kept as (select * from feats where quality_score >= 60 and lang_pred = 'en'), "
+        "tk as (select doc_id, string_split(text, ' ') as t from kept), "
+        "tr as (select doc_id, array_to_string(t[i+1:i+5], ' ') as sh "
+        "  from tk, unnest(range(0, greatest(len(t) - 4, 0))) as u(i) group by 1, 2), "
+        "evtk as (select string_split(text, ' ') as t from documents where doc_id % 37 = 0), "
+        "ev as (select distinct array_to_string(t[i+1:i+5], ' ') as sh "
+        "  from evtk, unnest(range(0, greatest(len(t) - 4, 0))) as u(i)), "
+        "tot as (select doc_id, count(*) as n_shingles from tr group by 1), "
+        "hit as (select tr.doc_id, count(*) as n_matched from tr join ev using (sh) group by 1), "
+        "contam as (select tot.doc_id from tot join hit using (doc_id) "
+        "  where hit.n_matched * 100 >= 50 * tot.n_shingles), "
+        "clean as (select * from kept where doc_id not in (select doc_id from contam)) "
+        "select doc_id, lang_pred, quality_score, "
+        f"case when {sample_sql('text', 0.1)} then 'val' else 'train' end as split "
+        "from clean"
+    )
+
+
+@query("curate_corpus_documents", None)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation capstone (pipeline/curate.py):
+    exact dedup -> quality/language gate -> benchmark decontamination ->
+    deterministic train/val split, composed as ONE lazy plan. Every stage
+    does real work at this SF (dedup removes the injected exact copies,
+    the gate drops low-quality/'und' docs, decontamination drops the
+    eval-overlapping docs, the split labels ~10% 'val'). Oracle is the
+    same dialect-templated expression chain in DuckDB end-to-end."""
+    from .pipeline.curate import curate_corpus
+
+    corpus = _doc_dup_corpus(spark, sf_dir)
+    exact_corpus = corpus.unionAll(
+        corpus.filter("doc_id % 5 = 0").selectExpr(
+            "doc_id + 2000000 as doc_id", "text"
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter("doc_id % 37 = 0").select("text")
+    return curate_corpus(exact_corpus, eval_df, "doc_id", "text")
+
+
+ORACLES["curate_corpus_documents"] = _curate_oracle()
+
+
 # exact all-pairs near-dup CTE chain (DuckDB): corpus -> shingle sets ->
 # verified pairs at J >= 0.5. Shared by the pair oracle and the cluster
 # oracle so both gates check the same exact ground truth.
