@@ -327,6 +327,39 @@ def main() -> None:
         )
     )
 
+    # 20. prefix-filtering exact similarity join: candidate buckets keyed
+    # on rare-first prefix tokens; no Python node anywhere
+    sections.append(
+        (
+            "Exact prefix-filtering similarity join (prefix_join_near_dup_pairs)",
+            "The candidate join is a hash join on prefix tokens only "
+            "(rarest-first global order, per-doc window prefix cut) with "
+            "an all-integer size-ratio residual; shingling, ranking and "
+            "the exact-Jaccard verify are all JVM-side — zero Python "
+            "nodes in the whole plan.",
+            captured_explain(
+                ep.QUERIES["prefix_join_near_dup_pairs"](spark, SF_DIR)
+            ),
+        )
+    )
+
+    # 21. curation capstone: one lazy plan across four stages; the only
+    # corpus-sized exchange is the dedup group
+    sections.append(
+        (
+            "End-to-end curation pipeline (curate_corpus_documents)",
+            "Dedup's hash aggregate is the single corpus-sized exchange; "
+            "the quality/language gate is codegen projections over its "
+            "output, decontamination enters via BroadcastExchange (eval "
+            "shingles + contaminated-id anti-join), and the split label "
+            "is a map-only md5 projection — Catalyst fuses the stages "
+            "with no materialization boundary.",
+            captured_explain(
+                ep.QUERIES["curate_corpus_documents"](spark, SF_DIR)
+            ),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",
@@ -392,9 +425,16 @@ def main() -> None:
     # through an exchange
     assert "SortMergeJoin" not in contam_plan
     assert "ShuffledHashJoin" not in contam_plan
+    pj_plan = sections[20][2]
+    assert "ArrowEvalPython" not in pj_plan and "BatchEvalPython" not in pj_plan
+    curate_plan = sections[21][2]
+    # broadcast anti-join for decontamination; the corpus-sized exchanges
+    # are aggregates/windows, never a shuffled corpus-vs-corpus join
+    assert "BroadcastHashJoin LeftAnti" in curate_plan
     print(
         "topk/multi-distinct/z-order/q18/grouping-sets/hof/merge/"
-        "q6/q8/q19/redact/not-in/cooccur/fuse-sql/contamination plans — OK"
+        "q6/q8/q19/redact/not-in/cooccur/fuse-sql/contamination/"
+        "prefix-join/curate plans — OK"
     )
     spark.stop()
 
