@@ -48,7 +48,24 @@ def prefix_filter_candidates(
     k: int = SHINGLE_K,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs guaranteed to superset all pairs with
-    shingle-set Jaccard >= tau_e6/1e6 (micro-int threshold)."""
+    shingle-set Jaccard >= tau_e6/1e6 (micro-int threshold).
+
+    Two sound prunes run before any candidate leaves this function:
+
+    - size-ratio: J >= tau forces tau*max(|a|,|b|) <= min(|a|,|b|);
+    - PPJoin positional bound: with c = |prefix_a n prefix_b| and
+      (i*, j*) the per-doc ranks of the globally LAST matched prefix
+      token, |a n b| <= c + min(|a| - i*, |b| - j*). Sound because each
+      doc's rank order is the restriction of ONE shared global token
+      order: every shared token globally <= the last match is in both
+      prefixes (hence counted in c), and the shared tokens globally
+      after it number at most min of the two suffix lengths. Since the
+      order is shared, i* = max(pos_a) and j* = max(pos_b) are attained
+      at the same token, so the bound is a plain groupBy aggregate —
+      and it replaces the dropDuplicates the naive form needs (same
+      single shuffle, strictly more pruning). J >= tau is equivalent to
+      overlap >= alpha = ceil(tau*(|a|+|b|)/(1+tau)), all-integer here.
+    """
     sh = docs.select(
         F.col(id_col).alias("pid"),
         F.explode(F.expr(shingle_set_expr(text_col, k))).alias("tok"),
@@ -64,24 +81,41 @@ def prefix_filter_candidates(
     prefix = ranked.filter(
         F.col("pos")
         <= F.col("n") - F.expr(f"({tau_e6} * n + 999999) div 1000000") + 1
-    ).select("pid", "tok", "n")
+    ).select("pid", "tok", "pos", "n")
     a = prefix.select(
-        F.col("pid").alias("id_a"), F.col("tok"), F.col("n").alias("n_a")
+        F.col("pid").alias("id_a"),
+        F.col("tok"),
+        F.col("pos").alias("pos_a"),
+        F.col("n").alias("n_a"),
     )
     b = prefix.select(
-        F.col("pid").alias("id_b"), F.col("tok"), F.col("n").alias("n_b")
+        F.col("pid").alias("id_b"),
+        F.col("tok"),
+        F.col("pos").alias("pos_b"),
+        F.col("n").alias("n_b"),
     )
-    return (
-        a.join(b, "tok")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            # size-ratio prune, micro-int exact: tau*max(|a|,|b|) <= min(|a|,|b|)
-            & (F.col("n_a") * tau_e6 <= F.col("n_b") * 1_000_000)
-            & (F.col("n_b") * tau_e6 <= F.col("n_a") * 1_000_000)
-        )
-        .select("id_a", "id_b")
-        .dropDuplicates()
+    matches = a.join(b, "tok").filter(
+        (F.col("id_a") < F.col("id_b"))
+        # size-ratio prune, micro-int exact: tau*max(|a|,|b|) <= min(|a|,|b|)
+        & (F.col("n_a") * tau_e6 <= F.col("n_b") * 1_000_000)
+        & (F.col("n_b") * tau_e6 <= F.col("n_a") * 1_000_000)
     )
+    per_pair = matches.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("pos_a").alias("i_last"),
+        F.max("pos_b").alias("j_last"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    alpha = F.expr(
+        f"({tau_e6} * (n_a + n_b) + {1_000_000 + tau_e6} - 1)"
+        f" div {1_000_000 + tau_e6}"
+    )
+    return per_pair.filter(
+        F.col("c")
+        + F.least(F.col("n_a") - F.col("i_last"), F.col("n_b") - F.col("j_last"))
+        >= alpha
+    ).select("id_a", "id_b")
 
 
 def jaccard_prefix_join(
