@@ -3692,6 +3692,69 @@ def q_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["redact_documents"] = _redact_oracle()
 
 
+def _seeded_lines(dialect: str) -> str:
+    """Deterministic multi-line text, rendered identically by both
+    engines: the corpus is single-line word salad, so the repetition gate
+    injects known line structure — every 3rd doc gets the same 40-char
+    line three times (duplicated lines), the rest get one unique tail
+    line (no duplicates) — otherwise the line signals would be vacuous.
+    Word bigrams repeat naturally in the salad, so the bigram mode needs
+    no injection."""
+    nl = "char(10)" if dialect == "spark" else "chr(10)"
+    cast = "string" if dialect == "spark" else "varchar"
+    rep = f"substr(text, 1, 40)"
+    return (
+        f"select doc_id, case when doc_id % 3 = 0 then "
+        f"text || {nl} || {rep} || {nl} || {rep} || {nl} || {rep} "
+        f"else text || {nl} || 'unique tail ' || cast(doc_id as {cast}) end "
+        f"as text from documents"
+    )
+
+
+def _repetition_oracle() -> str:
+    from .text.repetition import line_exprs_duckdb
+
+    lx = ", ".join(
+        f"{sql} as {name}" for name, sql in line_exprs_duckdb("text").items()
+    )
+    return (
+        f"with seeded as ({_seeded_lines('duckdb')}), "
+        f"lines as (select doc_id, {lx} from seeded), "
+        "toks as (select doc_id, string_split(replace(text, chr(10), ' '), ' ') as w "
+        "  from seeded), "
+        "grams as (select doc_id, w[i+1] || ' ' || w[i+2] as gram "
+        "  from toks, unnest(range(0, greatest(len(w) - 1, 0))) as u(i)), "
+        "pg as (select doc_id, gram, count(*) as cnt from grams group by 1, 2), "
+        "bg as (select doc_id, max(cnt) as top_bigram_count, "
+        "  sum(cnt) as n_bigrams from pg group by 1) "
+        "select l.doc_id, l.n_lines, l.dup_line_frac_e6, l.dup_line_char_frac_e6, "
+        "coalesce(bg.n_bigrams, 0) as n_bigrams, "
+        "coalesce(bg.top_bigram_count, 0) as top_bigram_count, "
+        "cast(floor(1000000.0 * coalesce(bg.top_bigram_count, 0) / "
+        "nullif(coalesce(bg.n_bigrams, 0), 0)) as bigint) as top_bigram_frac_e6 "
+        "from lines l left join bg using (doc_id)"
+    )
+
+
+@query("repetition_signals_documents", None)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition quality signals (text/repetition.py):
+    duplicate-line fraction / duplicate-line character fraction (map-only
+    higher-order lambdas, zero shuffle) and top word-bigram coverage
+    (explode -> map-side-combined per-doc aggregate). Seeded line
+    injection makes the line signals non-vacuous; full per-doc output is
+    value-exact vs the same expressions in DuckDB."""
+    from .text.repetition import repetition_signals
+
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    seeded = spark.sql(_seeded_lines("spark"))
+    return repetition_signals(seeded, "doc_id", "text")
+
+
+ORACLES["repetition_signals_documents"] = _repetition_oracle()
+
+
 @query(
     "doc_fingerprint_distinct",
     "select source, count(distinct text) as n_unique_fp from documents "
