@@ -285,3 +285,32 @@ def test_cli_compact_dry_run_then_execute(spark, tmp_path, cli_out):
     assert got == list(range(5000))
     # second run is a no-op
     assert cli_out(["compact", root])["directories"] == []
+
+
+def test_cli_curate(spark, tmp_path, cli_out):
+    from tests.test_curate import EVAL, GOOD1, GOOD2
+
+    rows = [(1, GOOD1), (2, GOOD2), (3, GOOD1), (4, "12345 67890"), (5, EVAL)]
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    ev = str(tmp_path / "eval")
+    spark.createDataFrame([(EVAL,)], "text string").write.parquet(ev)
+
+    out = cli_out(
+        [
+            "curate", "--input", src, "--eval-input", ev,
+            "--output", str(tmp_path / "curated"),
+        ]
+    )
+    assert out["rows_in"] == 5 and out["rows_out"] == 2
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "curated")).collect()
+    }
+    assert kept == {1, 2}  # 3 deduped, 4 gated, 5 decontaminated
+
+    # without an eval set, decontamination is a no-op
+    out2 = cli_out(
+        ["curate", "--input", src, "--output", str(tmp_path / "curated2")]
+    )
+    assert out2["rows_out"] == 3

@@ -216,6 +216,51 @@ def cmd_dedup(args: argparse.Namespace) -> dict:
     return out
 
 
+def cmd_curate(args: argparse.Namespace) -> dict:
+    """End-to-end curation job (pipeline/curate.py): exact dedup ->
+    quality/language gate -> benchmark decontamination (against
+    ``--eval-input``, skipped when absent) -> deterministic train/val
+    split; writes the curated label table
+    ``(id, lang_pred, quality_score, split)``."""
+    from .pipeline.curate import curate_corpus
+
+    spark = _get_spark("curate")
+    df = spark.read.parquet(args.input)
+    n_in = df.count()
+    if args.eval_input:
+        ev = spark.read.parquet(args.eval_input).select(args.text_col)
+    else:
+        ev = df.limit(0).select(args.text_col)
+    curated = curate_corpus(
+        df,
+        ev,
+        args.id_col,
+        args.text_col,
+        min_quality=args.min_quality,
+        val_fraction=args.val_fraction,
+        prune=args.prune,
+    )
+    curated.write.mode("overwrite").parquet(args.output)
+    from pyspark.sql import functions as F
+
+    splits = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(args.output)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_out = sum(splits.values())
+    return {
+        "command": "curate",
+        "rows_in": n_in,
+        "rows_out": n_out,
+        "removed": n_in - n_out,
+        "splits": splits,
+        "output": args.output,
+    }
+
+
 def cmd_gen_transcripts(args: argparse.Namespace) -> dict:
     """Materialize a deterministic synthetic transcript corpus (custom
     Python Data Source, sources/synthetic.py) as a partitioned parquet
@@ -361,6 +406,20 @@ def main(argv: list[str] | None = None) -> int:
         "--tau", type=float, default=0.5, help="near mode: Jaccard threshold"
     )
     d.set_defaults(fn=cmd_dedup)
+
+    cu = sub.add_parser(
+        "curate",
+        help="end-to-end corpus curation (dedup -> gate -> decontaminate -> split)",
+    )
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--eval-input", default=None)
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--min-quality", type=int, default=60)
+    cu.add_argument("--val-fraction", type=float, default=0.1)
+    cu.add_argument("--prune", choices=["broadcast", "xor"], default="broadcast")
+    cu.set_defaults(fn=cmd_curate)
 
     m = sub.add_parser(
         "merge", help="MERGE INTO a keyed snapshot (bucket-pruned rewrite)"
