@@ -68,3 +68,21 @@ class TestCurateCorpus:
         empty_eval = docs.filter("doc_id < 0").select("text")
         out = curate_corpus(docs, empty_eval).collect()
         assert {r["doc_id"] for r in out} == {1, 2, 5}
+
+    def test_repetition_gate_optional(self, spark):
+        docs, eval_df = _corpus(spark)
+        spam = "the spam the spam " * 20 + "the end of it all"
+        docs = docs.union(
+            spark.createDataFrame([(6, spam)], "doc_id long, text string")
+        )
+        # gate off: the spammy doc passes quality (English, stopword-rich)
+        base = {r["doc_id"] for r in curate_corpus(docs, eval_df).collect()}
+        assert 6 in base
+        # gate on: dominated by one repeated bigram -> dropped; others kept
+        gated = {
+            r["doc_id"]
+            for r in curate_corpus(
+                docs, eval_df, max_top_bigram_frac_e6=200000
+            ).collect()
+        }
+        assert gated == base - {6}

@@ -239,6 +239,8 @@ def cmd_curate(args: argparse.Namespace) -> dict:
         min_quality=args.min_quality,
         val_fraction=args.val_fraction,
         prune=args.prune,
+        max_dup_line_frac_e6=args.max_dup_line_frac_e6,
+        max_top_bigram_frac_e6=args.max_top_bigram_frac_e6,
     )
     curated.write.mode("overwrite").parquet(args.output)
     from pyspark.sql import functions as F
@@ -419,6 +421,8 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--min-quality", type=int, default=60)
     cu.add_argument("--val-fraction", type=float, default=0.1)
     cu.add_argument("--prune", choices=["broadcast", "xor"], default="broadcast")
+    cu.add_argument("--max-dup-line-frac-e6", type=int, default=None)
+    cu.add_argument("--max-top-bigram-frac-e6", type=int, default=None)
     cu.set_defaults(fn=cmd_curate)
 
     m = sub.add_parser(

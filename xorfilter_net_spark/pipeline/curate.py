@@ -56,6 +56,8 @@ def curate_corpus(
     contam_threshold_pct: int = 50,
     val_fraction: float = 0.1,
     prune: str = "broadcast",
+    max_dup_line_frac_e6: int | None = None,
+    max_top_bigram_frac_e6: int | None = None,
 ) -> DataFrame:
     """Curate a raw document corpus for training.
 
@@ -67,7 +69,11 @@ def curate_corpus(
     word-``contam_n``-gram overlap).
 
     ``prune='xor'`` routes decontamination through the XOR-filter
-    pre-pruned path (row-identical by construction).
+    pre-pruned path (row-identical by construction). The two optional
+    ``max_*`` thresholds add the Gopher repetition gate
+    (``text/repetition.py``) between the quality gate and
+    decontamination; they default to off so the base pipeline plan is
+    unchanged.
     """
     deduped = exact_dedup(docs, id_col, [text_col])
     feats = with_text_features(deduped.select(id_col, text_col), text_col)
@@ -75,6 +81,22 @@ def curate_corpus(
         (F.col("quality_score") >= min_quality)
         & F.col("lang_pred").isin(list(langs))
     )
+    if max_dup_line_frac_e6 is not None or max_top_bigram_frac_e6 is not None:
+        from ..text.repetition import repetition_signals
+
+        sig = repetition_signals(kept.select(id_col, text_col), id_col, text_col)
+        cond = F.lit(True)
+        if max_dup_line_frac_e6 is not None:
+            cond &= (
+                F.coalesce("dup_line_frac_e6", F.lit(0))
+                <= max_dup_line_frac_e6
+            )
+        if max_top_bigram_frac_e6 is not None:
+            cond &= (
+                F.coalesce("top_bigram_frac_e6", F.lit(0))
+                <= max_top_bigram_frac_e6
+            )
+        kept = kept.join(sig.filter(cond).select(id_col), id_col, "left_semi")
     report = contamination_report(
         kept.select(id_col, text_col),
         eval_df,
