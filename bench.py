@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "embedding_near_dup_pairs",
     "ann_topk_bruteforce",
     "media_frame_sample_counts",
+    "repetition_signals_documents",
+    "curate_corpus_documents",
 ]
 
 
