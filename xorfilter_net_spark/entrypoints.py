@@ -3102,6 +3102,26 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_oracle() -> str:
+    from .text.packing import pack_sql
+
+    return pack_sql("documents", "doc_id", "text", seq_len=256)
+
+
+@query("q_pack_sequences_documents", _pack_oracle())
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest (text/packing.py): global token offsets
+    for concatenate-and-chunk LM packing via a two-pass distributed
+    prefix sum — per-bucket subtotals broadcast back as offsets, then
+    one manifest-row shuffle; the md5 bucket is a prefix of the order
+    key so no global sort exists in the plan. Oracle replays the same
+    arithmetic as a single DuckDB window."""
+    from .text.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", seq_len=256)
+
+
 def _stratified_oracle() -> str:
     from .relational import stratified_sample_sql
 
