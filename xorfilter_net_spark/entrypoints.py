@@ -3122,6 +3122,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, "doc_id", "text", seq_len=256)
 
 
+_MIX_WEIGHTS = {"en": 5, "es": 3, "fr": 3, "de": 2}  # zh excluded: whitelist
+
+
+def _mixture_oracle() -> str:
+    from .pipeline.mixture import mixture_sql
+
+    return mixture_sql("documents", "lang", _MIX_WEIGHTS, "doc_id")
+
+
+@query("q_mixture_interleave_documents", _mixture_oracle())
+def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data-mixture schedule (pipeline/mixture.py): stride
+    scheduling with all-integer interleave keys, per-source ranks via
+    the bucketed distributed prefix sum (no global sort, no
+    one-partition-per-source window). Sources absent from the weight
+    map (zh here) are excluded. Oracle replays the identical integer
+    arithmetic with one DuckDB window per source."""
+    from .pipeline.mixture import mixture_interleave
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_interleave(d, "lang", _MIX_WEIGHTS, "doc_id")
+
+
 def _stratified_oracle() -> str:
     from .relational import stratified_sample_sql
 
