@@ -360,6 +360,36 @@ def main() -> None:
         )
     )
 
+    # 22. sequence packing: distributed prefix sum, no global sort
+    sections.append(
+        (
+            "Sequence-packing manifest (q_pack_sequences_documents)",
+            "The corpus-sized window partitions by the md5 bucket (an "
+            "Exchange hashpartitioning on __bucket) — there is no range "
+            "partitioning anywhere, i.e. no global sort. The only "
+            "single-partition stage is the ≤256-row bucket-subtotal "
+            "window, which re-enters the big side via BroadcastExchange. "
+            "Token counting is codegen; no Python node.",
+            captured_explain(
+                ep.QUERIES["q_pack_sequences_documents"](spark, SF_DIR)
+            ),
+        )
+    )
+
+    # 23. mixture interleave: same prefix-sum shape, per-source ranks
+    sections.append(
+        (
+            "Weighted mixture interleave (q_mixture_interleave_documents)",
+            "Per-source ranks come from a (source, bucket)-partitioned "
+            "window plus broadcast bucket offsets — a dominant source "
+            "never funnels through one sorted partition and no range "
+            "partitioning exists in the plan.",
+            captured_explain(
+                ep.QUERIES["q_mixture_interleave_documents"](spark, SF_DIR)
+            ),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",
@@ -431,6 +461,14 @@ def main() -> None:
     # broadcast anti-join for decontamination; the corpus-sized exchanges
     # are aggregates/windows, never a shuffled corpus-vs-corpus join
     assert "BroadcastHashJoin LeftAnti" in curate_plan
+    pack_plan = sections[22][2]
+    assert "Python" not in pack_plan
+    assert "rangepartitioning" not in pack_plan  # no global sort
+    assert "hashpartitioning(__bucket" in pack_plan
+    mix_plan = sections[23][2]
+    assert "Python" not in mix_plan
+    assert "rangepartitioning" not in mix_plan
+    assert "hashpartitioning(source" in mix_plan
     print(
         "topk/multi-distinct/z-order/q18/grouping-sets/hof/merge/"
         "q6/q8/q19/redact/not-in/cooccur/fuse-sql/contamination/"
