@@ -199,6 +199,65 @@ def q_fuse8_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ribbon16_zero_false_negatives",
+    f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
+)
+def q_ribbon16_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ribbon filter (Dillinger & Walzer, arXiv:2103.02515) — the
+    space-optimal point of the family: same zero-false-negative contract
+    at ~1.05n slots via a banded GF(2) solve instead of a peel; the
+    broadcast-size-constrained choice (filters/ribbon.py)."""
+    from .filters.ribbon_spark import build_ribbon_filter, probe_ribbon
+
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    rf = build_ribbon_filter(t, "key", width=16, seed=12345)
+    r = probe_ribbon(t.select("key").distinct(), rf, "key")
+    return r.agg(F.sum(F.col("is_member").cast("long")).alias("n_members_found"))
+
+
+@query(
+    "ribbon_space_fpr_ok",
+    "select true as zero_fn, true as fpr_ok, true as space_ok",
+)
+def q_ribbon_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ribbon statistical gates: zero FN on members, FPR < 1% on a
+    disjoint probe set (the reference's XOR8 bound applied to width 8),
+    and the reason ribbon exists — a slot table strictly smaller than
+    BOTH the XOR sizing (1.23n) and the fuse sizing for the same key
+    set (asserted past the small-n regime where the 4/sqrt(n) slack and
+    the W-1 tail dominate)."""
+    from .filters.fuse_core import fuse_layout
+    from .filters.ribbon_spark import build_ribbon_filter, probe_ribbon
+
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    members = t.select("key").distinct()
+    rf = build_ribbon_filter(members, "key", width=8, seed=12345)
+    fn_count = (
+        probe_ribbon(members, rf, "key")
+        .agg(F.sum((~F.col("is_member")).cast("long")).alias("fn"))
+        .collect()[0]["fn"]
+    )
+    non = members.selectExpr("'nm:' || key as key")
+    stats = (
+        probe_ribbon(non, rf, "key")
+        .agg(
+            F.sum(F.col("is_member").cast("long")).alias("fp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    fpr = stats["fp"] / max(stats["n"], 1)
+    n_keys = rf.metrics["n_keys"]
+    space_ok = n_keys < 20_000 or (
+        rf.size < fuse_layout(n_keys)[2] and rf.size < xor_table_size(n_keys)
+    )
+    return t.sparkSession.createDataFrame(
+        [(fn_count == 0, fpr < 0.01, bool(space_ok))],
+        "zero_fn boolean, fpr_ok boolean, space_ok boolean",
+    )
+
+
+@query(
     "fuse_sharded_zero_false_negatives",
     f"{_KEYED_CTE} select count(distinct key) as n_members_found from keyed",
 )
