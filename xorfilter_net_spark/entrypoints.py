@@ -4297,6 +4297,46 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dup_span_report", None)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated k-gram span detection (dedup/spans.py,
+    Lee et al. ACL'22): maximal token spans whose 10-grams occur >= 2x
+    corpus-wide, over the dup-injected corpus (truncated copies share
+    ~90% of each original, so both sides grow long spans). Pure codegen
+    gram stream -> one gram shuffle -> interval-union window; exact
+    integer arithmetic replayed by the DuckDB oracle."""
+    from .dedup.spans import duplicated_spans
+
+    corpus = _doc_dup_corpus(spark, sf_dir)
+    return duplicated_spans(corpus, "doc_id", "text", k=10)
+
+
+@query("dup_span_strip", None)
+def q_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup rewrite (dedup/spans.py): drop every duplicated
+    span's tokens and reassemble the remainder in order — the ExactSubstr
+    removal step. Per-doc bounded state only; docs without duplicated
+    spans pass through byte-identical."""
+    from .dedup.spans import strip_duplicated_spans
+
+    corpus = _doc_dup_corpus(spark, sf_dir)
+    return strip_duplicated_spans(corpus, "doc_id", "text", k=10)
+
+
+def _span_oracles() -> None:
+    from .dedup.spans import duplicated_spans_sql, strip_spans_sql
+
+    ORACLES["dup_span_report"] = duplicated_spans_sql(
+        _DOC_DUP_SELECT, "doc_id", "text", k=10
+    )
+    ORACLES["dup_span_strip"] = strip_spans_sql(
+        _DOC_DUP_SELECT, "doc_id", "text", k=10
+    )
+
+
+_span_oracles()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'has this (conv_id, text-fingerprint) been seen?' over the
     sf0.001 transcripts — XOR16 build + vectorized probe, per-role counts."""
