@@ -4337,6 +4337,37 @@ def _span_oracles() -> None:
 _span_oracles()
 
 
+@query("bpe_merges_documents", None)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (text/bpe.py, Sennrich ACL'16):
+    10 merges learned over the documents corpus. One corpus-sized shuffle
+    (word counts), then vocab-sized iterations with codegen fold merges.
+    Inherently iterative -> rows-only driver gate; the value-exact check
+    is the pure-Python textbook differential in tests/test_bpe.py."""
+    from .text.bpe import merges_df, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, vocab = train_bpe(docs, num_merges=10)
+    vocab.unpersist()
+    return merges_df(spark, merges)
+
+
+@query("bpe_encode_token_stats", None)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode with the learned merge table, entirely in codegen
+    (nested aggregate folds inside a transform over the word array):
+    per-doc BPE token counts. Iterative upstream -> rows-only gate;
+    segmentation exactness is pinned by tests/test_bpe.py."""
+    from .text.bpe import encode_with_merges, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, vocab = train_bpe(docs, num_merges=10)
+    vocab.unpersist()
+    return encode_with_merges(docs, merges).select(
+        "doc_id", F.size("bpe_tokens").alias("n_bpe_tokens")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'has this (conv_id, text-fingerprint) been seen?' over the
     sf0.001 transcripts — XOR16 build + vectorized probe, per-role counts."""
