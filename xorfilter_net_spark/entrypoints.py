@@ -4337,6 +4337,73 @@ def _span_oracles() -> None:
 _span_oracles()
 
 
+@query(
+    "semdedup_survivors_exact",
+    f"with corpus as ({_emb_dup_select('duckdb')}), "
+    "q as (select vec_id, list_transform(v, x -> floor(x * 1000)::bigint) "
+    "as qv from corpus), "
+    "dropped as (select distinct b.vec_id from q a join q b "
+    "on a.vec_id < b.vec_id "
+    "where floor(1000000.0 * list_sum(list_transform(list_zip(a.qv, b.qv), "
+    "p -> p[1] * p[2]))::double / "
+    "(sqrt(list_sum(list_transform(a.qv, x -> x*x))::double) * "
+    "sqrt(list_sum(list_transform(b.qv, x -> x*x))::double)))::bigint "
+    ">= 800000) "
+    "select vec_id from corpus where vec_id not in "
+    "(select vec_id from dropped)",
+)
+def q_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup/semantic.py) in its degenerate exact mode
+    (n_cells=1): survivors = rows with no smaller-id neighbor at
+    cosine >= 0.8. Value-exact NOT-IN oracle over the same quantized
+    arithmetic — this pins the per-cell kernel's semantics; the
+    clustered scale mode is gated by semdedup_clustered_ok."""
+    from .dedup.semantic import semdedup_survivors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    corpus = spark.sql(_emb_dup_select("spark"))
+    return semdedup_survivors(corpus, "vec_id", "v", tau_e6=800000, n_cells=1)
+
+
+@query(
+    "semdedup_clustered_ok",
+    "select true as drops_subset_of_exact, true as recall_ok",
+)
+def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup clustered mode (k-means cells + within-cell exact
+    pairwise): every drop must have a true >= tau witness (subset of the
+    exact drop set — precision is exact by construction) and recall of
+    the exact drops must be >= 0.8. The fixture's injected pairs sit at
+    cos ~0.88-0.92 (~25 deg) and the +0.5-on-dim0 perturbation pulls
+    copies toward their own Voronoi cell, so hard top-1 assignment only
+    reaches ~0.61 recall; top-2 soft assignment (n_assign=2, the
+    IVF-style multi-probe fix, x2 kernel work) measures 0.978."""
+    from .dedup.semantic import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    corpus = spark.sql(_emb_dup_select("spark")).persist()
+    exact = (
+        semantic_dedup(corpus, "vec_id", "v", 800000, n_cells=1)
+        .filter("dropped")
+        .select("vec_id")
+    )
+    clustered = (
+        semantic_dedup(corpus, "vec_id", "v", 800000, n_cells=8, n_assign=2)
+        .filter("dropped")
+        .select("vec_id")
+    )
+    n_exact = exact.count()
+    n_clustered = clustered.count()
+    n_outside = clustered.join(exact, "vec_id", "left_anti").count()
+    corpus.unpersist()
+    return spark.createDataFrame(
+        [(n_outside == 0, n_exact > 0 and n_clustered >= 0.8 * n_exact)],
+        "drops_subset_of_exact boolean, recall_ok boolean",
+    )
+
+
 @query("bpe_merges_documents", None)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (text/bpe.py, Sennrich ACL'16):
