@@ -4404,6 +4404,52 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("lm_coverage_documents", None)
+def q_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM fluency signals (text/ngram_lm.py): per-doc
+    bigram coverage vs the corpus's own bigram table plus rare-token
+    counts — the model-free perplexity stand-in; integer/micro-int only
+    (the float add-1 NLL lives in the library, differential-tested)."""
+    from .text.ngram_lm import lm_coverage_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_coverage_signals(docs, "doc_id", "text", min_count=2)
+
+
+def _lm_oracle() -> None:
+    from .text.ngram_lm import lm_signals_sql
+
+    ORACLES["lm_coverage_documents"] = lm_signals_sql(
+        "select doc_id, text from documents", min_count=2
+    )
+
+
+_lm_oracle()
+
+
+@query("inverted_index_postings", None)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded inverted index (text/index.py): term -> sorted 'doc:tf'
+    posting lists grouped on (term, doc_id % 4) so Zipf-skewed stopword
+    lists split across reducers instead of one O(corpus) group; global
+    min_df filter via a vocab-sized aggregate joined back."""
+    from .text.index import build_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_postings(docs, "doc_id", "text", n_shards=4, min_df=2)
+
+
+def _postings_oracle() -> None:
+    from .text.index import postings_sql
+
+    ORACLES["inverted_index_postings"] = postings_sql(
+        "select doc_id, text from documents", n_shards=4, min_df=2
+    )
+
+
+_postings_oracle()
+
+
 @query("bpe_merges_documents", None)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (text/bpe.py, Sennrich ACL'16):
