@@ -1,0 +1,150 @@
+"""Versioned keyed table (sources/timetravel.py) — snapshot semantics.
+
+Pins the Iceberg-style contracts: time travel exactness, bucket-level
+copy-on-write (a commit dir contains ONLY its touched buckets; parent
+files stay byte-identical), commit-pointer atomicity ordering, compact,
+and refcounted expiry.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xorfilter_net_spark.sources.timetravel import (
+    compact,
+    create_table,
+    current_version,
+    expire_versions,
+    list_versions,
+    merge_into,
+    read_manifest,
+    read_table,
+)
+
+
+def _docs(spark, n=60):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("txt"), F.col("id")).alias("text"),
+        (F.col("id") % 5).alias("grp"),
+    )
+
+
+def _rows(df):
+    return sorted((r.k, r.text, r.grp) for r in df.collect())
+
+
+def test_create_and_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _docs(spark)
+    assert create_table(df, path, "k", n_buckets=8) == 0
+    assert _rows(read_table(spark, path)) == _rows(df)
+    assert current_version(path) == 0
+
+
+def test_merge_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _docs(spark)
+    create_table(df, path, "k", n_buckets=8)
+    before = _rows(read_table(spark, path))
+
+    delta = (
+        df.filter("k % 10 = 0")
+        .withColumn("text", F.upper("text"))
+        .withColumn("__del", F.col("k") == 50)
+    )
+    info = merge_into(spark, path, delta, deleted_col="__del")
+    assert info["version"] == 1
+    assert 0 < info["buckets_touched"] <= 8
+
+    now = dict.fromkeys([])
+    now = {r.k: r.text for r in read_table(spark, path).collect()}
+    assert 50 not in now
+    assert now[10] == "TXT10" and now[11] == "txt11"
+    # v0 is untouched history
+    assert _rows(read_table(spark, path, version=0)) == before
+
+
+def test_commit_dir_contains_only_touched_buckets(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_docs(spark), path, "k", n_buckets=8)
+    delta = _docs(spark).filter("k = 7").withColumn("text", F.lit("x"))
+    info = merge_into(spark, path, delta)
+    m = read_manifest(path)
+    v1_buckets = {
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(path, "v1"))
+        if d.startswith("bucket=")
+    }
+    assert len(v1_buckets) == info["buckets_touched"] == 1
+    owners = m["owners"]
+    assert {b for b, c in owners.items() if c == 1} == v1_buckets
+    # parent data files byte-identical (COW: v0 never rewritten)
+    assert sorted(owners.values()) == [0] * 7 + [1]
+
+
+def test_noop_merge_bumps_version_without_dirs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_docs(spark), path, "k", n_buckets=4)
+    empty = _docs(spark).filter("k < 0")
+    info = merge_into(spark, path, empty)
+    assert info == {"version": 1, "buckets_touched": 0, "n_buckets": 4}
+    assert not os.path.exists(os.path.join(path, "v1"))
+    assert _rows(read_table(spark, path)) == _rows(
+        read_table(spark, path, version=0)
+    )
+
+
+def test_compact_collapses_owners(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_docs(spark), path, "k", n_buckets=8)
+    merge_into(
+        spark, path, _docs(spark).filter("k % 3 = 0").withColumn(
+            "text", F.lit("u")
+        )
+    )
+    pre = _rows(read_table(spark, path))
+    v = compact(spark, path)
+    assert v == 2
+    assert set(read_manifest(path)["owners"].values()) == {2}
+    assert _rows(read_table(spark, path)) == pre
+
+
+def test_expire_refcounted_gc(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_docs(spark), path, "k", n_buckets=8)
+    merge_into(
+        spark, path,
+        _docs(spark).filter("k % 2 = 0").withColumn("text", F.lit("a")),
+    )
+    compact(spark, path)  # v2 owns everything
+    latest = _rows(read_table(spark, path))
+    out = expire_versions(path, keep_latest=1)
+    assert out["kept_versions"] == [2]
+    # v0/v1 dirs unreferenced by v2 -> gone; v2 still reads
+    assert out["removed_commit_dirs"] == [0, 1]
+    assert list_versions(path) == [2]
+    assert _rows(read_table(spark, path)) == latest
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=0)
+
+
+def test_expire_keeps_referenced_parent_dirs(spark, tmp_path):
+    """keep_latest=1 after a partial merge: v1's manifest still points
+    at v0 for untouched buckets, so v0's DATA DIR must survive even
+    though v0's manifest is expired."""
+    path = str(tmp_path / "t")
+    create_table(_docs(spark), path, "k", n_buckets=8)
+    merge_into(
+        spark, path, _docs(spark).filter("k = 7").withColumn(
+            "text", F.lit("x")
+        )
+    )
+    latest = _rows(read_table(spark, path))
+    out = expire_versions(path, keep_latest=1)
+    assert out["expired_versions"] == [0]
+    assert out["removed_commit_dirs"] == []  # v0 dir still referenced
+    assert _rows(read_table(spark, path)) == latest

@@ -4404,6 +4404,80 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "timetravel_version_states",
+    "with v0 as (select doc_id, source, n_chars from documents), "
+    "ins as (select doc_id + 1000000 as doc_id, 'ins' as source, n_chars "
+    "from documents where doc_id % 13 = 0), "
+    "v1 as (select doc_id, source, "
+    "case when doc_id % 10 = 0 then n_chars + 1000 else n_chars end "
+    "as n_chars from v0 union all select * from ins), "
+    "v2 as (select doc_id, source, "
+    "case when doc_id % 7 = 0 then n_chars + 7 else n_chars end as n_chars "
+    "from v1 where doc_id % 20 != 0) "
+    "select 0 as version, count(*) as n_rows, "
+    "sum(n_chars)::bigint as sum_chars, sum(doc_id)::bigint as sum_ids "
+    "from v0 union all "
+    "select 1, count(*), sum(n_chars)::bigint, sum(doc_id)::bigint from v1 "
+    "union all "
+    "select 2, count(*), sum(n_chars)::bigint, sum(doc_id)::bigint from v2",
+)
+def q_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style versioned table (sources/timetravel.py): REAL
+    commits — create v0 from documents, merge updates+inserts (v1),
+    merge updates+deletes computed FROM the v1 state (v2) — then read
+    all three versions back via time travel and aggregate each. The
+    oracle replays the logical version states relationally; the
+    copy-on-write / expiry / isolation properties are pinned in
+    tests/test_timetravel.py."""
+    import tempfile
+
+    from .sources.timetravel import create_table, merge_into, read_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="xfns_tt_") + "/table"
+    create_table(docs, path, "doc_id", n_buckets=16)
+    d1 = (
+        docs.filter("doc_id % 10 = 0")
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .unionByName(
+            docs.filter("doc_id % 13 = 0").select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.lit("ins").alias("source"),
+                "n_chars",
+            )
+        )
+    )
+    merge_into(spark, path, d1)
+    v1 = read_table(spark, path, version=1)
+    d2 = (
+        v1.filter("doc_id % 7 = 0 and doc_id % 20 != 0")
+        .withColumn("n_chars", F.col("n_chars") + 7)
+        .withColumn("__del", F.lit(False))
+        .unionByName(
+            v1.filter("doc_id % 20 = 0").withColumn("__del", F.lit(True))
+        )
+    )
+    merge_into(spark, path, d2, deleted_col="__del")
+    parts = []
+    for v in (0, 1, 2):
+        parts.append(
+            read_table(spark, path, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.sum("doc_id").cast("long").alias("sum_ids"),
+            )
+            .select(F.lit(v).alias("version"), "n_rows", "sum_chars", "sum_ids")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @query("lm_coverage_documents", None)
 def q_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-LM fluency signals (text/ngram_lm.py): per-doc

@@ -1,0 +1,264 @@
+"""Versioned keyed table: Iceberg-style snapshots, time travel, expiry.
+
+``sources/upsert.py`` gives O(delta) MERGE INTO but destroys history —
+the overwritten buckets are gone. This module adds the table-format
+layer the reference scope calls "Iceberg tables": every merge commits a
+new immutable SNAPSHOT, old versions stay readable (time travel), and
+storage is shared copy-on-write at bucket granularity.
+
+Layout (plain parquet + JSON manifests, no metadata service):
+
+    table/
+      v0/bucket=<b>/*.parquet     immutable data dirs, one per commit;
+      v3/bucket=<b>/*.parquet     a commit writes ONLY its touched buckets
+      _versions/v0.json ...       manifest per version
+      _current                    pointer file -> latest version id
+
+A bucket is always rewritten wholesale when touched (the upsert-module
+discipline), so a bucket's state at version N is exactly ONE commit
+dir's partition: the latest commit ≤ N that touched it. A manifest is
+therefore just ``{bucket: commit_that_owns_it}`` — O(n_buckets) ints,
+no file lists. Reads group buckets by owning commit and union a few
+partition-pruned scans (≤ one per live commit; ``compact`` collapses
+them back to one).
+
+Iceberg parallels, implemented from scratch on bare parquet:
+- snapshot isolation / commit point: data dirs are written first, the
+  manifest + ``_current`` pointer last — readers of version N never see
+  a half-written commit (Iceberg's metadata-pointer swap);
+- time travel: ``read_table(path, version=N)``;
+- ``expire_versions(keep_latest=K)``: drops manifests older than the
+  kept window, then deletes commit dirs no kept manifest references
+  (refcounted GC = Iceberg expire_snapshots + orphan file cleanup);
+- COW sharing: a merge touching t of B buckets adds t bucket dirs;
+  the other B-t are shared with the parent snapshot byte-identically.
+
+Merge cost is O(delta + touched-bucket data); history cost is
+O(touched buckets per commit), not O(snapshot per commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "bucket"
+
+
+def _bucketed(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL,
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)).cast(
+            "int"
+        ),
+    )
+
+
+def _vdir(path: str, commit: int) -> str:
+    return os.path.join(path, f"v{commit}")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, "_versions", f"v{version}.json")
+
+
+def _write_manifest(path: str, version: int, m: dict) -> None:
+    os.makedirs(os.path.join(path, "_versions"), exist_ok=True)
+    with open(_manifest_path(path, version), "w") as f:
+        json.dump(m, f)
+    # the commit point: readers resolve versions through this pointer
+    with open(os.path.join(path, "_current"), "w") as f:
+        f.write(str(version))
+
+
+def read_manifest(path: str, version: int | None = None) -> dict:
+    if version is None:
+        version = current_version(path)
+    with open(_manifest_path(path, version)) as f:
+        m = json.load(f)
+    m["owners"] = {int(k): int(v) for k, v in m["owners"].items()}
+    return m
+
+
+def current_version(path: str) -> int:
+    with open(os.path.join(path, "_current")) as f:
+        return int(f.read().strip())
+
+
+def create_table(
+    df: DataFrame, path: str, key_col: str, n_buckets: int = 16
+) -> int:
+    """Commit version 0. ``key_col`` must be unique per row."""
+    _bucketed(df, key_col, n_buckets).write.mode("overwrite").partitionBy(
+        BUCKET_COL
+    ).parquet(_vdir(path, 0))
+    _write_manifest(
+        path,
+        0,
+        {
+            "version": 0,
+            "parent": None,
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "owners": {b: 0 for b in range(n_buckets)},
+            "buckets_touched": n_buckets,
+        },
+    )
+    return 0
+
+
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (default: latest). Buckets group by
+    owning commit; one partition-pruned scan per live commit, unioned."""
+    m = read_manifest(path, version)
+    by_commit: dict[int, list[int]] = {}
+    for b, c in m["owners"].items():
+        by_commit.setdefault(c, []).append(b)
+    parts = []
+    for c, buckets in sorted(by_commit.items()):
+        scan = spark.read.parquet(_vdir(path, c))
+        if len(buckets) < m["n_buckets"]:
+            scan = scan.filter(F.col(BUCKET_COL).isin(buckets))
+        parts.append(scan)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.drop(BUCKET_COL)
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    deleted_col: str | None = None,
+) -> dict:
+    """Commit a new version: upsert/delete ``delta`` rows by key.
+
+    Only the delta's buckets are read (partition-pruned from their
+    owning commits) and only those buckets get new data dirs; manifest
+    entries for every other bucket are inherited from the parent."""
+    m = read_manifest(path)
+    key_col, n_buckets = m["key_col"], m["n_buckets"]
+    new_version = m["version"] + 1
+
+    d = _bucketed(delta.dropDuplicates([key_col]), key_col, n_buckets)
+    touched = sorted(
+        r[BUCKET_COL] for r in d.select(BUCKET_COL).distinct().collect()
+    )
+    if not touched:
+        _write_manifest(
+            path,
+            new_version,
+            {**m, "version": new_version, "parent": m["version"],
+             "owners": m["owners"], "buckets_touched": 0},
+        )
+        return {"version": new_version, "buckets_touched": 0,
+                "n_buckets": n_buckets}
+
+    # current state of ONLY the touched buckets, from their owners
+    by_commit: dict[int, list[int]] = {}
+    for b in touched:
+        by_commit.setdefault(m["owners"][b], []).append(b)
+    base = None
+    for c, buckets in sorted(by_commit.items()):
+        scan = spark.read.parquet(_vdir(path, c)).filter(
+            F.col(BUCKET_COL).isin(buckets)
+        )
+        base = scan if base is None else base.unionByName(scan)
+
+    cols = [c for c in base.columns if c != BUCKET_COL]
+    survivors = base.join(d.select(key_col), key_col, "left_anti").select(
+        *cols, BUCKET_COL
+    )
+    if deleted_col is not None:
+        d = d.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+    merged = survivors.unionByName(d.select(*cols, BUCKET_COL)).repartition(
+        max(len(touched) // 4, 1), BUCKET_COL
+    )
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+        _vdir(path, new_version)
+    )
+    owners = dict(m["owners"])
+    for b in touched:
+        owners[b] = new_version
+    _write_manifest(
+        path,
+        new_version,
+        {
+            "version": new_version,
+            "parent": m["version"],
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "owners": owners,
+            "buckets_touched": len(touched),
+        },
+    )
+    return {
+        "version": new_version,
+        "buckets_touched": len(touched),
+        "n_buckets": n_buckets,
+    }
+
+
+def list_versions(path: str) -> list[int]:
+    vdir = os.path.join(path, "_versions")
+    return sorted(
+        int(f[1:-5]) for f in os.listdir(vdir) if f.endswith(".json")
+    )
+
+
+def expire_versions(path: str, keep_latest: int = 1) -> dict:
+    """Drop all but the newest ``keep_latest`` manifests, then delete
+    commit dirs referenced by no kept manifest (refcounted GC)."""
+    versions = list_versions(path)
+    kept = versions[-keep_latest:]
+    expired = [v for v in versions if v not in kept]
+    live_commits: set[int] = set()
+    for v in kept:
+        live_commits.update(read_manifest(path, v)["owners"].values())
+    removed_dirs = []
+    for v in expired:
+        os.remove(_manifest_path(path, v))
+    for name in os.listdir(path):
+        if not name.startswith("v") or not name[1:].isdigit():
+            continue
+        c = int(name[1:])
+        if c not in live_commits:
+            shutil.rmtree(os.path.join(path, name))
+            removed_dirs.append(c)
+    return {
+        "expired_versions": expired,
+        "removed_commit_dirs": sorted(removed_dirs),
+        "kept_versions": kept,
+    }
+
+
+def compact(spark: SparkSession, path: str) -> int:
+    """Rewrite the CURRENT state into one fresh commit owning every
+    bucket — collapses multi-commit reads back to a single scan
+    (Iceberg rewrite_data_files). History stays readable until expired."""
+    m = read_manifest(path)
+    new_version = m["version"] + 1
+    cur = read_table(spark, path)
+    _bucketed(cur, m["key_col"], m["n_buckets"]).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(_vdir(path, new_version))
+    _write_manifest(
+        path,
+        new_version,
+        {
+            "version": new_version,
+            "parent": m["version"],
+            "key_col": m["key_col"],
+            "n_buckets": m["n_buckets"],
+            "owners": {b: new_version for b in range(m["n_buckets"])},
+            "buckets_touched": m["n_buckets"],
+        },
+    )
+    return new_version
