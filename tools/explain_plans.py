@@ -390,6 +390,67 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "Duplicated-span detection (dup_span_report)",
+            "The gram stream is a codegen Generate over the scan (no "
+            "Python); the only corpus-sized exchanges are the gram-keyed "
+            "aggregate/join and the per-doc window — interval union is "
+            "window arithmetic, not a UDF.",
+            captured_explain(ep.QUERIES["dup_span_report"](spark, SF_DIR)),
+        )
+    )
+    sections.append(
+        (
+            "Corpus-LM coverage signals (lm_coverage_documents)",
+            "Bigram streams are Generate nodes in codegen; the count "
+            "tables are vocab-sized and join back broadcast (AQE) or "
+            "hash — zero Python end to end.",
+            captured_explain(
+                ep.QUERIES["lm_coverage_documents"](spark, SF_DIR)
+            ),
+        )
+    )
+    sections.append(
+        (
+            "Sharded inverted index (inverted_index_postings)",
+            "Two-phase: map-side-combinable (term, doc) tf aggregate "
+            "first, then the (term, shard) posting-list aggregate — the "
+            "Zipf-skew bound; sorted postings via array_sort/transform "
+            "in codegen, no Python.",
+            captured_explain(
+                ep.QUERIES["inverted_index_postings"](spark, SF_DIR)
+            ),
+        )
+    )
+
+    import tempfile
+
+    from xorfilter_net_spark.sources.timetravel import (
+        create_table,
+        merge_into as tt_merge,
+        read_table,
+    )
+
+    tt_path = tempfile.mkdtemp(prefix="xfns_plans_tt_") + "/t"
+    tt_base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    create_table(tt_base, tt_path, "k", n_buckets=8)
+    tt_merge(
+        spark, tt_path, tt_base.filter("k % 40 = 0").withColumn("v", F.lit(0))
+    )
+    sections.append(
+        (
+            "Time-travel read after partial commit (sources/timetravel.py)",
+            "Version 1 reads as a union of two partition-PRUNED scans: "
+            "the parent commit's untouched buckets and the new commit's "
+            "touched buckets — PartitionFilters on the bucket dir, no "
+            "full-table listing of either commit.",
+            captured_explain(read_table(spark, tt_path, version=1)),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",
@@ -469,10 +530,19 @@ def main() -> None:
     assert "Python" not in mix_plan
     assert "rangepartitioning" not in mix_plan
     assert "hashpartitioning(source" in mix_plan
+    span_plan = sections[24][2]
+    assert "Python" not in span_plan and "Generate" in span_plan
+    lm_plan = sections[25][2]
+    assert "Python" not in lm_plan
+    inv_plan = sections[26][2]
+    assert "Python" not in inv_plan
+    tt_plan = sections[27][2]
+    assert "PartitionFilters: [bucket" in tt_plan
+    assert tt_plan.count("Scan parquet  (") == 2  # parent + new commit
     print(
         "topk/multi-distinct/z-order/q18/grouping-sets/hof/merge/"
         "q6/q8/q19/redact/not-in/cooccur/fuse-sql/contamination/"
-        "prefix-join/curate plans — OK"
+        "prefix-join/curate/spans/lm/postings/timetravel plans — OK"
     )
     spark.stop()
 
