@@ -4405,6 +4405,80 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_merge_versions",
+    "with v0 as (select doc_id, source, n_chars from documents), "
+    "v1 as (select doc_id, source, "
+    "case when doc_id % 9 = 0 then n_chars + 9 else n_chars end as n_chars "
+    "from v0), "
+    "v2 as (select * from v1 where doc_id % 15 != 0) "
+    "select 0 as version, count(*) as n_rows, "
+    "sum(n_chars)::bigint as sum_chars from v0 union all "
+    "select 1, count(*), sum(n_chars)::bigint from v1 union all "
+    "select 2, count(*), sum(n_chars)::bigint from v2",
+)
+def q_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO the versioned table through the REAL
+    streaming engine (streaming/table_sink.py): two file-source
+    micro-batches (an upsert slice, then a delete slice) commit one
+    table version each with the applied-batch ledger inside the
+    manifest; all three versions then read back via time travel. Oracle
+    replays the logical states; exactly-once replay semantics are
+    pinned in tests/test_table_sink.py."""
+    import os
+    import tempfile
+    import time
+
+    from .sources.timetravel import create_table, read_table
+    from .streaming.table_sink import stream_merge_into
+
+    root = tempfile.mkdtemp(prefix="xfns_smerge_")
+    table = os.path.join(root, "table")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    create_table(docs, table, "doc_id", n_buckets=16)
+
+    s0 = (
+        docs.filter("doc_id % 9 = 0")
+        .withColumn("n_chars", F.col("n_chars") + 9)
+        .withColumn("__del", F.lit(False))
+    )
+    s1 = docs.filter("doc_id % 15 = 0").withColumn("__del", F.lit(True))
+    t0 = time.time() - 3600
+    for i, s in enumerate((s0, s1)):
+        p = os.path.join(root, "in", f"s{i}")
+        s.repartition(1).write.mode("overwrite").parquet(p)
+        for r, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(r, f), (t0 + 10 * i, t0 + 10 * i))
+
+    stream = (
+        spark.readStream.schema(s0.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "in", "s*"))
+    )
+    q = stream_merge_into(
+        stream, table, os.path.join(root, "ckpt"), deleted_col="__del"
+    )
+    q.awaitTermination()
+
+    parts = []
+    for v in (0, 1, 2):
+        parts.append(
+            read_table(spark, table, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .select(F.lit(v).alias("version"), "n_rows", "sum_chars")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
     "timetravel_version_states",
     "with v0 as (select doc_id, source, n_chars from documents), "
     "ins as (select doc_id + 1000000 as doc_id, 'ins' as source, n_chars "

@@ -137,15 +137,22 @@ def merge_into(
     path: str,
     delta: DataFrame,
     deleted_col: str | None = None,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Commit a new version: upsert/delete ``delta`` rows by key.
 
     Only the delta's buckets are read (partition-pruned from their
     owning commits) and only those buckets get new data dirs; manifest
-    entries for every other bucket are inherited from the parent."""
+    entries for every other bucket are inherited from the parent.
+    ``extra_meta`` keys ride in the manifest atomically with the commit
+    (the streaming sink's applied-batch ledger); the ``applied_batches``
+    key is inherited from the parent when not overridden."""
     m = read_manifest(path)
     key_col, n_buckets = m["key_col"], m["n_buckets"]
     new_version = m["version"] + 1
+    carry = {
+        k: m[k] for k in ("applied_batches",) if k in m
+    } | (extra_meta or {})
 
     d = _bucketed(delta.dropDuplicates([key_col]), key_col, n_buckets)
     touched = sorted(
@@ -155,7 +162,7 @@ def merge_into(
         _write_manifest(
             path,
             new_version,
-            {**m, "version": new_version, "parent": m["version"],
+            {**m, **carry, "version": new_version, "parent": m["version"],
              "owners": m["owners"], "buckets_touched": 0},
         )
         return {"version": new_version, "buckets_touched": 0,
@@ -197,6 +204,7 @@ def merge_into(
             "n_buckets": n_buckets,
             "owners": owners,
             "buckets_touched": len(touched),
+            **carry,
         },
     )
     return {
@@ -259,6 +267,7 @@ def compact(spark: SparkSession, path: str) -> int:
             "n_buckets": m["n_buckets"],
             "owners": {b: new_version for b in range(m["n_buckets"])},
             "buckets_touched": m["n_buckets"],
+            **{k: m[k] for k in ("applied_batches",) if k in m},
         },
     )
     return new_version
