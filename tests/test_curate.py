@@ -86,3 +86,29 @@ class TestCurateCorpus:
             ).collect()
         }
         assert gated == base - {6}
+
+    def test_lm_coverage_gate_optional(self, spark):
+        _, eval_df = _corpus(spark)
+        # near-variant of GOOD1: shares almost every bigram -> both
+        # fluent docs have high coverage against the deduped corpus
+        good1b = GOOD1.rsplit(" ", 3)[0] + " quite some time ago"
+        # stopword-rich (passes the quality gate) but every CONTENT
+        # bigram is unique corpus-wide -> coverage far below the others
+        disfluent = (
+            "the zq1x of the wv2k and the pl3m in the rr4t with the "
+            "yu5b for the nn6c on the dd7e at the ff8g by the hh9j "
+            "to the kk0l from the aa1z into the bb2y over the cc3x"
+        )
+        docs = spark.createDataFrame(
+            [(1, GOOD1), (2, good1b), (7, disfluent)],
+            "doc_id long, text string",
+        )
+        base = {r["doc_id"] for r in curate_corpus(docs, eval_df).collect()}
+        assert base == {1, 2, 7}  # quality gate alone keeps all three
+        gated = {
+            r["doc_id"]
+            for r in curate_corpus(
+                docs, eval_df, min_bigram_coverage_e6=500000
+            ).collect()
+        }
+        assert gated == {1, 2}

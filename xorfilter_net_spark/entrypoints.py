@@ -3470,6 +3470,72 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["curate_corpus_documents"] = _curate_oracle()
 
 
+def _curate_lm_oracle() -> str:
+    from .relational.sampling import sample_sql
+    from .text.analysis import text_feature_exprs
+
+    e = text_feature_exprs("duckdb")
+    return (
+        f"with corpus as ({_DOC_DUP_SELECT}), "
+        "exact_corpus as (select doc_id, text from corpus union all "
+        " select doc_id + 2000000 as doc_id, text from corpus where doc_id % 5 = 0), "
+        "dedup as (select min(doc_id) as doc_id, text from exact_corpus group by text), "
+        f"feats as (select doc_id, text, {e['quality_score']} as quality_score, "
+        f"{e['lang_pred']} as lang_pred from dedup), "
+        "kept as (select * from feats where quality_score >= 60 and lang_pred = 'en'), "
+        # CCNet-style LM gate: bigram coverage vs the DEDUPED corpus
+        "bgtk as (select doc_id, string_split(text, ' ') as t from dedup), "
+        "bg as (select doc_id, t[i] as w1, t[i+1] as w2 "
+        "  from bgtk, unnest(range(1, greatest(len(t), 1))) as u(i)), "
+        "bcc as (select w1, w2 from bg group by w1, w2 having count(*) >= 2), "
+        "cov as (select b.doc_id, count(*) as nb, "
+        "  sum(case when c.w1 is not null then 1 else 0 end) as nc "
+        "  from bg b left join bcc c on b.w1 = c.w1 and b.w2 = c.w2 "
+        "  group by b.doc_id), "
+        "lmkept as (select k.* from kept k join cov v using (doc_id) "
+        "  where floor(1000000.0 * v.nc / v.nb) >= 980000), "
+        "tk as (select doc_id, string_split(text, ' ') as t from lmkept), "
+        "tr as (select doc_id, array_to_string(t[i+1:i+5], ' ') as sh "
+        "  from tk, unnest(range(0, greatest(len(t) - 4, 0))) as u(i) group by 1, 2), "
+        "evtk as (select string_split(text, ' ') as t from documents where doc_id % 37 = 0), "
+        "ev as (select distinct array_to_string(t[i+1:i+5], ' ') as sh "
+        "  from evtk, unnest(range(0, greatest(len(t) - 4, 0))) as u(i)), "
+        "tot as (select doc_id, count(*) as n_shingles from tr group by 1), "
+        "hit as (select tr.doc_id, count(*) as n_matched from tr join ev using (sh) group by 1), "
+        "contam as (select tot.doc_id from tot join hit using (doc_id) "
+        "  where hit.n_matched * 100 >= 50 * tot.n_shingles), "
+        "clean as (select * from lmkept where doc_id not in (select doc_id from contam)) "
+        "select doc_id, lang_pred, quality_score, "
+        f"case when {sample_sql('text', 0.1)} then 'val' else 'train' end as split "
+        "from clean"
+    )
+
+
+@query("curate_corpus_lm_gated", None)
+def q_curate_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone with the CCNet-style corpus-LM fluency gate
+    enabled (min_bigram_coverage_e6=980000, statistics from the deduped
+    corpus): dedup -> quality gate -> LM coverage gate -> decontamination
+    -> split, still ONE lazy plan; exact end-to-end DuckDB replay."""
+    from .pipeline.curate import curate_corpus
+
+    corpus = _doc_dup_corpus(spark, sf_dir)
+    exact_corpus = corpus.unionAll(
+        corpus.filter("doc_id % 5 = 0").selectExpr(
+            "doc_id + 2000000 as doc_id", "text"
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter("doc_id % 37 = 0").select("text")
+    return curate_corpus(
+        exact_corpus, eval_df, "doc_id", "text",
+        min_bigram_coverage_e6=980000,
+    )
+
+
+ORACLES["curate_corpus_lm_gated"] = _curate_lm_oracle()
+
+
 # exact all-pairs near-dup CTE chain (DuckDB): corpus -> shingle sets ->
 # verified pairs at J >= 0.5. Shared by the pair oracle and the cluster
 # oracle so both gates check the same exact ground truth.

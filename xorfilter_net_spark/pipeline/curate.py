@@ -58,6 +58,8 @@ def curate_corpus(
     prune: str = "broadcast",
     max_dup_line_frac_e6: int | None = None,
     max_top_bigram_frac_e6: int | None = None,
+    min_bigram_coverage_e6: int | None = None,
+    lm_min_count: int = 2,
 ) -> DataFrame:
     """Curate a raw document corpus for training.
 
@@ -72,8 +74,10 @@ def curate_corpus(
     pre-pruned path (row-identical by construction). The two optional
     ``max_*`` thresholds add the Gopher repetition gate
     (``text/repetition.py``) between the quality gate and
-    decontamination; they default to off so the base pipeline plan is
-    unchanged.
+    decontamination; ``min_bigram_coverage_e6`` adds the CCNet-style
+    corpus-LM fluency gate (``text/ngram_lm.py``, statistics from the
+    deduped corpus). All optional gates default to off so the base
+    pipeline plan is unchanged.
     """
     deduped = exact_dedup(docs, id_col, [text_col])
     feats = with_text_features(deduped.select(id_col, text_col), text_col)
@@ -97,6 +101,22 @@ def curate_corpus(
                 <= max_top_bigram_frac_e6
             )
         kept = kept.join(sig.filter(cond).select(id_col), id_col, "left_semi")
+    if min_bigram_coverage_e6 is not None:
+        # CCNet-style fluency gate: coverage statistics come from the
+        # DEDUPED corpus (duplicate-free counts), the gate applies to the
+        # quality survivors — text/ngram_lm.py
+        from ..text.ngram_lm import lm_coverage_signals
+
+        lm = lm_coverage_signals(
+            deduped.select(id_col, text_col), id_col, text_col, lm_min_count
+        )
+        kept = kept.join(
+            lm.filter(
+                F.col("coverage_e6") >= min_bigram_coverage_e6
+            ).select(id_col),
+            id_col,
+            "left_semi",
+        )
     report = contamination_report(
         kept.select(id_col, text_col),
         eval_df,
