@@ -314,3 +314,66 @@ def test_cli_curate(spark, tmp_path, cli_out):
         ["curate", "--input", src, "--output", str(tmp_path / "curated2")]
     )
     assert out2["rows_out"] == 3
+
+
+def test_cli_table_lifecycle(spark, sf_tiny, tmp_path, cli_out):
+    docs = f"{sf_tiny}/documents.parquet"
+    table = str(tmp_path / "vt")
+    created = cli_out(
+        ["table", "create", "--path", table, "--input", docs,
+         "--key-col", "doc_id", "--buckets", "8"]
+    )
+    assert created["version"] == 0 and created["versions"] == [0]
+
+    delta = str(tmp_path / "delta")
+    cols = spark.read.parquet(docs).columns
+    spark.read.parquet(docs).filter("doc_id % 9 = 0").selectExpr(
+        *[c if c != "n_chars" else "n_chars + 1 as n_chars" for c in cols]
+    ).write.parquet(delta)
+    merged = cli_out(
+        ["table", "merge", "--path", table, "--input", delta]
+    )
+    assert merged["version"] == 1 and merged["buckets_touched"] > 0
+
+    out0 = str(tmp_path / "v0_out")
+    read0 = cli_out(
+        ["table", "read", "--path", table, "--version", "0",
+         "--output", out0]
+    )
+    n_docs = spark.read.parquet(docs).count()
+    assert read0["rows"] == n_docs and read0["version"] == 0
+
+    compacted = cli_out(["table", "compact", "--path", table])
+    assert compacted["version"] == 2
+    expired = cli_out(
+        ["table", "expire", "--path", table, "--keep-latest", "1"]
+    )
+    assert expired["versions"] == [2]
+    assert expired["removed_commit_dirs"] == [0, 1]
+
+
+def test_cli_spans_report_and_strip(spark, tmp_path, cli_out):
+    text = " ".join(f"w{i}" for i in range(20))
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, text), (2, text), (3, "unique " + " ".join(f"u{i}" for i in range(9)))],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+
+    rep = cli_out(
+        ["spans", "report", "--input", corpus,
+         "--output", str(tmp_path / "rep"), "-k", "5"]
+    )
+    assert rep["rows"] == 2  # one full-doc span per duplicated doc
+
+    stripped = cli_out(
+        ["spans", "strip", "--input", corpus,
+         "--output", str(tmp_path / "clean"), "-k", "5"]
+    )
+    assert stripped["rows"] == 3
+    clean = {
+        r.doc_id: r.clean_text
+        for r in spark.read.parquet(str(tmp_path / "clean")).collect()
+    }
+    assert clean[1] == "" and clean[2] == ""
+    assert clean[3].startswith("unique")

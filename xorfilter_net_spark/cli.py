@@ -292,6 +292,70 @@ def cmd_gen_transcripts(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_table(args: argparse.Namespace) -> dict:
+    """Versioned keyed table (sources/timetravel.py): Iceberg-style
+    snapshots on bare parquet. ``create`` commits v0; ``merge`` commits
+    a new version touching only the delta's buckets; ``read`` writes a
+    version (default latest) to parquet; ``compact`` collapses owners;
+    ``expire`` GCs history."""
+    from .sources import timetravel as tt
+
+    spark = _get_spark("table")
+    out: dict = {"command": "table", "action": args.action, "path": args.path}
+    if args.action == "create":
+        df = spark.read.parquet(args.input)
+        tt.create_table(df, args.path, args.key_col, args.buckets)
+        out["version"] = 0
+    elif args.action == "merge":
+        delta = spark.read.parquet(args.input)
+        out.update(
+            tt.merge_into(spark, args.path, delta, deleted_col=args.deleted_col)
+        )
+    elif args.action == "read":
+        df = tt.read_table(spark, args.path, version=args.version)
+        df.write.mode("overwrite").parquet(args.output)
+        out["rows"] = spark.read.parquet(args.output).count()
+        out["version"] = (
+            args.version
+            if args.version is not None
+            else tt.current_version(args.path)
+        )
+    elif args.action == "compact":
+        out["version"] = tt.compact(spark, args.path)
+    else:  # expire
+        out.update(tt.expire_versions(args.path, keep_latest=args.keep_latest))
+    out["versions"] = tt.list_versions(args.path)
+    return out
+
+
+def cmd_spans(args: argparse.Namespace) -> dict:
+    """Duplicated n-gram span dedup (dedup/spans.py): ``report`` writes
+    the maximal duplicated spans; ``strip`` writes the cleaned corpus."""
+    from .dedup.spans import duplicated_spans, strip_duplicated_spans
+
+    spark = _get_spark("spans")
+    df = spark.read.parquet(args.input)
+    if args.action == "report":
+        out_df = duplicated_spans(
+            df, args.id_col, args.text_col, k=args.k,
+            min_count=args.min_count, carry=args.carry,
+        )
+    else:
+        out_df = strip_duplicated_spans(
+            df, args.id_col, args.text_col, k=args.k,
+            min_count=args.min_count, carry=args.carry,
+        )
+    out_df.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    return {
+        "command": "spans",
+        "action": args.action,
+        "k": args.k,
+        "rows": n,
+        "output": args.output,
+    }
+
+
 def cmd_merge(args: argparse.Namespace) -> dict:
     """MERGE INTO a keyed snapshot (sources/upsert.py): ``init`` writes
     the bucket-partitioned snapshot; ``apply`` folds a delta parquet
@@ -457,6 +521,35 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--max-turns", type=int, default=8)
     g.add_argument("--partitions", type=int, default=8)
     g.set_defaults(fn=cmd_gen_transcripts)
+
+    t = sub.add_parser(
+        "table", help="versioned keyed table (snapshots + time travel)"
+    )
+    t.add_argument(
+        "action", choices=["create", "merge", "read", "compact", "expire"]
+    )
+    t.add_argument("--path", required=True)
+    t.add_argument("--input", help="parquet input (create/merge)")
+    t.add_argument("--key-col", default="doc_id")
+    t.add_argument("--buckets", type=int, default=64)
+    t.add_argument("--deleted-col", default=None)
+    t.add_argument("--version", type=int, default=None)
+    t.add_argument("--output", help="parquet output (read)")
+    t.add_argument("--keep-latest", type=int, default=1)
+    t.set_defaults(fn=cmd_table)
+
+    sp = sub.add_parser(
+        "spans", help="duplicated n-gram span report / strip"
+    )
+    sp.add_argument("action", choices=["report", "strip"])
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--min-count", type=int, default=2)
+    sp.add_argument("--carry", choices=["gram", "hash"], default="gram")
+    sp.set_defaults(fn=cmd_spans)
 
     args = p.parse_args(argv)
     out = args.fn(args)
