@@ -4471,6 +4471,74 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "drift_report_ok",
+    "select true as distinct_exact_ok, true as jaccard_exact_ok, "
+    "true as ks_ok, true as tv_exact_ok",
+)
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based drift report between two event snapshots
+    (sketches/drift.py): distinct/Jaccard via theta set algebra (exact
+    here — 150 users < k, the below-k exactness regime), KS distance via
+    KLL rank probes (within 2*rank-eps of the exact KS, gated at 0.05),
+    TV distance via Misra-Gries (exact — 5 types <= k). Every number
+    comes from six one-pass states; the exact targets are recomputed
+    relationally in-query."""
+    import numpy as np
+
+    from .sketches.drift import drift_report
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter("event_id % 2 = 0")
+    b = (
+        ev.filter("event_id % 2 = 1")
+        .filter("not (event_type = 'click' and event_id % 4 = 1)")
+        .withColumn("value", F.col("value") * 1.3)
+    )
+    rep = drift_report(a, b, "user_id", "value", "event_type")
+
+    ua = {r[0] for r in a.select("user_id").distinct().collect()}
+    ub = {r[0] for r in b.select("user_id").distinct().collect()}
+    exact_j = len(ua & ub) / len(ua | ub)
+    va = np.sort(np.array([r[0] for r in a.select("value").collect()]))
+    vb = np.sort(np.array([r[0] for r in b.select("value").collect()]))
+    grid = np.unique(np.concatenate([va, vb]))
+    exact_ks = float(
+        np.max(
+            np.abs(
+                np.searchsorted(va, grid, side="right") / va.size
+                - np.searchsorted(vb, grid, side="right") / vb.size
+            )
+        )
+    )
+    fa = {
+        r[0]: r[1]
+        for r in a.groupBy("event_type").count().collect()
+    }
+    fb = {
+        r[0]: r[1]
+        for r in b.groupBy("event_type").count().collect()
+    }
+    na, nb = sum(fa.values()), sum(fb.values())
+    exact_tv = 0.5 * sum(
+        abs(fa.get(k, 0) / na - fb.get(k, 0) / nb)
+        for k in set(fa) | set(fb)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                abs(rep["distinct_a"] - len(ua)) < 1e-9
+                and abs(rep["distinct_b"] - len(ub)) < 1e-9,
+                abs(rep["key_jaccard"] - exact_j) < 1e-9,
+                abs(rep["ks_distance"] - exact_ks) <= 0.05,
+                abs(rep["tv_distance"] - exact_tv) < 1e-9,
+            )
+        ],
+        "distinct_exact_ok boolean, jaccard_exact_ok boolean, "
+        "ks_ok boolean, tv_exact_ok boolean",
+    )
+
+
+@query(
     "streaming_merge_versions",
     "with v0 as (select doc_id, source, n_chars from documents), "
     "v1 as (select doc_id, source, "
