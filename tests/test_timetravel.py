@@ -148,3 +148,43 @@ def test_expire_keeps_referenced_parent_dirs(spark, tmp_path):
     assert out["expired_versions"] == [0]
     assert out["removed_commit_dirs"] == []  # v0 dir still referenced
     assert _rows(read_table(spark, path)) == latest
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """A later commit adds a column: new rows carry it, surviving old
+    rows surface NULL, pre-evolution versions keep the old schema."""
+    path = str(tmp_path / "t")
+    create_table(_docs(spark), path, "k", n_buckets=4)
+    delta = (
+        _docs(spark)
+        .filter("k % 10 = 0")
+        .withColumn("score", (F.col("k") * 2).cast("long"))
+    )
+    merge_into(spark, path, delta)
+    cur = read_table(spark, path)
+    assert "score" in cur.columns
+    got = {r.k: r.score for r in cur.collect()}
+    assert got[10] == 20 and got[20] == 40
+    # rows untouched by the evolving commit read NULL — including rows
+    # that share a bucket with evolved rows (rewritten with typed null)
+    assert all(v is None for k, v in got.items() if k % 10 != 0)
+    # time travel: v0 predates the column entirely
+    assert "score" not in read_table(spark, path, version=0).columns
+
+
+def test_commit_lineage_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_docs(spark), path, "k", n_buckets=8)
+    merge_into(
+        spark, path,
+        _docs(spark).filter("k = 3").withColumn("text", F.lit("x")),
+    )
+    rows = {
+        r.k: r._commit
+        for r in read_table(spark, path, with_commit=True).collect()
+    }
+    assert rows[3] == 1
+    # every key sharing k=3's bucket was rewritten into commit 1;
+    # keys in other buckets still carry commit 0
+    assert set(rows.values()) == {0, 1}
+    assert sum(1 for v in rows.values() if v == 0) > 0

@@ -112,10 +112,20 @@ def create_table(
 
 
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    with_commit: bool = False,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). Buckets group by
-    owning commit; one partition-pruned scan per live commit, unioned."""
+    owning commit; one partition-pruned scan per live commit, unioned.
+
+    Commits may carry evolved schemas (see ``merge_into``): the union
+    aligns by name and older commits surface NULL for columns they
+    predate — Iceberg-style additive schema evolution. ``with_commit``
+    adds a ``_commit`` lineage column (the commit each row was last
+    written by — row-level provenance for free, since a row's commit IS
+    its file's commit)."""
     m = read_manifest(path, version)
     by_commit: dict[int, list[int]] = {}
     for b, c in m["owners"].items():
@@ -125,10 +135,12 @@ def read_table(
         scan = spark.read.parquet(_vdir(path, c))
         if len(buckets) < m["n_buckets"]:
             scan = scan.filter(F.col(BUCKET_COL).isin(buckets))
+        if with_commit:
+            scan = scan.withColumn("_commit", F.lit(c))
         parts.append(scan)
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out.drop(BUCKET_COL)
 
 
@@ -179,13 +191,38 @@ def merge_into(
         )
         base = scan if base is None else base.unionByName(scan)
 
-    cols = [c for c in base.columns if c != BUCKET_COL]
-    survivors = base.join(d.select(key_col), key_col, "left_anti").select(
-        *cols, BUCKET_COL
-    )
+    # additive schema evolution: the commit schema is the union of the
+    # base buckets' schema and the delta's (marker excluded); whichever
+    # side lacks a column contributes NULLs (old commits stay untouched
+    # and surface NULLs at read time via unionByName)
+    base_cols = [c for c in base.columns if c != BUCKET_COL]
+    delta_cols = [
+        c
+        for c in d.columns
+        if c not in (BUCKET_COL, deleted_col) and c not in base_cols
+    ]
+    cols = base_cols + delta_cols
+    dtypes = {f.name: f.dataType for f in base.schema.fields}
+    for f in d.schema.fields:
+        dtypes.setdefault(f.name, f.dataType)
+
+    def _aligned(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c)
+                if c in have
+                # typed NULL: parquet cannot store VOID columns
+                else F.lit(None).cast(dtypes[c]).alias(c)
+                for c in cols
+            ],
+            BUCKET_COL,
+        )
+
+    survivors = _aligned(base.join(d.select(key_col), key_col, "left_anti"))
     if deleted_col is not None:
         d = d.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
-    merged = survivors.unionByName(d.select(*cols, BUCKET_COL)).repartition(
+    merged = survivors.unionByName(_aligned(d)).repartition(
         max(len(touched) // 4, 1), BUCKET_COL
     )
     merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
