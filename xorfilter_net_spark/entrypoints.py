@@ -4471,6 +4471,36 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tool_transition_matrix",
+    f"with {TRANSCRIPTS_CTE}, seq as ("
+    "select conv_id, coalesce(tool, 'none') as tool, "
+    "lead(coalesce(tool, 'none')) over "
+    "(partition by conv_id order by turn_idx) as next_tool "
+    "from transcripts) "
+    "select tool, next_tool, count(*) as n "
+    "from seq where next_tool is not null "
+    "group by tool, next_tool",
+)
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-transcript analytics: the tool->next_tool transition matrix
+    per conversation (lead window under the stable (conv_id, turn_idx)
+    ordering the input_hint mandates) — the Markov-chain statistic for
+    mining agent behavior. One shuffle (the window), counts exact."""
+    from pyspark.sql.window import Window
+
+    t = load_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tool = F.coalesce("tool", F.lit("none"))
+    return (
+        t.select("conv_id", "turn_idx", tool.alias("tool"))
+        .withColumn("next_tool", F.lead("tool").over(w))
+        .filter(F.col("next_tool").isNotNull())
+        .groupBy("tool", "next_tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "drift_report_ok",
     "select true as distinct_exact_ok, true as jaccard_exact_ok, "
     "true as ks_ok, true as tv_exact_ok",
