@@ -4471,6 +4471,38 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fd_projection_ok",
+    "select true as orthonormal_ok, true as energy_ok",
+)
+def q_fd_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD-based PCA projection (ann/project.py): one mergeable-FD pass +
+    driver SVD + map-only projection. Gates: the top-8 subspace is
+    orthonormal and captures within 0.05 of the EXACT top-8 eigenspace's
+    energy (exact from the collected test-scale matrix; at production
+    scale the FD spectral bound takes over)."""
+    import numpy as np
+
+    from .ann.brute import _stack
+    from .ann.project import captured_energy_ratio, fd_principal_directions
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = fd_principal_directions(emb, "embedding", r=8, ell=32)
+    import pandas as pd
+
+    mat = _stack(
+        pd.Series([r[0] for r in emb.select("embedding").collect()])
+    )
+    _, _, vt = np.linalg.svd(mat, full_matrices=False)
+    exact = captured_energy_ratio(mat, vt[:8].T)
+    got = captured_energy_ratio(mat, w)
+    ortho = bool(np.allclose(w.T @ w, np.eye(8), atol=1e-8))
+    return spark.createDataFrame(
+        [(ortho, bool(got >= exact - 0.05))],
+        "orthonormal_ok boolean, energy_ok boolean",
+    )
+
+
+@query(
     "q_tool_transition_matrix",
     f"with {TRANSCRIPTS_CTE}, seq as ("
     "select conv_id, coalesce(tool, 'none') as tool, "
