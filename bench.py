@@ -127,6 +127,11 @@ BENCH_QUERIES = [
     "media_frame_sample_counts",
     "repetition_signals_documents",
     "curate_corpus_documents",
+    "dup_span_report",
+    "normalized_dedup_survivors",
+    "lm_coverage_documents",
+    "inverted_index_postings",
+    "q_tool_transition_matrix",
 ]
 
 

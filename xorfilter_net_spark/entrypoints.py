@@ -4470,6 +4470,40 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NORM_DUP_SELECT = (
+    "select doc_id, text from documents union all "
+    "select doc_id + 3000000 as doc_id, upper(text) || '!!' as text "
+    "from documents where doc_id % 6 = 0 union all "
+    "select doc_id + 4000000 as doc_id, replace(text, ' ', '  ') as text "
+    "from documents where doc_id % 8 = 0"
+)
+
+
+def _norm_dedup_oracle() -> str:
+    from .text.normalize import normalized_dedup_sql
+
+    return normalized_dedup_sql(_NORM_DUP_SELECT)
+
+
+@query("normalized_dedup_survivors", None)
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive dedup (text/normalize.py): case-folded,
+    punctuation-stripped, whitespace-collapsed content groups with
+    min-id survivors — collapses the injected uppercase/'!!' and
+    double-space variants onto their originals. All-codegen
+    normalization; one hash-group shuffle; exact oracle runs the
+    identical portable regex chain."""
+    from .text.normalize import normalized_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    corpus = spark.sql(_NORM_DUP_SELECT)
+    return normalized_dedup(corpus, "doc_id", "text")
+
+
+ORACLES["normalized_dedup_survivors"] = _norm_dedup_oracle()
+
+
 @query(
     "fd_projection_ok",
     "select true as orthonormal_ok, true as energy_ok",
