@@ -60,6 +60,7 @@ def curate_corpus(
     max_top_bigram_frac_e6: int | None = None,
     min_bigram_coverage_e6: int | None = None,
     lm_min_count: int = 2,
+    reuse: str = "checkpoint",
 ) -> DataFrame:
     """Curate a raw document corpus for training.
 
@@ -71,8 +72,19 @@ def curate_corpus(
     word-``contam_n``-gram overlap).
 
     ``prune='xor'`` routes decontamination through the XOR-filter
-    pre-pruned path (row-identical by construction). The two optional
-    ``max_*`` thresholds add the Gopher repetition gate
+    pre-pruned path (row-identical by construction).
+
+    ``reuse='checkpoint'`` (default) lazily local-checkpoints the gate
+    survivors: that subtree is consumed by THREE downstream branches
+    (contamination shingles, contamination totals, the final clean
+    join), and without a seam each action recomputes dedup+features per
+    branch — measured 18-25s -> much less at sf0.1, and at corpus scale
+    the survivors table is exactly what a production pipeline would
+    materialize between stages. ``reuse='none'`` keeps the single fully
+    lazy plan (Catalyst prunes across every seam; same rows either
+    way — the driver oracle runs against the default path).
+
+    The two optional ``max_*`` thresholds add the Gopher repetition gate
     (``text/repetition.py``) between the quality gate and
     decontamination; ``min_bigram_coverage_e6`` adds the CCNet-style
     corpus-LM fluency gate (``text/ngram_lm.py``, statistics from the
@@ -117,6 +129,10 @@ def curate_corpus(
             id_col,
             "left_semi",
         )
+    if reuse == "checkpoint":
+        # one materialization feeding all three consumers; lazy so a
+        # never-executed plan costs nothing
+        kept = kept.localCheckpoint(eager=False)
     report = contamination_report(
         kept.select(id_col, text_col),
         eval_df,
