@@ -4635,6 +4635,70 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_drift_monitor_ok",
+    "select true as batch_stream_parity_ok, true as exactly_once_ok",
+)
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor (streaming/drift_monitor.py) through the
+    REAL streaming engine: two event micro-batches fold into running
+    sketch states with a per-batch drift row vs a frozen reference
+    snapshot. Gates: the final row equals the batch drift_report of the
+    union (theta/MG exact regimes; KLL within rank error), and the
+    metrics log holds exactly one row per batch (exactly-once ledger)."""
+    import os
+    import tempfile
+    import time
+
+    from .sketches.drift import drift_report
+    from .streaming.drift_monitor import run_drift_monitor
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter("event_id % 3 = 0")
+    s0 = ev.filter("event_id % 3 = 1")
+    s1 = (
+        ev.filter("event_id % 3 = 2")
+        .withColumn("value", F.col("value") * 1.5)
+    )
+    root = tempfile.mkdtemp(prefix="xfns_sdrift_")
+    t0 = time.time() - 3600
+    for i, s in enumerate((s0, s1)):
+        p = os.path.join(root, "in", f"s{i}")
+        s.repartition(1).write.mode("overwrite").parquet(p)
+        for r, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(r, f), (t0 + 10 * i, t0 + 10 * i))
+
+    stream = (
+        spark.readStream.schema(s0.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "in", "s*"))
+    )
+    q, mon = run_drift_monitor(
+        stream, ref, "user_id", "value", "event_type",
+        state_dir=os.path.join(root, "state"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination()
+
+    rows = mon.metrics()
+    batch = drift_report(
+        s0.unionByName(s1), ref, "user_id", "value", "event_type"
+    )
+    final = rows[-1]
+    parity = (
+        abs(final["distinct_a"] - batch["distinct_a"]) < 1e-9
+        and abs(final["key_jaccard"] - batch["key_jaccard"]) < 1e-9
+        and abs(final["tv_distance"] - batch["tv_distance"]) < 1e-9
+        and abs(final["ks_distance"] - batch["ks_distance"]) <= 0.05
+    )
+    once = [r["batch_id"] for r in rows] == [0, 1]
+    return spark.createDataFrame(
+        [(bool(parity), bool(once))],
+        "batch_stream_parity_ok boolean, exactly_once_ok boolean",
+    )
+
+
+@query(
     "streaming_merge_versions",
     "with v0 as (select doc_id, source, n_chars from documents), "
     "v1 as (select doc_id, source, "

@@ -35,7 +35,7 @@ from .kll import KllSketch
 from .misra_gries import MisraGriesSketch
 from .theta import ThetaSketch
 
-__all__ = ["drift_report"]
+__all__ = ["drift_report", "snapshot_states", "drift_from_states"]
 
 
 def _ks_estimate(kll: KllSketch, sa, sb) -> float:
@@ -81,19 +81,46 @@ def drift_report(
     kll = KllSketch(k=kll_k, value_col=num_col)
     mg = MisraGriesSketch(k=mg_k, key_col=cat_col)
 
-    ta = aggregate(df_a, [key_col], theta)
-    tb = aggregate(df_b, [key_col], theta)
-    ka = aggregate(df_a, [num_col], kll)
-    kb = aggregate(df_b, [num_col], kll)
-    ma = aggregate(df_a, [cat_col], mg)
-    mb = aggregate(df_b, [cat_col], mg)
+    sa = snapshot_states(df_a, key_col, num_col, cat_col, theta, kll, mg)
+    sb = snapshot_states(df_b, key_col, num_col, cat_col, theta, kll, mg)
+    return drift_from_states(theta, kll, mg, sa, sb)
 
-    inter = theta.intersection(ta, tb)
-    union = theta.union_estimate(ta, tb)
+
+def snapshot_states(
+    df: DataFrame,
+    key_col: str,
+    num_col: str,
+    cat_col: str,
+    theta: ThetaSketch,
+    kll: KllSketch,
+    mg: MisraGriesSketch,
+) -> dict:
+    """One pass over ``df`` -> the three drift states."""
     return {
-        "distinct_a": theta.estimate(ta),
-        "distinct_b": theta.estimate(tb),
+        "theta": aggregate(df, [key_col], theta),
+        "kll": aggregate(df, [num_col], kll),
+        "mg": aggregate(df, [cat_col], mg),
+    }
+
+
+def drift_from_states(
+    theta: ThetaSketch,
+    kll: KllSketch,
+    mg: MisraGriesSketch,
+    sa: dict,
+    sb: dict,
+) -> dict:
+    """Drift numbers from two state triples — pure driver arithmetic;
+    the streaming monitor calls this per micro-batch on persisted
+    states without ever touching the corpus."""
+    inter = theta.intersection(sa["theta"], sb["theta"])
+    union = theta.union_estimate(sa["theta"], sb["theta"])
+    return {
+        "distinct_a": theta.estimate(sa["theta"]),
+        "distinct_b": theta.estimate(sb["theta"]),
         "key_jaccard": (inter / union) if union > 0 else 0.0,
-        "ks_distance": _ks_estimate(kll, ka, kb),
-        "tv_distance": _tv_estimate(mg.finish(ma), mg.finish(mb)),
+        "ks_distance": _ks_estimate(kll, sa["kll"], sb["kll"]),
+        "tv_distance": _tv_estimate(
+            mg.finish(sa["mg"]), mg.finish(sb["mg"])
+        ),
     }
