@@ -4635,6 +4635,40 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_assemble_conversations",
+    f"with {TRANSCRIPTS_CTE} "
+    "select conv_id, "
+    "string_agg(role || ': ' || text, chr(10) order by turn_idx) as doc, "
+    "count(*) as n_turns, "
+    "sum(length(text))::bigint as total_chars "
+    "from transcripts group by conv_id",
+)
+def q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation assembly: turns -> ONE training document per
+    conversation ('role: text' lines joined in turn order) — the
+    transcript-to-LM-document preprocessing step. Per-group state is
+    bounded by conversation length (array_sort(collect_list(struct)));
+    one shuffle; byte-exact vs the ordered string_agg oracle."""
+    t = load_transcripts(spark, sf_dir)
+    line = F.concat_ws(": ", "role", "text")
+    return (
+        t.select("conv_id", "turn_idx", line.alias("line"), "text")
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("doc"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
     "streaming_drift_monitor_ok",
     "select true as batch_stream_parity_ok, true as exactly_once_ok",
 )
