@@ -4635,6 +4635,58 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_classifier_ok",
+    "select true as separates_ok, true as loss_decreases_ok",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression quality classifier
+    (text/quality_clf.py): full-batch GD — one mapInPandas partial-
+    gradient pass per iteration over a cached feature table, O(d)
+    floats per partition on the wire. Weak labels distill the heuristic
+    gate (quality_score >= 60); gates: >= 0.85 training accuracy and a
+    monotone first->last loss drop. Weight-level parity with a NumPy
+    reference is pinned in tests/test_quality_clf.py."""
+    from .text.analysis import with_text_features
+    from .text.quality_clf import score_logreg, train_logreg
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = (
+        with_text_features(docs.select("doc_id", "text"), "text")
+        .select(
+            "doc_id",
+            (F.col("quality_score") >= 60).cast("int").alias("label"),
+        )
+        .join(docs.select("doc_id", "text"), "doc_id")
+        # per-iteration cost is one task per partition; at gate scale a
+        # handful of partitions keeps the 20-iteration loop snappy
+        .repartition(8)
+    )
+    model = train_logreg(labeled, iters=20, lr=1.0)
+    scored = score_logreg(labeled, model)
+    acc_row = (
+        scored.join(labeled.select("doc_id", "label"), "doc_id")
+        .select(
+            F.avg(
+                (
+                    (F.col("quality_prob") >= 0.5).cast("int")
+                    == F.col("label")
+                ).cast("double")
+            ).alias("acc")
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                bool(acc_row["acc"] >= 0.85),
+                bool(model["losses"][-1] < model["losses"][0]),
+            )
+        ],
+        "separates_ok boolean, loss_decreases_ok boolean",
+    )
+
+
+@query(
     "q_assemble_conversations",
     f"with {TRANSCRIPTS_CTE} "
     "select conv_id, "
