@@ -377,3 +377,22 @@ def test_cli_spans_report_and_strip(spark, tmp_path, cli_out):
     }
     assert clean[1] == "" and clean[2] == ""
     assert clean[3].startswith("unique")
+
+
+def test_cli_drift(spark, tmp_path, cli_out):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    base = spark.range(200).selectExpr(
+        "id as k", "cast(id as double) as v",
+        "case when id % 2 = 0 then 'x' else 'y' end as c",
+    )
+    base.write.parquet(a)
+    base.selectExpr("k + 1000 as k", "v * 2 as v", "c").write.parquet(b)
+    rep = cli_out(
+        ["drift", "--a", a, "--b", b,
+         "--key-col", "k", "--num-col", "v", "--cat-col", "c"]
+    )
+    assert rep["key_jaccard"] == 0.0       # disjoint key spaces
+    assert rep["tv_distance"] < 1e-9       # same categorical mix
+    assert rep["ks_distance"] > 0.2        # value distribution shifted
+    assert abs(rep["distinct_a"] - 200) < 1e-9

@@ -356,6 +356,25 @@ def cmd_spans(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_drift(args: argparse.Namespace) -> dict:
+    """Sketch-based drift report between two parquet snapshots
+    (sketches/drift.py): one pass per side, all comparisons at the
+    state level — distinct/Jaccard (theta), KS distance (KLL),
+    total-variation (Misra-Gries)."""
+    from .sketches.drift import drift_report
+
+    spark = _get_spark("drift")
+    a = spark.read.parquet(args.a)
+    b = spark.read.parquet(args.b)
+    rep = drift_report(
+        a, b, key_col=args.key_col, num_col=args.num_col,
+        cat_col=args.cat_col,
+    )
+    return {"command": "drift", "a": args.a, "b": args.b, **{
+        k: round(v, 6) for k, v in rep.items()
+    }}
+
+
 def cmd_merge(args: argparse.Namespace) -> dict:
     """MERGE INTO a keyed snapshot (sources/upsert.py): ``init`` writes
     the bucket-partitioned snapshot; ``apply`` folds a delta parquet
@@ -550,6 +569,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--min-count", type=int, default=2)
     sp.add_argument("--carry", choices=["gram", "hash"], default="gram")
     sp.set_defaults(fn=cmd_spans)
+
+    dr = sub.add_parser(
+        "drift", help="sketch-based drift report between two snapshots"
+    )
+    dr.add_argument("--a", required=True, help="reference parquet")
+    dr.add_argument("--b", required=True, help="candidate parquet")
+    dr.add_argument("--key-col", required=True)
+    dr.add_argument("--num-col", required=True)
+    dr.add_argument("--cat-col", required=True)
+    dr.set_defaults(fn=cmd_drift)
 
     args = p.parse_args(argv)
     out = args.fn(args)
