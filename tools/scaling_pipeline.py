@@ -1,19 +1,26 @@
 #!/usr/bin/env python
 """Two-parallelism scaling evidence for the TRAINING-DATA operators.
 
-Companion to ``tools/scaling_bench.py`` (which covers the filter
-construction+probe headline): the same N vs 4N discipline applied to
-the curation-side pipeline — span dedup, MinHash near-dup, corpus-LM
-scoring, and the end-to-end curation pipeline — each timed on the SAME
-input at CPU-pinned ``local[N]`` and ``local[4N]`` in fresh JVMs.
+Companion to ``tools/scaling_bench.py`` (construction+probe headline):
+the same N vs 4N discipline — fresh CPU-pinned JVM per level, identical
+input — applied to the curation-side operators.
 
-    efficiency = (throughput_4N / throughput_N) / 4
-               = wall_N / (4 * wall_4N)
+The sf0.1 documents table is only ~5k rows; at that size the contract
+queries finish in seconds and the wall measures scheduling overhead,
+not data processing (a first cut measured "efficiency 0.23-0.49" that
+was purely fixed cost). So the harness first materializes a REPLICATED
+corpus — each replica's doc_ids shifted and its text tagged with a
+replica token, so per-replica structure (dup-injected near-copies,
+vocabulary) is preserved while nothing collides across replicas and
+outputs grow linearly — sized so the slow level runs minutes of real
+work, then times each operator once per level.
+
+    efficiency = wall_N / (4 * wall_4N)
 
 Usage::
 
-    python tools/scaling_pipeline.py          # N=2 vs 8, sf0.1
-    python tools/scaling_pipeline.py --child 8 op1 op2   # (internal)
+    python tools/scaling_pipeline.py          # N=2 vs 8
+    SPARK_GRAFT_SCALE_REPLICAS=32 python tools/scaling_pipeline.py
 
 Appends a '## Measured scaling — training-data operators' section to
 BASELINE.md and prints one JSON line.
@@ -23,51 +30,107 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PIN = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0"
-ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "32"))
 
-OPS = [
-    "dup_span_report",
-    "minhash_near_dup_pairs",
-    "lm_coverage_documents",
-    "curate_corpus_documents",
-]
+OPS = ["dup_span_report", "normalized_dedup", "lm_coverage", "curate"]
 
 
-def child(cpus: int, ops: list[str]) -> None:
+def _replicated_corpus(spark, replicas: int):
+    """documents x replicas with the dup-injection pattern preserved
+    per replica (truncated near-copies), replica-tagged text."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    parts = []
+    for i in range(replicas):
+        tag = F.lit(f" rep{i}")
+        base = docs.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.concat("text", tag).alias("text"),
+        )
+        dups = docs.filter("doc_id % 7 = 0").select(
+            (F.col("doc_id") + i * 10_000_000 + 1_000_000).alias("doc_id"),
+            F.concat(
+                F.expr(
+                    "substr(text, 1, cast(floor(length(text) * 0.9) as int))"
+                ),
+                tag,
+            ).alias("text"),
+        )
+        parts.append(base.unionAll(dups))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def child(cpus: int, corpus_path: str) -> None:
     sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
     from bench import make_spark
-    import xorfilter_net_spark.entrypoints as ep
 
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM + python worker pool once, outside any timed window
-    ep.QUERIES["text_features"](spark, SF_DIR).count()
+    corpus = spark.read.parquet(corpus_path)
+    corpus.count()  # warm: JVM, scan, python workers
+
+    from xorfilter_net_spark.dedup.spans import duplicated_spans
+    from xorfilter_net_spark.pipeline.curate import curate_corpus
+    from xorfilter_net_spark.text.ngram_lm import lm_coverage_signals
+    from xorfilter_net_spark.text.normalize import normalized_dedup
+
+    eval_df = corpus.filter("doc_id % 37 = 0").select("text")
+    jobs = {
+        "dup_span_report": lambda: duplicated_spans(corpus, k=10),
+        "normalized_dedup": lambda: normalized_dedup(corpus),
+        "lm_coverage": lambda: lm_coverage_signals(corpus, min_count=2),
+        "curate": lambda: curate_corpus(corpus, eval_df),
+    }
+
+    def force(df) -> int:
+        # hash-sum over EVERY output column: a bare count() lets the
+        # optimizer eliminate 1:1 joins / prune computed columns and
+        # times a plan that never produced the values
+        h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+        row = df.select(h.alias("h")).agg(
+            F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("s")
+        ).collect()[0]
+        return int(row["n"])
+
     walls: dict[str, float] = {}
-    for op in ops:
-        best = float("inf")
-        for _ in range(ROUNDS):
-            t0 = time.time()
-            ep.QUERIES[op](spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
-        walls[op] = best
-    print("CHILD_RESULT " + json.dumps(walls))
+    rows: dict[str, int] = {}
+    for op in OPS:
+        t0 = time.time()
+        rows[op] = force(jobs[op]())
+        walls[op] = time.time() - t0
+    print("CHILD_RESULT " + json.dumps({"walls": walls, "rows": rows}))
     spark.stop()
 
 
-def run_at(cpus: int) -> dict[str, float]:
+def run_at(cpus: int, corpus_path: str) -> dict:
     pin = ["taskset", "-c", f"0-{cpus - 1}"] if PIN else []
     out = subprocess.run(
         pin
-        + [sys.executable, os.path.abspath(__file__), "--child", str(cpus)]
-        + OPS,
+        + [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--child",
+            str(cpus),
+            corpus_path,
+        ],
         capture_output=True,
         text=True,
         cwd=REPO,
@@ -84,33 +147,72 @@ def run_at(cpus: int) -> dict[str, float]:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]), sys.argv[3:])
+        child(int(sys.argv[2]), sys.argv[3])
         return
-    lo = run_at(N)
-    hi = run_at(4 * N)
+
+    tmp = tempfile.mkdtemp(prefix="xfns_scale_corpus_")
+    corpus_path = os.path.join(tmp, "corpus")
+    gen = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import sys; sys.path.insert(0, %r)\n"
+                "from bench import make_spark\n"
+                "import tools.scaling_pipeline as sp\n"
+                "spark = make_spark(8)\n"
+                "spark.sparkContext.setLogLevel('ERROR')\n"
+                "sp._replicated_corpus(spark, %d).write.mode('overwrite')"
+                ".parquet(%r)\n"
+                "print('GEN_OK', spark.read.parquet(%r).count())\n"
+            )
+            % (REPO, REPLICAS, corpus_path, corpus_path),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    if "GEN_OK" not in gen.stdout:
+        raise RuntimeError(gen.stdout[-1000:] + gen.stderr[-2000:])
+    n_rows = int(gen.stdout.split("GEN_OK")[1].split()[0])
+
+    try:
+        lo = run_at(N, corpus_path)
+        hi = run_at(4 * N, corpus_path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert lo["rows"] == hi["rows"], (lo["rows"], hi["rows"])
     rows = []
     for op in OPS:
-        eff = lo[op] / (4.0 * hi[op])
+        eff = lo["walls"][op] / (4.0 * hi["walls"][op])
         rows.append(
             {
                 "op": op,
-                f"wall_{N}": round(lo[op], 2),
-                f"wall_{4 * N}": round(hi[op], 2),
+                f"wall_{N}": round(lo["walls"][op], 1),
+                f"wall_{4 * N}": round(hi["walls"][op], 1),
                 "efficiency": round(eff, 3),
             }
         )
-    result = {"n": N, "four_n": 4 * N, "sf_dir": SF_DIR, "ops": rows}
+    result = {
+        "n": N,
+        "four_n": 4 * N,
+        "replicas": REPLICAS,
+        "corpus_rows": n_rows,
+        "ops": rows,
+    }
     print(json.dumps(result))
 
     lines = [
         "",
         "## Measured scaling — training-data operators",
         "",
-        f"Same discipline as the construction/probe table (fresh CPU-pinned "
-        f"JVM per level, same sf0.1 input, best of {ROUNDS} rounds; "
-        f"`python tools/scaling_pipeline.py`): wall seconds at "
-        f"local[{N}] (N) vs local[{4 * N}] (4N) and efficiency "
-        f"= wall_N / (4 x wall_4N).",
+        f"Fresh CPU-pinned JVM per level, identical input: the sf0.1 "
+        f"documents table replicated x{REPLICAS} with per-replica tags "
+        f"({n_rows:,} docs — sized so the local[{N}] level runs minutes "
+        f"of real work; the un-replicated 5k-row table finishes in "
+        f"seconds and measures scheduling, not scaling). "
+        f"`python tools/scaling_pipeline.py`; efficiency = "
+        f"wall_N / (4 x wall_4N); outputs row-identical across levels.",
         "",
         f"| Operator | local[{N}] s | local[{4 * N}] s | efficiency |",
         "|---|---|---|---|",
