@@ -4978,6 +4978,50 @@ def _postings_oracle() -> None:
 _postings_oracle()
 
 
+_UNIGRAM_CACHE: dict = {}
+
+
+def _unigram_model(spark: SparkSession, sf_dir: str) -> dict:
+    """Deterministic (corpus, hyperparams) -> model; memoized so the two
+    contract queries train once per session."""
+    if sf_dir not in _UNIGRAM_CACHE:
+        from .text.unigram_lm import train_unigram
+
+        docs = load_table(spark, sf_dir, "documents")
+        _UNIGRAM_CACHE[sf_dir] = train_unigram(
+            docs, vocab_size=48, max_piece_len=5, max_seed=180,
+            em_iters=2, prune_frac=0.3,
+        )
+    return _UNIGRAM_CACHE[sf_dir]
+
+
+@query("unigram_pieces_documents", None)
+def q_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (text/unigram_lm.py, Kudo ACL'18):
+    EM over the word table with forward-backward lattice E-steps,
+    pruned to 48 pieces. Iterative -> rows-only gate; the value-exact
+    check is the single-machine replay differential in
+    tests/test_unigram_lm.py."""
+    logp = _unigram_model(spark, sf_dir)
+    return spark.createDataFrame(
+        sorted((p, lp) for p, lp in logp.items()),
+        "piece string, log_prob double",
+    )
+
+
+@query("unigram_encode_stats", None)
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi encoding with the trained unigram vocabulary — map-only
+    Arrow kernel; per-doc piece counts. Rows-only gate (iterative
+    upstream); segmentation exactness pinned in tests."""
+    from .text.unigram_lm import encode_unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    logp = _unigram_model(spark, sf_dir)
+    enc = encode_unigram(docs.select("doc_id", "text"), logp, max_piece_len=5)
+    return enc.select("doc_id", F.size("pieces").alias("n_pieces"))
+
+
 @query("bpe_merges_documents", None)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (text/bpe.py, Sennrich ACL'16):
