@@ -188,3 +188,65 @@ def test_commit_lineage_column(spark, tmp_path):
     # keys in other buckets still carry commit 0
     assert set(rows.values()) == {0, 1}
     assert sum(1 for v in rows.values() if v == 0) > 0
+
+
+def test_change_data_feed_basic(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_docs(spark), path, "k", n_buckets=8)
+    delta = (
+        _docs(spark)
+        .filter("k in (3, 5)")
+        .withColumn("text", F.when(F.col("k") == 3, "upd3").otherwise("x"))
+        .withColumn("__del", F.col("k") == 5)
+        .unionByName(
+            spark.createDataFrame([(100, "new", 0, False)],
+                                  "k long, text string, grp long, __del boolean")
+        )
+    )
+    merge_into(spark, path, delta, deleted_col="__del")
+
+    from xorfilter_net_spark.sources.timetravel import table_changes
+
+    ch = {r.k: r for r in table_changes(spark, path, 0, 1).collect()}
+    assert set(ch) == {3, 5, 100}
+    assert ch[3].change_type == "update" and ch[3].text == "upd3"
+    assert ch[5].change_type == "delete" and ch[5].text == "txt5"
+    assert ch[100].change_type == "insert" and ch[100].text == "new"
+
+
+def test_change_data_feed_across_merges_and_evolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_docs(spark), path, "k", n_buckets=8)
+    merge_into(
+        spark, path,
+        _docs(spark).filter("k = 2").withColumn("text", F.lit("u2")),
+    )
+    merge_into(
+        spark, path,
+        _docs(spark).filter("k = 2").withColumn("text", F.lit("u2b"))
+        .withColumn("score", F.lit(9).cast("long")),
+    )
+    from xorfilter_net_spark.sources.timetravel import table_changes
+
+    # composed diff v0 -> v2 sees only the final state of k=2
+    ch = {r.k: r for r in table_changes(spark, path, 0, 2).collect()}
+    assert set(ch) == {2}
+    assert ch[2].change_type == "update"
+    assert ch[2].text == "u2b" and ch[2].score == 9
+    # v1 -> v2: the text change AND the evolved column
+    ch12 = {r.k: r for r in table_changes(spark, path, 1, 2).collect()}
+    assert ch12[2].text == "u2b"
+    # same version -> empty
+    assert table_changes(spark, path, 1, 1).count() == 0
+
+
+def test_change_data_feed_skips_same_owner_buckets(spark, tmp_path):
+    """Only buckets whose owner changed are scanned: rows sharing a
+    bucket with a change but themselves unchanged never appear, and a
+    noop merge produces an empty feed."""
+    path = str(tmp_path / "t")
+    create_table(_docs(spark), path, "k", n_buckets=4)
+    merge_into(spark, path, _docs(spark).filter("k < 0"))  # noop -> v1
+    from xorfilter_net_spark.sources.timetravel import table_changes
+
+    assert table_changes(spark, path, 0, 1).count() == 0

@@ -4859,6 +4859,68 @@ def q_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_changes_v0_v2",
+    "with v0 as (select doc_id, source, n_chars from documents), "
+    "ins0 as (select doc_id + 1000000 as doc_id, 'ins' as source, n_chars "
+    "from documents where doc_id % 13 = 0), "
+    "v1 as (select doc_id, source, "
+    "case when doc_id % 10 = 0 then n_chars + 1000 else n_chars end "
+    "as n_chars from v0 union all select * from ins0), "
+    "v2 as (select doc_id, source, "
+    "case when doc_id % 7 = 0 then n_chars + 7 else n_chars end as n_chars "
+    "from v1 where doc_id % 20 != 0) "
+    "select coalesce(a.doc_id, b.doc_id) as doc_id, "
+    "coalesce(b.n_chars, a.n_chars) as n_chars, "
+    "coalesce(b.source, a.source) as source, "
+    "case when a.doc_id is null then 'insert' "
+    "when b.doc_id is null then 'delete' else 'update' end as change_type "
+    "from v0 a full outer join v2 b on a.doc_id = b.doc_id "
+    "where a.doc_id is null or b.doc_id is null "
+    "or a.n_chars != b.n_chars or a.source != b.source",
+)
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed on the versioned table
+    (sources/timetravel.py::table_changes): row-level diff v0 -> v2
+    reading ONLY buckets whose owning commit changed (partition-pruned
+    on both sides — same-owner buckets are byte-identical and never
+    touched). Exact full-outer relational-diff oracle."""
+    import tempfile
+
+    from .sources.timetravel import create_table, merge_into, table_changes
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="xfns_cdf_") + "/table"
+    create_table(docs, path, "doc_id", n_buckets=16)
+    d1 = (
+        docs.filter("doc_id % 10 = 0")
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .unionByName(
+            docs.filter("doc_id % 13 = 0").select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.lit("ins").alias("source"),
+                "n_chars",
+            )
+        )
+    )
+    merge_into(spark, path, d1)
+    from .sources.timetravel import read_table
+
+    v1 = read_table(spark, path, version=1)
+    d2 = (
+        v1.filter("doc_id % 7 = 0 and doc_id % 20 != 0")
+        .withColumn("n_chars", F.col("n_chars") + 7)
+        .withColumn("__del", F.lit(False))
+        .unionByName(
+            v1.filter("doc_id % 20 = 0").withColumn("__del", F.lit(True))
+        )
+    )
+    merge_into(spark, path, d2, deleted_col="__del")
+    return table_changes(spark, path, 0, 2)
+
+
+@query(
     "timetravel_version_states",
     "with v0 as (select doc_id, source, n_chars from documents), "
     "ins as (select doc_id + 1000000 as doc_id, 'ins' as source, n_chars "

@@ -251,6 +251,93 @@ def merge_into(
     }
 
 
+def table_changes(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Change data feed: row-level diff between two versions.
+
+    Returns every key whose row changed, with ``change_type`` in
+    {'insert', 'update', 'delete'} and the row's columns AS OF ``v_to``
+    for inserts/updates (AS OF ``v_from`` for deletes).
+
+    The scale property: manifests are compared first and only buckets
+    whose OWNING COMMIT differs are read (partition-pruned on both
+    sides) — a bucket with the same owner is byte-identical by
+    construction and never touched, so CDF cost is O(changed buckets),
+    not O(table). The Delta/Iceberg change-data-feed contract recovered
+    from plain manifests."""
+    ma = read_manifest(path, v_from)
+    mb = read_manifest(path, v_to)
+    key_col = ma["key_col"]
+    changed = [
+        b for b in ma["owners"] if ma["owners"][b] != mb["owners"][b]
+    ]
+
+    def _side(m: dict) -> DataFrame | None:
+        by_commit: dict[int, list[int]] = {}
+        for b in changed:
+            by_commit.setdefault(m["owners"][b], []).append(b)
+        out = None
+        for c, buckets in sorted(by_commit.items()):
+            scan = spark.read.parquet(_vdir(path, c)).filter(
+                F.col(BUCKET_COL).isin(buckets)
+            )
+            out = scan if out is None else out.unionByName(
+                scan, allowMissingColumns=True
+            )
+        return out
+
+    a, b = _side(ma), _side(mb)
+    if a is None or b is None:
+        empty = read_table(spark, path, v_to).limit(0)
+        return empty.withColumn("change_type", F.lit(""))
+
+    cols = sorted(
+        (set(a.columns) | set(b.columns)) - {BUCKET_COL}
+    )
+
+    def _aligned(df: DataFrame, tag: str) -> DataFrame:
+        have = set(df.columns)
+        proj = [
+            (F.col(c) if c in have else F.lit(None)).alias(f"{tag}_{c}")
+            for c in cols
+            if c != key_col
+        ]
+        return df.select(F.col(key_col), *proj)
+
+    j = _aligned(a, "a").join(
+        _aligned(b, "b"), key_col, "full_outer"
+    )
+    # presence detection must not depend on nullable payloads: join
+    # membership flags instead of testing payload columns for NULL
+    a_keys = a.select(F.col(key_col), F.lit(True).alias("__in_a")).distinct()
+    b_keys = b.select(F.col(key_col), F.lit(True).alias("__in_b")).distinct()
+    j = j.join(a_keys, key_col, "left").join(b_keys, key_col, "left")
+    same = F.lit(True)
+    for c in cols:
+        if c == key_col:
+            continue
+        same = same & (F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}")))
+    change = (
+        F.when(F.col("__in_a").isNull(), F.lit("insert"))
+        .when(F.col("__in_b").isNull(), F.lit("delete"))
+        .when(same, F.lit(None))
+        .otherwise(F.lit("update"))
+    )
+    out_cols = [
+        F.when(F.col("__in_b").isNotNull(), F.col(f"b_{c}"))
+        .otherwise(F.col(f"a_{c}"))
+        .alias(c)
+        for c in cols
+        if c != key_col
+    ]
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(key_col, *out_cols, "change_type")
+    )
+
+
 def list_versions(path: str) -> list[int]:
     vdir = os.path.join(path, "_versions")
     return sorted(
