@@ -396,3 +396,24 @@ def test_cli_drift(spark, tmp_path, cli_out):
     assert rep["tv_distance"] < 1e-9       # same categorical mix
     assert rep["ks_distance"] > 0.2        # value distribution shifted
     assert abs(rep["distinct_a"] - 200) < 1e-9
+
+
+def test_cli_table_changes(spark, sf_tiny, tmp_path, cli_out):
+    docs = f"{sf_tiny}/documents.parquet"
+    table = str(tmp_path / "vt")
+    cli_out(["table", "create", "--path", table, "--input", docs,
+             "--key-col", "doc_id", "--buckets", "8"])
+    delta = str(tmp_path / "delta")
+    cols = spark.read.parquet(docs).columns
+    spark.read.parquet(docs).filter("doc_id % 11 = 0").selectExpr(
+        *[c if c != "n_chars" else "n_chars + 5 as n_chars" for c in cols]
+    ).write.parquet(delta)
+    cli_out(["table", "merge", "--path", table, "--input", delta])
+    out = cli_out(
+        ["table", "changes", "--path", table, "--from-version", "0",
+         "--output", str(tmp_path / "cdf")]
+    )
+    n_upd = spark.read.parquet(docs).filter("doc_id % 11 = 0").count()
+    assert out["changes"] == {"update": n_upd}
+    cdf = spark.read.parquet(str(tmp_path / "cdf"))
+    assert cdf.filter("change_type = 'update'").count() == n_upd

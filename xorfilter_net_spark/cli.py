@@ -322,6 +322,18 @@ def cmd_table(args: argparse.Namespace) -> dict:
         )
     elif args.action == "compact":
         out["version"] = tt.compact(spark, args.path)
+    elif args.action == "changes":
+        df = tt.table_changes(
+            spark, args.path, args.from_version, args.version
+            if args.version is not None
+            else tt.current_version(args.path),
+        )
+        df.write.mode("overwrite").parquet(args.output)
+        counts = {
+            r["change_type"]: r["count"]
+            for r in df.groupBy("change_type").count().collect()
+        }
+        out["changes"] = counts
     else:  # expire
         out.update(tt.expire_versions(args.path, keep_latest=args.keep_latest))
     out["versions"] = tt.list_versions(args.path)
@@ -545,8 +557,10 @@ def main(argv: list[str] | None = None) -> int:
         "table", help="versioned keyed table (snapshots + time travel)"
     )
     t.add_argument(
-        "action", choices=["create", "merge", "read", "compact", "expire"]
+        "action",
+        choices=["create", "merge", "read", "compact", "expire", "changes"],
     )
+    t.add_argument("--from-version", type=int, default=0)
     t.add_argument("--path", required=True)
     t.add_argument("--input", help="parquet input (create/merge)")
     t.add_argument("--key-col", default="doc_id")
