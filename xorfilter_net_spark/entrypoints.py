@@ -4389,6 +4389,33 @@ def q_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicated_spans(corpus, "doc_id", "text", k=10)
 
 
+@query("span_index_incremental", None)
+def q_span_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ExactSubstr (dedup/span_index.py): the duplicated-gram
+    index built from HALF the corpus then incrementally updated with
+    the other half (each update O(delta + touched buckets), bucket dirs
+    partition-pruned), probed over the full corpus. The oracle is the
+    BATCH operator's exact DuckDB replay — incremental maintenance must
+    be indistinguishable from recomputation."""
+    import tempfile
+
+    from .dedup.span_index import (
+        create_gram_index,
+        spans_against_index,
+        update_gram_index,
+    )
+
+    corpus = _doc_dup_corpus(spark, sf_dir).persist()
+    path = tempfile.mkdtemp(prefix="xfns_gidx_") + "/idx"
+    create_gram_index(
+        corpus.filter("doc_id % 2 = 0"), path, k=10, n_buckets=32
+    )
+    update_gram_index(spark, path, corpus.filter("doc_id % 2 = 1"))
+    out = spans_against_index(corpus, spark, path, min_count=2)
+    corpus.unpersist()
+    return out
+
+
 def _span_oracles() -> None:
     from .dedup.spans import duplicated_spans_sql, strip_spans_sql
 
@@ -4396,6 +4423,9 @@ def _span_oracles() -> None:
         _DOC_DUP_SELECT, "doc_id", "text", k=10
     )
     ORACLES["dup_span_strip"] = strip_spans_sql(
+        _DOC_DUP_SELECT, "doc_id", "text", k=10
+    )
+    ORACLES["span_index_incremental"] = duplicated_spans_sql(
         _DOC_DUP_SELECT, "doc_id", "text", k=10
     )
 
