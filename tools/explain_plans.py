@@ -451,6 +451,24 @@ def main() -> None:
         )
     )
 
+    from xorfilter_net_spark.sources.timetravel import table_changes
+
+    tt_base2 = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    tt_merge(
+        spark, tt_path, tt_base2.filter("k % 60 = 1").withColumn("v", F.lit(1))
+    )
+    sections.append(
+        (
+            "Change data feed (sources/timetravel.py::table_changes)",
+            "The v0->v2 diff reads ONLY owner-changed buckets: every scan "
+            "in the plan carries a bucket PartitionFilter; same-owner "
+            "buckets (byte-identical by construction) appear in no scan.",
+            captured_explain(table_changes(spark, tt_path, 0, 2)),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",
@@ -539,6 +557,11 @@ def main() -> None:
     tt_plan = sections[27][2]
     assert "PartitionFilters: [bucket" in tt_plan
     assert tt_plan.count("Scan parquet  (") == 2  # parent + new commit
+    cdf_plan = sections[28][2]
+    # every data scan in the diff is bucket-pruned
+    n_scans = cdf_plan.count("Scan parquet  (")
+    assert n_scans >= 2
+    assert cdf_plan.count("PartitionFilters: [bucket") == n_scans
     print(
         "topk/multi-distinct/z-order/q18/grouping-sets/hof/merge/"
         "q6/q8/q19/redact/not-in/cooccur/fuse-sql/contamination/"
