@@ -95,3 +95,54 @@ def test_probe_new_docs_against_existing_corpus(spark, tmp_path):
     rows = spans.collect()
     assert len(rows) == 1
     assert (rows[0].span_start, rows[0].span_end) == (1, 7)
+
+
+def test_streaming_updates_with_replay_skip(spark, tmp_path):
+    import time as _time
+
+    from xorfilter_net_spark.dedup.span_index import (
+        stream_update_gram_index,
+        update_gram_index,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    path = str(tmp_path / "gidx")
+    create_gram_index(
+        _docs(spark, [(1, shared + " a0")]), path, k=K, n_buckets=8
+    )
+
+    s0 = _docs(spark, [(2, "b0 " + shared)])
+    s1 = _docs(spark, [(3, " ".join(f"c{i}" for i in range(7)))])
+    t0 = _time.time() - 3600
+    for i, s in enumerate((s0, s1)):
+        p = str(tmp_path / f"in/s{i}")
+        s.repartition(1).write.mode("overwrite").parquet(p)
+        import os as _os
+
+        for root, _, files in _os.walk(p):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (t0 + 10 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in/s*"))
+    )
+    q = stream_update_gram_index(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    union = _docs(
+        spark,
+        [(1, shared + " a0"), (2, "b0 " + shared),
+         (3, " ".join(f"c{i}" for i in range(7)))],
+    )
+    got = _spans_set(spans_against_index(union, spark, path, min_count=2))
+    want = _spans_set(duplicated_spans(union, k=K, min_count=2))
+    assert got == want
+
+    # direct replay of an applied batch id is a no-op
+    before = got
+    info = update_gram_index(spark, path, s0, batch_id=0)
+    assert info == {"skipped_replay": True, "batch_id": 0}
+    after = _spans_set(spans_against_index(union, spark, path, min_count=2))
+    assert after == before

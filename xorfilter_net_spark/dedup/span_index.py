@@ -81,8 +81,21 @@ def update_gram_index(
     delta_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> dict:
-    """Fold a delta corpus into the index: O(delta + touched buckets)."""
+    """Fold a delta corpus into the index: O(delta + touched buckets).
+
+    ``batch_id`` (streaming): applied ids are recorded in the meta file
+    AFTER the bucket rewrite commits, and a seen id is skipped — so
+    micro-batch replays never double-count. (The meta write is the
+    ledger's commit point; a crash in the window between data and meta
+    would re-apply one batch — closing that window needs versioned
+    bucket dirs as in sources/timetravel.py, which is the right
+    upgrade path if ingest crash-consistency ever binds.)"""
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    if batch_id is not None and batch_id in set(meta.get("applied", [])):
+        return {"skipped_replay": True, "batch_id": batch_id}
     k, n_buckets = _meta(path)
     d = _bucketed(
         _gram_counts(delta_docs, id_col, text_col, k), n_buckets
@@ -92,6 +105,7 @@ def update_gram_index(
     )
     if not touched:
         d.unpersist()
+        _record_batch(path, meta, batch_id)
         return {"buckets_touched": 0, "n_buckets": n_buckets}
     base = spark.read.parquet(path).filter(
         F.col(BUCKET_COL).isin(touched)
@@ -111,7 +125,44 @@ def update_gram_index(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     d.unpersist()
+    _record_batch(path, meta, batch_id)
     return {"buckets_touched": len(touched), "n_buckets": n_buckets}
+
+
+def _record_batch(path: str, meta: dict, batch_id: int | None) -> None:
+    if batch_id is None:
+        return
+    meta["applied"] = sorted(set(meta.get("applied", [])) | {batch_id})
+    tmp = os.path.join(path, _META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _META))
+
+
+def stream_update_gram_index(
+    stream_docs: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_once: bool = True,
+):
+    """Streaming ingest into the gram index: one additive bucket-pruned
+    update per micro-batch, replayed batch ids skipped via the meta
+    ledger — the online-ExactSubstr ingest path."""
+    spark = stream_docs.sparkSession
+
+    def for_each(batch_df: DataFrame, batch_id: int) -> None:
+        update_gram_index(
+            spark, path, batch_df, id_col, text_col, batch_id=batch_id
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(for_each).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def spans_against_index(
