@@ -4751,6 +4751,152 @@ def q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_conversation_profile",
+    f"with {TRANSCRIPTS_CTE} "
+    "select conv_id, count(*) as n_turns, "
+    "sum(case when role = 'user' then 1 else 0 end)::bigint as n_user, "
+    "sum(case when role = 'assistant' then 1 else 0 end)::bigint as n_assistant, "
+    "sum(case when tool is not null then 1 else 0 end)::bigint as n_tool_calls, "
+    "count(distinct tool) as n_distinct_tools, "
+    "sum(length(text))::bigint as total_chars, "
+    "(max(ts_epoch) - min(ts_epoch))::bigint as duration_s, "
+    "max(case when role = 'assistant' then length(text) end) as max_assistant_chars "
+    "from transcripts group by conv_id",
+)
+def q_conversation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-transcript analytics: per-conversation profile — turn/role
+    mix, tool-call volume, distinct tools, text volume, wall-clock span.
+    ONE hash-aggregate shuffle on conv_id (state O(1) per group — every
+    stat is an associative counter, so the map-side partial aggregate
+    does the heavy lifting and only per-conversation rows cross the
+    wire). The conversational analog of the reference's per-set stats
+    surface; exact oracle."""
+    t = load_transcripts(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("n_tool_calls"),
+        F.countDistinct("tool").alias("n_distinct_tools"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        (F.max("ts_epoch") - F.min("ts_epoch")).cast("long").alias("duration_s"),
+        F.max(
+            F.when(F.col("role") == "assistant", F.length("text"))
+        ).alias("max_assistant_chars"),
+    )
+
+
+@query(
+    "q_turn_context_windows",
+    f"with {TRANSCRIPTS_CTE}, lines as ("
+    "  select conv_id, turn_idx, role, text,"
+    "         role || ': ' || text as line from transcripts) "
+    "select conv_id, turn_idx, context, text as target from ("
+    "  select conv_id, turn_idx, role, text,"
+    "         string_agg(line, chr(10)) over ("
+    "           partition by conv_id order by turn_idx"
+    "           rows between 3 preceding and 1 preceding) as context"
+    "  from lines) t where role = 'assistant'",
+)
+def q_turn_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turns -> supervised training pairs: for every assistant turn, the
+    previous <=3 turns become the prompt context ('role: text' lines in
+    turn order) and the assistant text the target. ONE window shuffle on
+    conv_id with a bounded ROWS frame (state = 3 rows per group, O(1)
+    memory regardless of conversation length — the scalable alternative
+    to collecting whole conversations); the role filter cannot be pushed
+    below the window (the frame must see user/tool turns) and Catalyst
+    correctly keeps it above. Exact oracle (DuckDB windowed string_agg
+    over the identical frame)."""
+    from pyspark.sql.window import Window
+
+    t = load_transcripts(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-3, -1)
+    )
+    line = F.concat_ws(": ", "role", "text")
+    ctx_arr = F.collect_list(line).over(w)
+    return (
+        t.select("conv_id", "turn_idx", "role", "text", line.alias("line"))
+        .withColumn(
+            "context",
+            F.when(F.size(ctx_arr) > 0, F.array_join(ctx_arr, "\n")),
+        )
+        .filter(F.col("role") == "assistant")
+        .select("conv_id", "turn_idx", "context", F.col("text").alias("target"))
+    )
+
+
+# conversation-level dedup: the corpus has no naturally duplicated
+# conversations (distinct doc_id => distinct conv), so the gate injects
+# re-serialized copies of every 13th conversation under a 'dup-' conv_id
+# (repo precedent: redact/repetition inject their signal deterministically
+# so the oracle is non-vacuous). Both engines replay the same injection.
+_CONV_DUP_INJECT = (
+    "conv_all as ("
+    "  select conv_id, turn_idx, text from transcripts "
+    "  union all "
+    "  select 'dup-' || conv_id as conv_id, turn_idx, text "
+    "  from transcripts where cast(substr(conv_id, 6) as bigint) % 13 = 0)"
+)
+
+
+@query(
+    "conversation_dedup_survivors",
+    f"with {TRANSCRIPTS_CTE}, {_CONV_DUP_INJECT}, digests as ("
+    "  select conv_id,"
+    "         md5(string_agg(coalesce(text, ''), chr(31) order by turn_idx))"
+    "           as digest"
+    "  from conv_all group by conv_id) "
+    "select digest, count(*) as n_convs, min(conv_id) as survivor_conv_id "
+    "from digests group by digest",
+)
+def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup: a conversation's identity is the
+    md5 of its turn texts in (turn_idx) order — two conversations are
+    duplicates iff every turn matches in sequence. Shuffle 1 groups turns
+    by conv_id with conversation-length-bounded state; shuffle 2 groups
+    the per-conversation digest rows (corpus-of-conversations sized, tiny
+    vs the turn table). Survivor = min conv_id, matching dedup/exact.py's
+    deterministic-survivor convention. Exact oracle over an injected
+    duplicate set (every 13th conversation re-serialized)."""
+    t = load_transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    dup = t.filter(
+        F.substring("conv_id", 6, 99).cast("long") % 13 == 0
+    ).select(
+        F.concat(F.lit("dup-"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx",
+        "text",
+    )
+    digests = (
+        t.unionByName(dup)
+        .groupBy("conv_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "turn_idx",
+                                    F.coalesce("text", F.lit("")).alias("t"),
+                                )
+                            )
+                        ),
+                        lambda s: s["t"],
+                    ),
+                    "\x1f",
+                )
+            ).alias("digest")
+        )
+    )
+    return digests.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.min("conv_id").alias("survivor_conv_id"),
+    )
+
+
+@query(
     "streaming_drift_monitor_ok",
     "select true as batch_stream_parity_ok, true as exactly_once_ok",
 )
