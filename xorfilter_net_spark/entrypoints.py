@@ -5170,6 +5170,89 @@ def q_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- DSIR importance resampling (text/dsir.py) ------------------------
+# The corpus's token distribution is lang-uniform (shared vocabulary), so
+# the gate plants a deterministic target flavor: every 7th doc in the raw
+# pool carries a 5-token suffix, and the target sample is a DISJOINT doc
+# set (doc_id % 7 = 1) carrying the same suffix. DSIR trained on
+# (target, pool) must surface the planted pool docs. Both engines replay
+# the identical injection (repo precedent: redact/repetition/dedup gates).
+_DSIR_SFX = " curated encyclopedia reference citation verified" * 2
+_DSIR_POOL = (
+    "select doc_id, text || case when doc_id % 7 = 0 then "
+    f"'{_DSIR_SFX}' else '' end as text from documents"
+)
+_DSIR_TARGET = (
+    f"select doc_id, text || '{_DSIR_SFX}' as text "
+    "from documents where doc_id % 7 in (1, 2)"
+)
+
+
+def _dsir_bucket_oracle() -> str:
+    from .text.dsir import gram_bucket_sql
+
+    pool = (
+        f"with both_pools as (select 'raw' as dist, text from ({_DSIR_POOL}) "
+        f"union all select 'target' as dist, text from ({_DSIR_TARGET})), "
+        + gram_bucket_sql("select dist, text from both_pools")
+        + " select dist, bucket, count(*)::bigint as c "
+        "from __grams group by dist, bucket"
+    )
+    return pool
+
+
+@query("dsir_bucket_counts", None)
+def q_dsir_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR feature extraction (text/dsir.py): hashed unigram+bigram
+    bucket counts for the raw pool and the target sample — the two
+    distribution estimates the importance weights come from. Map-only
+    gram stream, one hash aggregate, output bounded by 4096 buckets per
+    distribution regardless of corpus size. Exact oracle."""
+    from .text.dsir import gram_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    pool = spark.sql(_DSIR_POOL).selectExpr("'raw' as dist", "text")
+    tgt = spark.sql(_DSIR_TARGET).selectExpr("'target' as dist", "text")
+    return (
+        gram_buckets(pool.unionByName(tgt), "dist", "text")
+        .groupBy("dist", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+ORACLES["dsir_bucket_counts"] = _dsir_bucket_oracle()
+
+
+@query(
+    "dsir_selection_ok",
+    "select true as recall_ok, true as k_selected_ok",
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection gate: top-k importance-resampled docs (k = number
+    planted) must recover >= 90% of the planted target-flavored docs.
+    Scores are integer micro-units — exact, partitioning-independent
+    (the float log-ratio lives in the library; the NumPy differential in
+    tests/test_dsir.py pins it)."""
+    from .text.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    pool = spark.sql(_DSIR_POOL)
+    tgt = spark.sql(_DSIR_TARGET)
+    planted = {
+        r["doc_id"]
+        for r in docs.filter("doc_id % 7 = 0").select("doc_id").collect()
+    }
+    sel = dsir_select(pool, tgt, "doc_id", "text", k=len(planted))
+    got = {r["doc_id"] for r in sel.select("doc_id").collect()}
+    recall = len(got & planted) / len(planted)
+    return spark.createDataFrame(
+        [(bool(recall >= 0.9), bool(len(got) == len(planted)))],
+        "recall_ok boolean, k_selected_ok boolean",
+    )
+
+
 @query("lm_coverage_documents", None)
 def q_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-LM fluency signals (text/ngram_lm.py): per-doc
