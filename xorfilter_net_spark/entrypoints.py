@@ -4896,6 +4896,73 @@ def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curate_transcripts_oracle() -> str:
+    from .relational.sampling import sample_sql
+
+    split_pred = sample_sql("conv_id", 0.1)
+    return (
+        f"with {TRANSCRIPTS_CTE}, conv_all as ("
+        "  select conv_id, turn_idx, role, coalesce(text, '') as text"
+        "  from transcripts"
+        "  union all"
+        "  select 'dup-' || conv_id, turn_idx, role, coalesce(text, '')"
+        "  from transcripts where cast(substr(conv_id, 6) as bigint) % 13 = 0),"
+        "conv as ("
+        "  select conv_id,"
+        "    md5(string_agg(text, chr(31) order by turn_idx)) as digest,"
+        "    count(*) as n_turns,"
+        "    sum(case when role = 'assistant' then 1 else 0 end) as n_assistant,"
+        "    sum(length(text)) as total_chars"
+        "  from conv_all group by conv_id),"
+        "survivors as ("
+        "  select conv_id from ("
+        "    select conv_id, n_turns, n_assistant, total_chars,"
+        "      row_number() over (partition by digest order by conv_id) as rk"
+        "    from conv) t"
+        "  where rk = 1 and n_turns >= 3 and n_assistant >= 1"
+        "    and total_chars >= 40),"
+        "lines as ("
+        "  select a.conv_id, a.turn_idx, a.role, a.text,"
+        "    a.role || ': ' || a.text as line"
+        "  from conv_all a join survivors s using (conv_id)),"
+        "pairs as ("
+        "  select conv_id, turn_idx, context, text as target from ("
+        "    select conv_id, turn_idx, role, text,"
+        "      string_agg(line, chr(10)) over ("
+        "        partition by conv_id order by turn_idx"
+        "        rows between 3 preceding and 1 preceding) as context"
+        "    from lines) t where role = 'assistant') "
+        "select conv_id, turn_idx, context, target,"
+        f"  case when {split_pred} then 'val' else 'train' end as split "
+        "from pairs"
+    )
+
+
+@query("curate_transcript_pairs", None)
+def q_curate_transcript_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript curation capstone (pipeline/curate_transcripts.py):
+    conversation dedup (md5 of ordered turn texts, min-id survivor) ->
+    per-conversation quality gate (>=3 turns, >=1 assistant turn, >=40
+    chars, computed in the SAME aggregate as the digest) -> (context,
+    target) pair emission per assistant turn (bounded ROWS frame) ->
+    deterministic content-keyed train/val split on conv_id. One lazy
+    plan; every corpus-sized shuffle keys on conv_id. Exact end-to-end
+    oracle over injected duplicate conversations (every 13th conversation
+    re-serialized; the dedup stage must remove them)."""
+    from .pipeline.curate_transcripts import curate_transcript_pairs
+
+    t = load_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    dup = t.filter(
+        F.substring("conv_id", 6, 99).cast("long") % 13 == 0
+    ).withColumn("conv_id", F.concat(F.lit("dup-"), F.col("conv_id")))
+    return curate_transcript_pairs(t.unionByName(dup))
+
+
+ORACLES["curate_transcript_pairs"] = _curate_transcripts_oracle()
+
+
 @query(
     "streaming_drift_monitor_ok",
     "select true as batch_stream_parity_ok, true as exactly_once_ok",
