@@ -469,6 +469,38 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "Transcript curation capstone (curate_transcript_pairs)",
+            "Both corpus-sized exchanges hash-partition on conv_id (the "
+            "digest+profile aggregate and the pair window); the "
+            "survivor-digest window moves only conversation-count rows "
+            "and the survivors re-enter via BroadcastExchange. Zero "
+            "Python nodes; no range partitioning (no global sort).",
+            captured_explain(
+                ep.QUERIES["curate_transcript_pairs"](spark, SF_DIR)
+            ),
+        )
+    )
+
+    from xorfilter_net_spark.text.dsir import dsir_scores
+
+    docs_raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dsir_df = dsir_scores(
+        docs_raw, docs_raw.filter("doc_id % 7 = 1"), "doc_id", "text"
+    )
+    sections.append(
+        (
+            "DSIR importance scoring (text/dsir.py)",
+            "The gram stream is a codegen Generate over the scan; the "
+            "bucket log-ratio table (<=4096 rows) enters via "
+            "BroadcastExchange; the only corpus-derived exchange carries "
+            "(doc_id, partial_sum) rows after a map-side partial "
+            "aggregate — text and grams never shuffle. Zero Python.",
+            captured_explain(dsir_df),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",
@@ -562,10 +594,19 @@ def main() -> None:
     n_scans = cdf_plan.count("Scan parquet  (")
     assert n_scans >= 2
     assert cdf_plan.count("PartitionFilters: [bucket") == n_scans
+    ct_plan = sections[29][2]
+    assert "ArrowEvalPython" not in ct_plan and "BatchEvalPython" not in ct_plan
+    assert "rangepartitioning" not in ct_plan
+    assert ct_plan.count("hashpartitioning(conv_id") >= 2
+    dsir_plan = sections[30][2]
+    assert "ArrowEvalPython" not in dsir_plan and "BatchEvalPython" not in dsir_plan
+    assert "BroadcastHashJoin" in dsir_plan and "Generate" in dsir_plan
+    assert "SortMergeJoin" not in dsir_plan
     print(
         "topk/multi-distinct/z-order/q18/grouping-sets/hof/merge/"
         "q6/q8/q19/redact/not-in/cooccur/fuse-sql/contamination/"
-        "prefix-join/curate/spans/lm/postings/timetravel plans — OK"
+        "prefix-join/curate/spans/lm/postings/timetravel/"
+        "curate-transcripts/dsir plans — OK"
     )
     spark.stop()
 

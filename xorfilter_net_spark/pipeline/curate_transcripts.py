@@ -19,13 +19,14 @@ pairs —
    when the corpus grows, and context never straddles splits because
    the split key is the conversation.
 
-Scale notes: every shuffle in the plan keys on ``conv_id`` — the digest
-+profile aggregate, the survivors join-back, and the pair window — so a
-single exchange satisfies all three downstream (Catalyst reuses it);
-per-group state is bounded by conversation length (digest agg) or by
-the 3-row frame (window). The digest-group aggregate (stage 1b) is over
-conversation-count rows, tiny vs the turn table. Nothing is collected
-to the driver.
+Scale notes: both corpus-sized exchanges key on ``conv_id`` (the
+digest+profile aggregate and the pair window); the survivor-digest
+window shuffles only conversation-count rows (tiny vs the turn table)
+and the survivors list re-enters the turn table as a join on conv_id
+(broadcast at test scale; hash-co-partitioned with the window exchange
+at cluster scale). Per-group state is bounded by conversation length
+(digest agg) or by the 3-row frame (window); zero Python nodes, no
+range partitioning, nothing collected to the driver.
 """
 
 from __future__ import annotations
