@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from xorfilter_net_spark.text.bpe import (
     END,
     encode_with_merges,
+    encode_with_merges_distinct,
     train_bpe,
 )
 
@@ -100,6 +101,24 @@ def test_encode_matches_training_segmentation(spark):
             if w:
                 want += seg[w]
         assert enc[doc_id] == want
+
+
+def test_distinct_encode_matches_codegen(spark):
+    """encode_with_merges_distinct (pandas kernel over distinct words +
+    join-back) == encode_with_merges (nested codegen folds), row for row
+    — including NULL/empty texts and across partitionings."""
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string").repartition(3)
+    merges, vocab = train_bpe(df, num_merges=12)
+    vocab.unpersist()
+    a = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in encode_with_merges(df, merges).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in encode_with_merges_distinct(df, merges, "doc_id").collect()
+    }
+    assert a == b
 
 
 def test_early_stop_below_min_count(spark):

@@ -417,3 +417,52 @@ def test_cli_table_changes(spark, sf_tiny, tmp_path, cli_out):
     assert out["changes"] == {"update": n_upd}
     cdf = spark.read.parquet(str(tmp_path / "cdf"))
     assert cdf.filter("change_type = 'update'").count() == n_upd
+
+
+def test_cli_curate_pairs(spark, tmp_path, cli_out):
+    from tests.test_curate_transcripts import _turns
+
+    rows = (
+        _turns("c-a", ["hi there", "hello back friend", "ran tool ok",
+                       "thanks a lot"])
+        + _turns("c-b", ["hi there", "hello back friend", "ran tool ok",
+                         "thanks a lot"])
+        + _turns("c-f", ["please check the table", "checking the table now",
+                         "tool scan done fine", "the table looks healthy",
+                         "great thanks so much"])
+    )
+    src = str(tmp_path / "turns")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    ).write.parquet(src)
+
+    out = cli_out(
+        ["curate-pairs", "--input", src, "--output", str(tmp_path / "pairs")]
+    )
+    assert out["turns_in"] == 13
+    assert out["conversations_out"] == 2  # c-b deduped away
+    assert out["pairs_out"] == 3  # 1 assistant turn in c-a, 2 in c-f
+    got = spark.read.parquet(str(tmp_path / "pairs"))
+    assert set(got.columns) == {"conv_id", "turn_idx", "context", "target", "split"}
+
+
+def test_cli_dsir(spark, tmp_path, cli_out):
+    from tests.test_dsir import RAW, TARGET
+
+    src, tgt = str(tmp_path / "raw"), str(tmp_path / "tgt")
+    spark.createDataFrame(RAW, "doc_id long, text string").write.parquet(src)
+    spark.createDataFrame(TARGET, "doc_id long, text string").write.parquet(tgt)
+
+    sel = cli_out(
+        ["dsir", "--input", src, "--target-input", tgt,
+         "--output", str(tmp_path / "sel"), "--k", "2"]
+    )
+    assert sel["mode"] == "select" and sel["rows_out"] == 2
+    top = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "sel")).collect()}
+    assert top == {2, 6}  # the target-vocabulary docs
+
+    sc = cli_out(
+        ["dsir", "--input", src, "--target-input", tgt,
+         "--output", str(tmp_path / "scores")]
+    )
+    assert sc["mode"] == "scores" and sc["rows_out"] == len(RAW)

@@ -42,7 +42,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PIN = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0"
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "32"))
 
-OPS = ["dup_span_report", "normalized_dedup", "lm_coverage", "curate"]
+OPS = os.environ.get(
+    "SPARK_GRAFT_SCALE_OPS",
+    "dup_span_report,normalized_dedup,lm_coverage,curate",
+).split(",")
 
 
 def _replicated_corpus(spark, replicas: int):
@@ -92,12 +95,45 @@ def child(cpus: int, corpus_path: str) -> None:
     from xorfilter_net_spark.text.ngram_lm import lm_coverage_signals
     from xorfilter_net_spark.text.normalize import normalized_dedup
 
+    from xorfilter_net_spark.pipeline.curate_transcripts import (
+        curate_transcript_pairs,
+    )
+    from xorfilter_net_spark.text.dsir import dsir_scores
+
+    def _turns():
+        # same derivation as sources/transcripts.py but over the
+        # replicated corpus (no lpad: replica-shifted doc_ids exceed 8
+        # digits and lpad TRUNCATES, which would collide conv_ids)
+        return corpus.select(
+            F.concat(F.lit("conv-"), F.col("doc_id").cast("string")).alias(
+                "conv_id"
+            ),
+            "text",
+            F.explode(F.expr("sequence(0, cast(doc_id % 8 as int))")).alias(
+                "turn_idx"
+            ),
+        ).select(
+            "conv_id",
+            "turn_idx",
+            F.expr(
+                "case cast(turn_idx % 3 as int) when 0 then 'user' "
+                "when 1 then 'assistant' else 'tool' end"
+            ).alias("role"),
+            F.expr("substr(text, 1 + cast(turn_idx as int) * 37, 96)").alias(
+                "text"
+            ),
+        )
+
     eval_df = corpus.filter("doc_id % 37 = 0").select("text")
     jobs = {
         "dup_span_report": lambda: duplicated_spans(corpus, k=10),
         "normalized_dedup": lambda: normalized_dedup(corpus),
         "lm_coverage": lambda: lm_coverage_signals(corpus, min_count=2),
         "curate": lambda: curate_corpus(corpus, eval_df),
+        "curate_transcripts": lambda: curate_transcript_pairs(_turns()),
+        "dsir_scores": lambda: dsir_scores(
+            corpus, corpus.filter("doc_id % 31 = 1"), "doc_id", "text"
+        ),
     }
 
     def force(df) -> int:
@@ -204,7 +240,7 @@ def main() -> None:
 
     lines = [
         "",
-        "## Measured scaling — training-data operators",
+        f"## Measured scaling — training-data operators ({', '.join(OPS)})",
         "",
         f"Fresh CPU-pinned JVM per level, identical input: the sf0.1 "
         f"documents table replicated x{REPLICAS} with per-replica tags "

@@ -263,6 +263,66 @@ def cmd_curate(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_curate_pairs(args: argparse.Namespace) -> dict:
+    """Transcript curation capstone (pipeline/curate_transcripts.py):
+    conversation dedup -> quality gate -> (context, target) pair
+    emission -> deterministic split; writes the pair table."""
+    from .pipeline.curate_transcripts import curate_transcript_pairs
+
+    spark = _get_spark("curate-pairs")
+    turns = spark.read.parquet(args.input)
+    n_turns = turns.count()
+    pairs = curate_transcript_pairs(
+        turns,
+        min_turns=args.min_turns,
+        min_total_chars=args.min_total_chars,
+        context_turns=args.context_turns,
+        val_fraction=args.val_fraction,
+    )
+    pairs.write.mode("overwrite").parquet(args.output)
+    from pyspark.sql import functions as F
+
+    out = spark.read.parquet(args.output)
+    splits = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "command": "curate-pairs",
+        "turns_in": n_turns,
+        "pairs_out": sum(splits.values()),
+        "conversations_out": out.select("conv_id").distinct().count(),
+        "splits": splits,
+        "output": args.output,
+    }
+
+
+def cmd_dsir(args: argparse.Namespace) -> dict:
+    """DSIR data selection (text/dsir.py): score the raw corpus against
+    a target sample by hashed n-gram log likelihood ratio; writes either
+    the full score table or the selected top-k rows."""
+    from .text.dsir import dsir_scores, dsir_select
+
+    spark = _get_spark("dsir")
+    raw = spark.read.parquet(args.input)
+    target = spark.read.parquet(args.target_input)
+    if args.k:
+        out = dsir_select(
+            raw, target, args.id_col, args.text_col, k=args.k
+        )
+    else:
+        out = dsir_scores(raw, target, args.id_col, args.text_col)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    return {
+        "command": "dsir",
+        "rows_in": raw.count(),
+        "rows_out": n,
+        "mode": "select" if args.k else "scores",
+        "output": args.output,
+    }
+
+
 def cmd_gen_transcripts(args: argparse.Namespace) -> dict:
     """Materialize a deterministic synthetic transcript corpus (custom
     Python Data Source, sources/synthetic.py) as a partitioned parquet
@@ -519,6 +579,30 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--max-dup-line-frac-e6", type=int, default=None)
     cu.add_argument("--max-top-bigram-frac-e6", type=int, default=None)
     cu.set_defaults(fn=cmd_curate)
+
+    cpairs = sub.add_parser(
+        "curate-pairs",
+        help="transcript curation (conv dedup -> gate -> SFT pairs -> split)",
+    )
+    cpairs.add_argument("--input", required=True, help="turns parquet")
+    cpairs.add_argument("--output", required=True)
+    cpairs.add_argument("--min-turns", type=int, default=3)
+    cpairs.add_argument("--min-total-chars", type=int, default=40)
+    cpairs.add_argument("--context-turns", type=int, default=3)
+    cpairs.add_argument("--val-fraction", type=float, default=0.1)
+    cpairs.set_defaults(fn=cmd_curate_pairs)
+
+    ds = sub.add_parser(
+        "dsir",
+        help="DSIR data selection (hashed n-gram log likelihood ratio)",
+    )
+    ds.add_argument("--input", required=True, help="raw corpus parquet")
+    ds.add_argument("--target-input", required=True, help="target sample parquet")
+    ds.add_argument("--output", required=True)
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--k", type=int, default=None, help="select top-k (else write scores)")
+    ds.set_defaults(fn=cmd_dsir)
 
     m = sub.add_parser(
         "merge", help="MERGE INTO a keyed snapshot (bucket-pruned rewrite)"

@@ -5410,6 +5410,22 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("doc_id", F.size("pieces").alias("n_pieces"))
 
 
+_BPE_CACHE: dict = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Deterministic (corpus, hyperparams) -> merge table; memoized so
+    the three BPE contract queries train once per session."""
+    if sf_dir not in _BPE_CACHE:
+        from .text.bpe import train_bpe
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges, vocab = train_bpe(docs, num_merges=10)
+        vocab.unpersist()
+        _BPE_CACHE[sf_dir] = merges
+    return _BPE_CACHE[sf_dir]
+
+
 @query("bpe_merges_documents", None)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (text/bpe.py, Sennrich ACL'16):
@@ -5417,12 +5433,9 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word counts), then vocab-sized iterations with codegen fold merges.
     Inherently iterative -> rows-only driver gate; the value-exact check
     is the pure-Python textbook differential in tests/test_bpe.py."""
-    from .text.bpe import merges_df, train_bpe
+    from .text.bpe import merges_df
 
-    docs = load_table(spark, sf_dir, "documents")
-    merges, vocab = train_bpe(docs, num_merges=10)
-    vocab.unpersist()
-    return merges_df(spark, merges)
+    return merges_df(spark, _bpe_merges(spark, sf_dir))
 
 
 @query("bpe_encode_token_stats", None)
@@ -5431,13 +5444,37 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nested aggregate folds inside a transform over the word array):
     per-doc BPE token counts. Iterative upstream -> rows-only gate;
     segmentation exactness is pinned by tests/test_bpe.py."""
-    from .text.bpe import encode_with_merges, train_bpe
+    from .text.bpe import encode_with_merges
 
     docs = load_table(spark, sf_dir, "documents")
-    merges, vocab = train_bpe(docs, num_merges=10)
-    vocab.unpersist()
-    return encode_with_merges(docs, merges).select(
+    return encode_with_merges(docs, _bpe_merges(spark, sf_dir)).select(
         "doc_id", F.size("bpe_tokens").alias("n_bpe_tokens")
+    )
+
+
+@query("bpe_encode_distinct_parity", "select true as paths_identical")
+def q_bpe_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale BPE encode (encode_with_merges_distinct:
+    pandas merge kernel over DISTINCT words + word-keyed join-back +
+    in-order regroup — plan depth O(1) in merge-table size) must equal
+    the codegen fold path document for document, token for token."""
+    from .text.bpe import encode_with_merges, encode_with_merges_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_merges(spark, sf_dir)
+    a = encode_with_merges(docs, merges).select(
+        "doc_id", F.col("bpe_tokens").alias("a_toks")
+    )
+    b = encode_with_merges_distinct(docs, merges, "doc_id").select(
+        "doc_id", F.col("bpe_tokens").alias("b_toks")
+    )
+    bad = (
+        a.join(b, "doc_id", "full")
+        .filter("a_toks is distinct from b_toks")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(bool(bad == 0),)], "paths_identical boolean"
     )
 
 
