@@ -4827,6 +4827,71 @@ def q_turn_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_transcript_pairs",
+    f"with {TRANSCRIPTS_CTE}, lines as ("
+    "  select conv_id, turn_idx, role, text,"
+    "         role || ': ' || text as line from transcripts) "
+    "select conv_id, turn_idx, context, text as target from ("
+    "  select conv_id, turn_idx, role, text,"
+    "         string_agg(line, chr(10)) over ("
+    "           partition by conv_id order by turn_idx"
+    "           rows between 3 preceding and 1 preceding) as context"
+    "  from lines) t where role = 'assistant'",
+)
+def q_streaming_transcript_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SFT-pair emission (streaming/transcript_pairs.py)
+    through the REAL streaming engine: the turn table replays as 4
+    micro-batches; conversations assemble in the session-window state
+    store (state merges when a conversation's turns straddle batches)
+    and each closed conversation emits its assistant-turn (context,
+    target) pairs via a codegen array lambda. Stream == batch is the
+    contract: the oracle is the IDENTICAL windowed-string_agg definition
+    the batch q_turn_context_windows is checked against."""
+    import os
+    import tempfile
+
+    from .streaming.transcript_pairs import stream_transcript_pairs
+
+    t = load_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    )
+    root = tempfile.mkdtemp(prefix="xfns_stp_")
+    src = os.path.join(root, "turns")
+    t.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # no watermark: the 4 replay files are not event-time-ordered, and a
+    # watermark would drop their rows at ingestion; complete mode does
+    # not need one (append-mode watermark semantics are pytest-covered)
+    conv = stream_transcript_pairs(
+        stream, gap="10 minutes", watermark_delay=None, explode=False
+    )
+    qn = "streaming_transcript_pairs_sink"
+    q = (
+        conv.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qn)
+        .select("conv_id", F.explode("pairs").alias("p"))
+        .select(
+            "conv_id",
+            F.col("p.turn_idx").alias("turn_idx"),
+            F.col("p.context").alias("context"),
+            F.col("p.target").alias("target"),
+        )
+    )
+
+
 # conversation-level dedup: the corpus has no naturally duplicated
 # conversations (distinct doc_id => distinct conv), so the gate injects
 # re-serialized copies of every 13th conversation under a 'dup-' conv_id
