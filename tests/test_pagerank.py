@@ -1,0 +1,97 @@
+"""relational/pagerank.py: exact-integer differential vs a pure-Python
+replay, partitioning invariance, and mass accounting."""
+
+from __future__ import annotations
+
+import pytest
+
+from xorfilter_net_spark.relational.pagerank import MASS_E12, pagerank, tool_edges
+
+EDGES = [
+    ("a", "b", 2),
+    ("a", "c", 1),
+    ("b", "c", 3),
+    ("c", "a", 1),
+    ("c", "d", 1),
+    # d is dangling (no out-edges): its mass redistributes uniformly
+]
+
+
+def py_pagerank(edges, d_e6=850_000, iters=15):
+    out_w: dict = {}
+    nodes: set = set()
+    for s, t, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+        nodes |= {s, t}
+    n = len(nodes)
+    base = ((10**6 - d_e6) * MASS_E12 // 10**6) // n
+    rank = {v: MASS_E12 // n for v in nodes}
+    for _ in range(iters):
+        dang = sum(rank[v] for v in nodes if v not in out_w)
+        dshare = (d_e6 * dang // 10**6) // n
+        inc = {v: 0 for v in nodes}
+        for s, t, w in edges:
+            inc[t] += (d_e6 * (rank[s] * w // out_w[s])) // 10**6
+        rank = {v: base + dshare + inc[v] for v in nodes}
+    return rank
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string, w long")
+
+
+def test_matches_python_replay_exactly(spark, edges_df):
+    got = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(edges_df, iters=10).collect()
+    }
+    assert got == py_pagerank(EDGES, iters=10)
+
+
+def test_partitioning_invariant(spark, edges_df):
+    a = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(edges_df.repartition(1), iters=6).collect()
+    }
+    b = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(edges_df.repartition(5), iters=6).collect()
+    }
+    assert a == b
+
+
+def test_mass_conserved_within_floor_leak(spark, edges_df):
+    ranks = pagerank(edges_df, iters=10).collect()
+    total = sum(r["rank_e12"] for r in ranks)
+    # floors only ever LOSE mass, and at most a few units per edge/node
+    # per iteration
+    assert MASS_E12 - 10**7 <= total <= MASS_E12
+
+
+def test_sink_heavy_node_ranks_highest(spark, edges_df):
+    got = {
+        r["node"]: r["rank_e12"] for r in pagerank(edges_df, iters=15).collect()
+    }
+    # c receives from a (1/3) and b (all): most central
+    assert got["c"] == max(got.values())
+
+
+def test_tool_edges_shape(spark):
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, None),
+            ("c1", 1, "tool_a"),
+            ("c1", 2, "tool_b"),
+            ("c2", 0, "tool_a"),
+            ("c2", 1, "tool_b"),
+        ],
+        "conv_id string, turn_idx int, tool string",
+    )
+    got = {
+        (r["src"], r["dst"]): r["w"] for r in tool_edges(turns).collect()
+    }
+    assert got == {
+        ("none", "tool_a"): 1,
+        ("tool_a", "tool_b"): 2,
+    }

@@ -4596,6 +4596,19 @@ def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pagerank_tools", None)
+def q_pagerank_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the agent tool-transition graph (relational/
+    pagerank.py): which tools are central in tool-call flows. Exact
+    int64 micro-unit arithmetic — ranks are partitioning-invariant and
+    bit-identical to the pure-Python replay (tests/test_pagerank.py).
+    Iterative -> rows-only driver gate, same convention as BPE/unigram."""
+    from .relational.pagerank import pagerank, tool_edges
+
+    t = load_transcripts(spark, sf_dir)
+    return pagerank(tool_edges(t), iters=10).select("node", "rank_e12")
+
+
 @query(
     "drift_report_ok",
     "select true as distinct_exact_ok, true as jaccard_exact_ok, "
