@@ -4596,6 +4596,42 @@ def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_centroid_sums_by_label",
+    "with x as (select label, generate_subscripts(embedding, 1) - 1 as pos,"
+    " unnest(embedding) as v from embeddings) "
+    "select label, pos, count(*)::bigint as n,"
+    " sum(cast(floor(cast(v as double) * 1000000) as bigint))::bigint as sum_e6 "
+    "from x group by label, pos",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid sums — the vector-aggregation
+    primitive under distributed k-means / class prototypes / SemDeDup
+    cells. posexplode streams (label, dim, component); the hash
+    aggregate's MAP-SIDE COMBINE means only |labels| x d partial rows
+    shuffle per task, never the vector corpus. Components quantized to
+    int64 micro-units (floor on the exact float32->float64 widening, an
+    identical IEEE op in both engines) so sums are exact — the division
+    to a mean is left to the consumer, keeping floor-vs-trunc ambiguity
+    out of the contract. Exact oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "label",
+            "pos",
+            F.expr(
+                "cast(floor(cast(x as double) * 1000000) as bigint)"
+            ).alias("q"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("sum_e6"),
+        )
+    )
+
+
 @query("pagerank_tools", None)
 def q_pagerank_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the agent tool-transition graph (relational/
