@@ -467,3 +467,61 @@ class TestQuantileBins:
             ra = np.searchsorted(arr, ca) / len(arr)
             rb = np.searchsorted(arr, cb) / len(arr)
             assert abs(ra - rb) <= 0.04, (ca, cb, ra, rb)
+
+
+class TestSkewAwareJoin:
+    def _data(self, spark):
+        big_rows = (
+            [("hot", i) for i in range(300)]
+            + [("a", i) for i in range(20)]
+            + [("b", i) for i in range(10)]
+            + [("orphan", 1), ("orphan", 2)]  # key absent from small
+            + [(None, 7), (None, 8)]  # NULL join keys
+        )
+        big = spark.createDataFrame(big_rows, "k string, v int").repartition(6)
+        small = spark.createDataFrame(
+            [("hot", 100), ("a", 200), ("b", 300), ("coldonly", 400)],
+            "k string, payload int",
+        )
+        return big, small
+
+    @staticmethod
+    def _norm(df):
+        rows = [tuple(r) for r in df.collect()]
+        return sorted(
+            rows,
+            key=lambda t: tuple(
+                (x is None, "" if x is None else str(x)) for x in t
+            ),
+        )
+
+    def test_row_identical_to_plain_join(self, spark):
+        from xorfilter_net_spark.relational.salted import skew_aware_join
+
+        big, small = self._data(spark)
+        for how in ("inner", "left"):
+            got = skew_aware_join(big, small, "k", phi_e6=200_000, how=how)
+            want = big.join(small, "k", how)
+            assert self._norm(got) == self._norm(want), how
+
+    def test_hot_key_detected_and_broadcast(self, spark):
+        from xorfilter_net_spark.relational.salted import skew_aware_join
+
+        big, small = self._data(spark)
+        plan = skew_aware_join(
+            big, small, "k", phi_e6=200_000
+        )._jdf.queryExecution().executedPlan().toString()
+        # the hot branch joins map-side; the cold branch remains
+        assert "BroadcastHashJoin" in plan
+
+    def test_no_hot_keys_falls_back_to_plain_join(self, spark):
+        from xorfilter_net_spark.relational.salted import skew_aware_join
+
+        big = spark.createDataFrame(
+            [(f"k{i}", i) for i in range(100)], "k string, v int"
+        )
+        small = spark.createDataFrame(
+            [(f"k{i}", i * 10) for i in range(100)], "k string, payload int"
+        )
+        got = skew_aware_join(big, small, "k", phi_e6=500_000)
+        assert self._norm(got) == self._norm(big.join(small, "k"))

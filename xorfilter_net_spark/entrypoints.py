@@ -3065,6 +3065,41 @@ def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_skew_aware_join",
+    "with fact as (select user_id, event_type from events"
+    "  union all"
+    "  select cast(1 as bigint) as user_id, event_type from events"
+    "  where event_id % 2 = 0), "
+    "dim as (select user_id, count(*) as user_n from events group by user_id) "
+    "select event_type, count(*) as n,"
+    " sum(user_n)::bigint as total_user_n "
+    "from fact join dim using (user_id) group by event_type",
+)
+def q_skew_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentiated skew join (relational/salted.py::skew_aware_join):
+    a planted hot key (~1/3 of all fact rows) is detected by one
+    Misra-Gries pass and routed through a broadcast of just its dim rows
+    — hot rows never shuffle — while cold keys take the plain
+    co-partitioned join. Row-identical to the plain join the oracle
+    runs (the salted variant spreads hot rows; this one removes them
+    from the shuffle entirely)."""
+    from .relational.salted import skew_aware_join
+
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select("user_id", "event_type").unionByName(
+        ev.filter("event_id % 2 = 0").selectExpr(
+            "cast(1 as bigint) as user_id", "event_type"
+        )
+    )
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_n"))
+    j = skew_aware_join(fact, dim, on="user_id", phi_e6=100_000)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_n").cast("long").alias("total_user_n"),
+    )
+
+
+@query(
     "q_interval_join_signup_clicks",
     "with su as (select user_id, event_id as signup_id, ts as start_ts, "
     " ts + interval 2 hour as end_ts from events where event_type = 'signup'), "
