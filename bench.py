@@ -132,6 +132,12 @@ BENCH_QUERIES = [
     "lm_coverage_documents",
     "inverted_index_postings",
     "q_tool_transition_matrix",
+    "q_conversation_profile",
+    "q_turn_context_windows",
+    "curate_transcript_pairs",
+    "dsir_bucket_counts",
+    "q_skew_aware_join",
+    "pagerank_tools",
 ]
 
 
