@@ -1,0 +1,60 @@
+"""Fast no-Spark guards on the driver-contract registry: every oracle
+names a registered query, and every oracle SQL string BINDS in DuckDB
+against the real table schemas (EXPLAIN — planning only). Catches
+column typos / dialect slips in seconds, long before the full
+tools/check_contract.py pass."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import __spark_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_tiny):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"create view {t} as select * from '{sf_tiny}/{t}.parquet'"
+        )
+    return con
+
+
+def test_every_oracle_names_a_query(registry):
+    queries, oracles = registry
+    assert set(oracles) <= set(queries)
+
+
+def test_rows_only_queries_are_the_documented_iterative_set(registry):
+    queries, oracles = registry
+    rows_only = set(queries) - set(oracles)
+    assert rows_only == {
+        "unigram_pieces_documents",
+        "unigram_encode_stats",
+        "bpe_merges_documents",
+        "bpe_encode_token_stats",
+        "pagerank_tools",
+    }
+
+
+def test_all_oracles_bind_in_duckdb(registry, duck):
+    _, oracles = registry
+    bad = {}
+    for name, sql in oracles.items():
+        try:
+            duck.sql("explain " + sql)
+        except Exception as exc:  # noqa: BLE001 — collect every failure
+            bad[name] = str(exc).splitlines()[0]
+    assert not bad, bad
