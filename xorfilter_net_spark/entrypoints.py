@@ -5627,6 +5627,56 @@ def q_bpe_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_triangle_copurchase",
+    """
+with items as (
+  select distinct l_orderkey as g, l_partkey as i from lineitem
+),
+e as (
+  select distinct a.i as a, b.i as b
+  from items a join items b using (g) where a.i < b.i
+),
+deg as (
+  select n as node, count(*) as deg
+  from (select a as n from e union all select b as n from e)
+  group by n
+),
+tri as (
+  select e1.a as x, e1.b as y, e2.b as z
+  from e e1
+  join e e2 on e1.a = e2.a and e1.b < e2.b
+  join e e3 on e3.a = e1.b and e3.b = e2.b
+),
+pn as (
+  select n as node, count(*) as tri
+  from (select x as n from tri union all
+        select y as n from tri union all
+        select z as n from tri)
+  group by n
+)
+select deg.node as node, deg.deg as deg,
+       (deg.deg * (deg.deg - 1)) // 2 as wedge_pairs,
+       coalesce(pn.tri, 0) as tri
+from deg left join pn using (node)
+""",
+)
+def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts over the part co-purchase graph
+    (relational/graph.py): parts are adjacent iff some order contains
+    both. Degree-ordered orientation bounds the wedge self-join at
+    O(m^1.5) under arbitrary degree skew ("curse of the last reducer");
+    the oracle counts node-ordered closed triples — orientation-free, so
+    it cross-checks the orientation machinery rather than replicating
+    it. All-integer output (tri, wedge_pairs = the local clustering
+    coefficient's exact numerator/denominator)."""
+    from .relational.graph import cooccurrence_edges, triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_counts(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'has this (conv_id, text-fingerprint) been seen?' over the
     sf0.001 transcripts — XOR16 build + vectorized probe, per-role counts."""
