@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "dsir_bucket_counts",
     "q_skew_aware_join",
     "pagerank_tools",
+    "q_triangle_copurchase",
+    "data_validation_report",
 ]
 
 

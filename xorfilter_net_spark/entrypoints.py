@@ -5677,6 +5677,94 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+@query(
+    "data_validation_report",
+    """
+select 'complete(event_type)' as check, count(*) as n_rows,
+       cast(sum(case when event_type is null then 1 else 0 end) as bigint)
+         as n_violations,
+       sum(case when event_type is null then 1 else 0 end) = 0 as passed
+from events
+union all
+select 'complete(user_id)', count(*),
+       cast(sum(case when user_id is null then 1 else 0 end) as bigint),
+       sum(case when user_id is null then 1 else 0 end) = 0
+from events
+union all
+select 'unique(event_id)', count(*),
+       cast(count(event_id) - count(distinct event_id) as bigint),
+       count(event_id) = count(distinct event_id)
+from events
+union all
+select 'unique(user_id)', count(*),
+       cast(count(user_id) - count(distinct user_id) as bigint),
+       count(user_id) = count(distinct user_id)
+from events
+union all
+select 'in_range(value)', count(*),
+       cast(sum(case when value is not null and (value < 0 or value > 250)
+                then 1 else 0 end) as bigint),
+       sum(case when value is not null and (value < 0 or value > 250)
+           then 1 else 0 end) = 0
+from events
+union all
+select 'matches(event_type)', count(*),
+       cast(sum(case when event_type is not null
+                      and not regexp_matches(event_type, '^[a-z]+$')
+                then 1 else 0 end) as bigint),
+       sum(case when event_type is not null
+                 and not regexp_matches(event_type, '^[a-z]+$')
+           then 1 else 0 end) = 0
+from events
+union all
+select 'refers_to(o_custkey)',
+       (select count(*) from orders),
+       (select cast(count(*) as bigint) from orders
+        where o_custkey is not null
+          and o_custkey not in (select c_custkey from customer
+                                 where c_custkey is not null)),
+       (select count(*) from orders
+        where o_custkey is not null
+          and o_custkey not in (select c_custkey from customer
+                                 where c_custkey is not null)) = 0
+""",
+)
+def q_data_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative validation (pipeline/validate.py): six
+    row-local/uniqueness constraints over events share ONE scan and ONE
+    hash aggregate (completeness, two uniqueness branches via Expand,
+    range, regex), plus a referential-integrity anti-join on orders ->
+    customer. All-integer report; unique(user_id) fails by design so the
+    violation path is non-vacuous."""
+    from .pipeline.validate import (
+        complete,
+        in_range,
+        matches,
+        refers_to,
+        unique,
+        validate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rep = validate(
+        ev,
+        [
+            complete("event_type"),
+            complete("user_id"),
+            unique("event_id"),
+            unique("user_id"),
+            in_range("value", 0, 250),
+            matches("event_type", "^[a-z]+$"),
+        ],
+    )
+    ref = validate(
+        orders, [refers_to("o_custkey", cust, "c_custkey")]
+    )
+    return rep.unionByName(ref)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'has this (conv_id, text-fingerprint) been seen?' over the
     sf0.001 transcripts — XOR16 build + vectorized probe, per-role counts."""
