@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "pagerank_tools",
     "q_triangle_copurchase",
     "data_validation_report",
+    "editdist_near_dup_pairs",
 ]
 
 

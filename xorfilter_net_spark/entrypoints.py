@@ -3623,6 +3623,62 @@ def q_prefix_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_join(corpus, "doc_id", "text", tau=0.5)
 
 
+# 48-char fold keys + injected typo variants ('~'/'#' are outside the
+# corpus alphabet, so v1 sits at distance 1 and v2 at distance 2 from its
+# base and 1 from v1 — every distance in [0, 2] is exercised; exact-dup
+# 48-char prefixes land at 0). Same arithmetic in both engines.
+_EDITDIST_CTES = (
+    "base as (select doc_id as id, "
+    "rpad(lower(substr(text, 1, 48)), 48, ' ') as key from documents), "
+    "v1 as (select id + 1000000 as id, "
+    "concat(substr(key, 1, 10), '~', substr(key, 12, 37)) as key "
+    "from base where id % 25 = 0), "
+    "v2 as (select id + 2000000 as id, "
+    "concat(substr(key, 1, 10), '~', substr(key, 12, 18), '#', "
+    "substr(key, 31, 18)) as key from base where id % 50 = 0), "
+    "corpus as (select * from base union all select * from v1 "
+    "union all select * from v2)"
+)
+
+
+@query(
+    "editdist_near_dup_pairs",
+    f"with {_EDITDIST_CTES} "
+    "select a.id as id_a, b.id as id_b, "
+    "cast(levenshtein(a.key, b.key) as int) as dist "
+    "from corpus a join corpus b on a.id < b.id "
+    "where levenshtein(a.key, b.key) <= 2",
+)
+def q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance similarity self-join (dedup/editdist.py,
+    PassJoin pigeonhole segmenting): every pair within levenshtein
+    distance 2 over 48-char fold keys, JVM-verified, zero Python. The
+    oracle is the NAIVE all-pairs join, so the blocking's zero-false-
+    negative claim is value-checked, not assumed."""
+    from .dedup.editdist import editdist_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr("rpad(lower(substring(text, 1, 48)), 48, ' ')").alias("key"),
+    )
+    v1 = base.filter("id % 25 = 0").select(
+        (F.col("id") + 1000000).alias("id"),
+        F.expr(
+            "concat(substring(key, 1, 10), '~', substring(key, 12, 37))"
+        ).alias("key"),
+    )
+    v2 = base.filter("id % 50 = 0").select(
+        (F.col("id") + 2000000).alias("id"),
+        F.expr(
+            "concat(substring(key, 1, 10), '~', substring(key, 12, 18), "
+            "'#', substring(key, 31, 18))"
+        ).alias("key"),
+    )
+    corpus = base.unionByName(v1).unionByName(v2)
+    return editdist_join(corpus, "id", "key", max_dist=2)
+
+
 @query(
     "near_dup_clusters",
     # exact connected components over the exact pair set: min-label
