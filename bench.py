@@ -141,6 +141,10 @@ BENCH_QUERIES = [
     "q_triangle_copurchase",
     "data_validation_report",
     "editdist_near_dup_pairs",
+    "q_cohort_retention",
+    "q_funnel_view_click_purchase",
+    "q_scd2_user_event_type",
+    "q_bfs_copurchase",
 ]
 
 

@@ -5821,6 +5821,139 @@ def q_data_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.unionByName(ref)
 
 
+@query(
+    "q_cohort_retention",
+    """
+with act as (
+  select distinct user_id as u,
+         cast(floor(epoch_us(ts) / 604800000000) as bigint) as period
+  from events where user_id is not null and ts is not null
+),
+coh as (select u, min(period) as cohort_period from act group by u)
+select coh.cohort_period as cohort_period,
+       act.period - coh.cohort_period as period_offset,
+       count(*) as n_active
+from act join coh using (u)
+group by 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (relational/cohort.py): users
+    grouped by first-activity epoch-week, distinct-active counts at each
+    week offset. Integer period arithmetic (floor(epoch_us/week_us)) —
+    no calendar/timezone surface; one corpus-sized distinct shuffle,
+    everything after is user- then period-bounded."""
+    from .relational.cohort import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", period_seconds=604800)
+
+
+@query(
+    "q_funnel_view_click_purchase",
+    """
+with e as (
+  select user_id as u, event_type as typ, epoch_us(ts) as t
+  from events where user_id is not null and ts is not null
+),
+s1 as (select u, min(t) as t1 from e where typ = 'view' group by u),
+s2 as (select e.u as u, min(t) as t2 from e join s1 using (u)
+       where typ = 'click' and t > t1 group by e.u),
+s3 as (select e.u as u, min(t) as t3 from e join s2 using (u)
+       where typ = 'purchase' and t > t2 group by e.u)
+select 1 as step_idx, 'view' as step,
+       (select count(*) from s1) as n_users
+union all
+select 2, 'click', (select count(*) from s2)
+union all
+select 3, 'purchase', (select count(*) from s3)
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase conversion funnel (relational/
+    funnel.py): greedy-earliest strict-order semantics, cascaded
+    conditional-min aggregates all keyed on user_id (one partitioning,
+    per-step state = one timestamp per surviving user). Epoch-micros
+    integer comparisons end to end."""
+    from .relational.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+@query(
+    "q_scd2_user_event_type",
+    """
+with e as (
+  select user_id as key, event_type as attr, epoch_us(ts) as t,
+         event_id as tb
+  from events where user_id is not null and ts is not null
+),
+marked as (
+  select *, lag(attr) over w as prev, row_number() over w as rn
+  from e window w as (partition by key order by t, tb)
+),
+changed as (
+  select key, attr, t, tb from marked
+  where rn = 1 or attr is distinct from prev
+)
+select key, attr, t as valid_from_us,
+       lead(t) over w2 as valid_to_us,
+       lead(t) over w2 is null as is_current
+from changed window w2 as (partition by key order by t, tb)
+""",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build with change suppression (relational/
+    scd.py): each user's event-type change stream becomes versioned
+    validity intervals — consecutive equal values collapse, lead() closes
+    each version, NULL valid_to marks the current row. One shuffle, two
+    window passes on the same (key; t, tiebreak) ordering."""
+    from .relational.scd import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+
+
+@query(
+    "q_bfs_copurchase",
+    """
+with recursive items as (
+  select distinct l_orderkey as g, l_partkey as i from lineitem
+),
+e as (
+  select distinct a.i as a, b.i as b
+  from items a join items b using (g) where a.i < b.i
+),
+ed as (select a as src, b as dst from e
+       union all select b as src, a as dst from e),
+s as (select min(a) as v from e),
+walk(node, d) as (
+  select v, 0 from s
+  union
+  select ed.dst, w.d + 1 from walk w join ed on ed.src = w.node
+  where w.d < 6
+)
+select node, cast(min(d) as int) as dist from walk group by node
+""",
+)
+def q_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BFS hop distances over the part co-purchase graph from its
+    smallest node (relational/graph.py::bfs_distances): level-synchronous
+    relational frontier expansion, per-round shuffle bounded by the
+    frontier, visited set never leaves the cluster. Value-checked against
+    a DuckDB recursive-CTE walk capped at the same depth — an exact
+    oracle for an iterative operator (unlike the rows-only PageRank/BPE
+    gates)."""
+    from .relational.graph import bfs_distances, cooccurrence_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return bfs_distances(edges, max_depth=6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'has this (conv_id, text-fingerprint) been seen?' over the
     sf0.001 transcripts — XOR16 build + vectorized probe, per-role counts."""
