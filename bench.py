@@ -145,6 +145,9 @@ BENCH_QUERIES = [
     "q_funnel_view_click_purchase",
     "q_scd2_user_event_type",
     "q_bfs_copurchase",
+    "q_profile_events",
+    "q_assoc_rules_copurchase",
+    "q_kcore_copurchase",
 ]
 
 

@@ -5954,6 +5954,100 @@ def q_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, max_depth=6)
 
 
+def _profile_oracle_row(col: str, num: bool, s: bool) -> str:
+    mn = f"cast(min({col}) as double)" if num else "cast(null as double)"
+    mx = f"cast(max({col}) as double)" if num else "cast(null as double)"
+    smn = f"min({col})" if s else "cast(null as varchar)"
+    smx = f"max({col})" if s else "cast(null as varchar)"
+    return (
+        f"select '{col}' as col_name, count(*) as n_rows, "
+        f"count(*) - count({col}) as n_nulls, "
+        f"count(distinct {col}) as ndv, true as ndv_hll_ok, "
+        f"{mn} as min_num, {mx} as max_num, "
+        f"{smn} as min_str, {smx} as max_str from events"
+    )
+
+
+@query(
+    "q_profile_events",
+    " union all ".join(
+        _profile_oracle_row(c, num, s)
+        for c, num, s in [
+            ("event_id", True, False),
+            ("user_id", True, False),
+            ("event_type", False, True),
+            ("value", True, False),
+            ("props", False, True),
+        ]
+    ),
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-scan column profiler (pipeline/profile.py): all
+    five events columns' row/null counts, exact NDV (Expand branches of
+    ONE aggregate), HLL++ NDV gated in-query against the exact value,
+    and type-appropriate min/max (pure selection — no arithmetic, no ulp
+    surface). The non-deterministic-looking ndv_hll estimate column is
+    dropped; its 6-sigma gate stays."""
+    from .pipeline.profile import profile_columns
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_columns(
+        ev, ["event_id", "user_id", "event_type", "value", "props"]
+    ).drop("ndv_hll")
+
+
+@query(
+    "q_assoc_rules_copurchase",
+    """
+with items as (
+  select distinct l_orderkey as g, l_partkey as i from lineitem
+),
+supp as (select i, count(*) as supp from items group by i),
+nb as (select count(distinct g) as n from items),
+p as (
+  select a.i as item_a, b.i as item_b, count(*) as supp_ab
+  from items a join items b using (g) where a.i < b.i
+  group by 1, 2
+)
+select p.item_a, p.item_b, p.supp_ab,
+       sa.supp as supp_a, sb.supp as supp_b, nb.n as n_baskets
+from p
+join supp sa on sa.i = p.item_a
+join supp sb on sb.i = p.item_b
+cross join nb
+where p.supp_ab >= 2
+""",
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchase pairs with full association-rule counts
+    (relational/assoc.py): A-Priori downward-closure prune (baskets
+    semi-joined to frequent items BEFORE pairing), one basket-keyed
+    self-join, integer supports only — confidence/lift are consumer-side
+    ratios. The oracle runs the unpruned naive pairing, value-checking
+    that the prune loses nothing."""
+    from .relational.assoc import frequent_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+@query("q_kcore_copurchase", None)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal k-core of the part co-purchase graph (relational/
+    graph.py::kcore_subgraph) — iterative degree-<k peel to fixpoint,
+    the graph twin of the filter family's hypergraph peel. Iterative
+    deletion is non-monotone (no recursive-CTE oracle) -> rows-only
+    driver gate; exactness is the pure-Python peel differential in
+    tests/test_graph.py."""
+    from .relational.graph import cooccurrence_edges, kcore_subgraph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    # k=60 peels a handful of fringe parts at both sf0.001 and sf0.01
+    # (non-vacuous peel, non-empty core)
+    return kcore_subgraph(edges, k=60)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'has this (conv_id, text-fingerprint) been seen?' over the
     sf0.001 transcripts — XOR16 build + vectorized probe, per-role counts."""

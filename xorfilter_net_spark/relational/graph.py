@@ -42,7 +42,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_edges", "triangle_counts"]
+__all__ = [
+    "cooccurrence_edges",
+    "triangle_counts",
+    "bfs_distances",
+    "kcore_subgraph",
+]
 
 
 def cooccurrence_edges(
@@ -202,3 +207,62 @@ def bfs_distances(
         frontier = nxt.select("node")
     adj.unpersist()
     return dist
+
+
+def kcore_subgraph(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
+    """(node, core_deg) — the maximal k-core: the largest subgraph in
+    which every node keeps degree >= k; ``core_deg`` is the node's degree
+    WITHIN the core. Empty when no k-core exists.
+
+    Iterative peel, the graph twin of the XOR filter's hypergraph peel
+    (BaseXorFilter.cs:150-200 peels degree-1 hyperedges; this peels
+    degree-<k nodes): each round recomputes degrees (one edge-keyed
+    aggregate), semi-joins the surviving-node set against both endpoint
+    columns, and stops at the fixpoint. Rounds are bounded by the peel
+    depth (O(n) worst case on a path, O(log n)-ish on real skewed
+    graphs); each round's shuffles shrink with the surviving edge set,
+    and ``localCheckpoint`` truncates lineage so plan depth stays O(1)
+    per round. Only the per-round edge count crosses to the driver.
+
+    Iterative-deletion semantics are not monotone, so no recursive-CTE
+    oracle exists — exactness is pinned by the pure-Python peel
+    differential in tests/test_graph.py instead (same convention as
+    pagerank).
+
+    No reference counterpart (beyond-reference graph-analytics family).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select("a", "b")
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        ne = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        n_next = ne.count()
+        e = ne
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
