@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "q_profile_events",
     "q_assoc_rules_copurchase",
     "q_kcore_copurchase",
+    "skip_index_point_lookup",
+    "ivm_agg_view_documents",
 ]
 
 

@@ -46,6 +46,10 @@ def test_rows_only_queries_are_the_documented_iterative_set(registry):
         "bpe_merges_documents",
         "bpe_encode_token_stats",
         "pagerank_tools",
+        # iterative deletion is non-monotone: no recursive-CTE oracle;
+        # exactness = the Python peel differential in
+        # tests/test_profile_assoc_kcore.py
+        "q_kcore_copurchase",
     }
 
 

@@ -6031,6 +6031,103 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+@query(
+    "skip_index_point_lookup",
+    "select doc_id, source, n_chars from documents "
+    "where doc_id in (3, 17, 41, 123, 999999)",
+)
+def q_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-backed file-skipping index (sources/skipping.py): documents
+    re-laid-out as a range-partitioned multi-file dataset, a per-file
+    XOR8 filter built over doc_id in one pass, then a 5-key point lookup
+    that probes the index and reads ONLY surviving files. The zero-FN
+    invariant makes the pruned scan value-identical to the full scan —
+    which is exactly what the oracle checks (it scans everything).
+    999999 is absent at every sf, exercising the all-files-pruned path
+    for at least one probe."""
+    import tempfile
+
+    from .sources.skipping import build_skip_index, scan_with_skip_index
+
+    root = tempfile.mkdtemp(prefix="xfns_skipidx_")
+    data, idx = root + "/data", root + "/idx"
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartitionByRange(8, "doc_id").write.mode("overwrite").parquet(data)
+    build_skip_index(spark, data, "doc_id", idx, width=8)
+    keys = [3, 17, 41, 123, 999999]
+    return scan_with_skip_index(spark, data, idx, "doc_id", keys).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
+    "ivm_agg_view_documents",
+    # the oracle RECOMPUTES the aggregate over the final logical state —
+    # incremental maintenance must equal recomputation exactly
+    "with v0 as (select doc_id, source, n_chars from documents), "
+    "ins0 as (select doc_id + 1000000 as doc_id, 'ins' as source, n_chars "
+    "from documents where doc_id % 13 = 0), "
+    "v1 as (select doc_id, source, "
+    "case when doc_id % 10 = 0 then n_chars + 1000 else n_chars end "
+    "as n_chars from v0 union all select * from ins0), "
+    "v2 as (select doc_id, source, "
+    "case when doc_id % 7 = 0 then n_chars + 7 else n_chars end as n_chars "
+    "from v1 where doc_id % 20 != 0) "
+    "select source, count(*) as n, sum(n_chars)::bigint as sum_n_chars "
+    "from v2 group by source",
+)
+def q_ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (pipeline/ivm.py): a per-source
+    count/sum view materialized at v0 of the versioned table, then
+    maintained to v2 using ONLY the change data feed with pre/post row
+    images (table_changes(images='pre_post') — owner-changed buckets
+    only; the base table is never re-read). The oracle recomputes the
+    aggregate from the final state: maintenance == recomputation,
+    integer-exact."""
+    import tempfile
+
+    from .pipeline.ivm import agg_view, apply_changes
+    from .sources.timetravel import (
+        create_table,
+        merge_into,
+        read_table,
+        table_changes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="xfns_ivm_") + "/table"
+    create_table(docs, path, "doc_id", n_buckets=16)
+    d1 = (
+        docs.filter("doc_id % 10 = 0")
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .unionByName(
+            docs.filter("doc_id % 13 = 0").select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.lit("ins").alias("source"),
+                "n_chars",
+            )
+        )
+    )
+    merge_into(spark, path, d1)
+    v1 = read_table(spark, path, version=1)
+    d2 = (
+        v1.filter("doc_id % 7 = 0 and doc_id % 20 != 0")
+        .withColumn("n_chars", F.col("n_chars") + 7)
+        .withColumn("__del", F.lit(False))
+        .unionByName(
+            v1.filter("doc_id % 20 = 0").withColumn("__del", F.lit(True))
+        )
+    )
+    merge_into(spark, path, d2, deleted_col="__del")
+    view0 = agg_view(
+        read_table(spark, path, version=0), ["source"], ["n_chars"]
+    )
+    feed = table_changes(spark, path, 0, 2, images="pre_post")
+    return apply_changes(view0, feed, ["source"], ["n_chars"])
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/

@@ -1,0 +1,168 @@
+"""Filter-backed file-skipping index — per-data-file XOR filters over a
+point-lookup key column, probed BEFORE the scan to prune the file list
+(the RocksDB full-filter / Iceberg bloom_filter_enabled / Delta bloom
+index pattern, built from this library's own filter family instead of
+Bloom: ~30% smaller at the same FPR).
+
+Why this exists at 100 TB: parquet min/max zone maps prune range
+predicates but are useless for point lookups on high-cardinality,
+uniformly-distributed keys (every file's [min, max] spans the probe).
+A per-file membership filter answers "can file F contain key k" in
+O(1) with zero false negatives — a miss PROVES the file is skippable,
+so the pruned scan is value-identical to the full scan by construction
+(the XOR zero-FN invariant, DeterministicIntegrationTests.cs:74-89);
+false positives only cost a wasted file read, bounded by the width's
+published FPR (2^-8 per probe at width=8).
+
+Build: one pass over the dataset — JVM xxhash64 digests tagged with
+``input_file_name()`` (16 bytes/row + the file tag cross to Arrow, never
+the keys), one file-keyed shuffle, per-file dedup+peel in
+``applyInPandas``, executor-parallel parquet write of (file, meta,
+slots) rows. The index is itself a dataset: no driver bottleneck at any
+file count.
+
+Probe: the handful of lookup keys is digested by the SAME JVM xxhash64
+expressions (one tiny Spark job — engine-consistent digests by
+construction), then every index row probes its filter against them in
+``mapInPandas``; only matching file names (a file-count-bounded, usually
+tiny list) reach the driver to form the pruned ``spark.read``.
+
+Reference parity: this is the reference's whole-filter membership
+contract (BaseXorFilter.cs:21-81 build, IsMember probe) applied
+per-file as scan infrastructure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..filters.spark_build import jvm_digest_cols
+from ..filters.table import _shard_filter
+from ..filters.xor_core import build_from_digests
+
+__all__ = ["build_skip_index", "prune_files", "scan_with_skip_index"]
+
+_META_FILE = "skip_index.json"
+_FILES_DIR = "files"
+
+
+def build_skip_index(
+    spark: SparkSession,
+    data_path: str,
+    key_col: str,
+    index_path: str,
+    width: int = 8,
+    seed: int = 0,
+) -> dict:
+    """Build the per-file filter index for ``data_path`` (a parquet
+    dataset dir) over ``key_col``. Returns the index meta dict."""
+    df = spark.read.parquet(data_path)
+    d0, d1 = jvm_digest_cols(F.col(key_col).cast("string"))
+    tagged = df.select(
+        F.input_file_name().alias("file"),
+        d0.alias("d0"),
+        d1.alias("d1"),
+    )
+
+    def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        fname = pdf["file"].iloc[0]
+        d0 = pdf["d0"].to_numpy(dtype=np.int64).view(np.uint64)
+        d1 = pdf["d1"].to_numpy(dtype=np.int64).view(np.uint64)
+        # per-file deterministic seed (path-derived, stable per artifact)
+        fseed = seed ^ zlib.crc32(fname.encode())
+        f = build_from_digests(d0, d1, width=width, seed=fseed, mode="sqlhash")
+        meta = f.to_dict()
+        meta.pop("slots_hex")
+        return pd.DataFrame(
+            {
+                "file": [fname],
+                "meta": [json.dumps(meta)],
+                "slots": [f.slots.tobytes()],
+            }
+        )
+
+    (
+        tagged.groupBy("file")
+        .applyInPandas(build_one, "file string, meta string, slots binary")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_path, _FILES_DIR))
+    )
+    meta = {"key_col": key_col, "width": width, "seed": seed}
+    tmp = os.path.join(index_path, _META_FILE + ".tmp")
+    os.makedirs(index_path, exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, os.path.join(index_path, _META_FILE))
+    return meta
+
+
+def _probe_digests(spark: SparkSession, values: list) -> np.ndarray:
+    """(q, 2) int64 digests of the lookup values via the SAME JVM
+    xxhash64 lanes the build used."""
+    vdf = spark.createDataFrame([(str(v),) for v in values], "k string")
+    d0, d1 = jvm_digest_cols(F.col("k"))
+    rows = vdf.select(d0.alias("d0"), d1.alias("d1")).collect()
+    return np.array([[r["d0"], r["d1"]] for r in rows], dtype=np.int64)
+
+
+def prune_files(
+    spark: SparkSession, index_path: str, values: list
+) -> tuple[list[str], int]:
+    """(files that may contain ANY of ``values``, total file count).
+    Zero false negatives: a file absent from the list provably contains
+    none of the values."""
+    with open(os.path.join(index_path, _META_FILE)) as fh:
+        _ = json.load(fh)
+    if not values:
+        idx0 = spark.read.parquet(os.path.join(index_path, _FILES_DIR))
+        return [], idx0.count()
+    dig = _probe_digests(spark, values)
+    idx = spark.read.parquet(os.path.join(index_path, _FILES_DIR))
+    n_total = idx.count()
+
+    def probe(batches):
+        for pdf in batches:
+            hits = []
+            for fname, meta, slots in zip(
+                pdf["file"], pdf["meta"], pdf["slots"]
+            ):
+                f = _shard_filter(meta, slots)
+                d0 = np.ascontiguousarray(dig[:, 0]).view(np.uint64)
+                d1 = np.ascontiguousarray(dig[:, 1]).view(np.uint64)
+                if bool(f.contains_digests(d0, d1).any()):
+                    hits.append(fname)
+            yield pd.DataFrame({"file": hits})
+
+    kept = [
+        r["file"]
+        for r in idx.mapInPandas(probe, "file string").collect()
+    ]
+    return sorted(kept), n_total
+
+
+def scan_with_skip_index(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    key_col: str,
+    values: list,
+) -> DataFrame:
+    """Point-lookup scan: prune the file list through the index, then
+    read only surviving files with the equality predicate (still pushed
+    to parquet within them). Value-identical to the full scan."""
+    kept, _ = prune_files(spark, index_path, values)
+    if not kept:
+        return (
+            spark.read.parquet(data_path)
+            .filter(F.lit(False))
+        )
+    return spark.read.parquet(*kept).filter(
+        F.col(key_col).cast("string").isin([str(v) for v in values])
+    )

@@ -252,13 +252,21 @@ def merge_into(
 
 
 def table_changes(
-    spark: SparkSession, path: str, v_from: int, v_to: int
+    spark: SparkSession, path: str, v_from: int, v_to: int,
+    images: str = "post",
 ) -> DataFrame:
     """Change data feed: row-level diff between two versions.
 
     Returns every key whose row changed, with ``change_type`` in
     {'insert', 'update', 'delete'} and the row's columns AS OF ``v_to``
     for inserts/updates (AS OF ``v_from`` for deletes).
+
+    ``images='pre_post'`` switches to the Delta-CDF row-image contract:
+    updates emit TWO rows — ``update_preimage`` (AS OF ``v_from``) and
+    ``update_postimage`` (AS OF ``v_to``) — which is exactly what
+    downstream incremental view maintenance needs (a sum can only be
+    maintained if the OLD value is retractable; see pipeline/ivm.py).
+    Inserts/deletes are unchanged.
 
     The scale property: manifests are compared first and only buckets
     whose OWNING COMMIT differs are read (partition-pruned on both
@@ -324,18 +332,36 @@ def table_changes(
         .when(same, F.lit(None))
         .otherwise(F.lit("update"))
     )
-    out_cols = [
-        F.when(F.col("__in_b").isNotNull(), F.col(f"b_{c}"))
-        .otherwise(F.col(f"a_{c}"))
-        .alias(c)
-        for c in cols
-        if c != key_col
-    ]
-    return (
-        j.withColumn("change_type", change)
-        .filter(F.col("change_type").isNotNull())
-        .select(key_col, *out_cols, "change_type")
+    if images not in ("post", "pre_post"):
+        raise ValueError("images must be 'post' or 'pre_post'")
+    classified = j.withColumn("change_type", change).filter(
+        F.col("change_type").isNotNull()
     )
+    if images == "post":
+        out_cols = [
+            F.when(F.col("__in_b").isNotNull(), F.col(f"b_{c}"))
+            .otherwise(F.col(f"a_{c}"))
+            .alias(c)
+            for c in cols
+            if c != key_col
+        ]
+        return classified.select(key_col, *out_cols, "change_type")
+    pre = [F.col(f"a_{c}").alias(c) for c in cols if c != key_col]
+    post = [F.col(f"b_{c}").alias(c) for c in cols if c != key_col]
+    ins = classified.filter("change_type = 'insert'").select(
+        key_col, *post, F.lit("insert").alias("change_type")
+    )
+    dele = classified.filter("change_type = 'delete'").select(
+        key_col, *pre, F.lit("delete").alias("change_type")
+    )
+    upd = classified.filter("change_type = 'update'")
+    upd_pre = upd.select(
+        key_col, *pre, F.lit("update_preimage").alias("change_type")
+    )
+    upd_post = upd.select(
+        key_col, *post, F.lit("update_postimage").alias("change_type")
+    )
+    return ins.unionByName(dele).unionByName(upd_pre).unionByName(upd_post)
 
 
 def list_versions(path: str) -> list[int]:
