@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "q_kcore_copurchase",
     "skip_index_point_lookup",
     "ivm_agg_view_documents",
+    "q_temporal_join_events_scd2",
+    "data_validation_suggested",
 ]
 
 

@@ -6128,6 +6128,105 @@ def q_ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(view0, feed, ["source"], ["n_chars"])
 
 
+@query(
+    "q_temporal_join_events_scd2",
+    """
+with e as (
+  select event_id, user_id as key, event_type as attr, epoch_us(ts) as t,
+         event_id as tb
+  from events where user_id is not null and ts is not null
+),
+marked as (
+  select *, lag(attr) over w as prev, row_number() over w as rn
+  from e window w as (partition by key order by t, tb)
+),
+hist as (
+  select key, attr, t as valid_from_us,
+         lead(t) over w2 as valid_to_us
+  from (select key, attr, t, tb from marked
+        where rn = 1 or attr is distinct from prev)
+  window w2 as (partition by key order by t, tb)
+),
+fact as (
+  select event_id, user_id, epoch_us(ts + interval 1 day) as pt
+  from events
+  where event_id % 3 = 0 and user_id is not null and ts is not null
+)
+select f.event_id, f.user_id, h.attr, h.valid_from_us, h.valid_to_us
+from fact f join hist h
+  on h.key = f.user_id
+ and h.valid_from_us <= f.pt
+ and (h.valid_to_us is null or f.pt < h.valid_to_us)
+""",
+)
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 dimension
+    (relational/scd.py::temporal_join): what was each user's event-type
+    version one day after every third event — hash equi-join on the key
+    with the validity interval as residual, output cardinality == fact
+    cardinality. The standard fact-to-slowly-changing-dimension join."""
+    from .relational.scd import scd2_history, temporal_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(ev, "user_id", "event_type", "ts", "event_id").drop(
+        "is_current"
+    )
+    fact = ev.filter("event_id % 3 = 0").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") + F.expr("interval 1 day")).alias("pts"),
+    )
+    return temporal_join(fact, hist, "user_id", "pts").select(
+        "event_id", "user_id", "attr", "valid_from_us", "valid_to_us"
+    )
+
+
+@query(
+    "data_validation_suggested",
+    """
+with p as (
+  select count(*) as n, count(event_id) as nn,
+         count(distinct event_id) as ndv, true as isnum from events
+  union all
+  select count(*), count(user_id), count(distinct user_id), true
+  from events
+  union all
+  select count(*), count(event_type), count(distinct event_type), false
+  from events
+  union all
+  select count(*), count(value), count(distinct value), true from events
+  union all
+  select count(*), count(props), count(distinct props), false from events
+)
+select cast(sum(case when n = nn then 1 else 0 end)
+          + sum(case when ndv = nn and nn > 1 then 1 else 0 end)
+          + sum(case when isnum then 1 else 0 end) as bigint) as n_checks,
+       true as all_pass
+from p
+""",
+)
+def q_validation_suggested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion closing the profile -> validate loop
+    (pipeline/validate.py::suggest_checks, Deequ's suggestion stage):
+    profile the events columns, derive complete/unique/in_range checks
+    from the report, run them back through the one-scan validator. The
+    oracle re-derives the suggestion RULES relationally (so the check
+    count is value-checked) and the Deequ contract — every suggested
+    check passes on the data it was suggested from — is the all_pass
+    bit."""
+    from .pipeline.profile import profile_columns
+    from .pipeline.validate import suggest_checks, validate
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    checks = suggest_checks(profile_columns(ev, cols))
+    rep = validate(ev, checks)
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checks"),
+        F.expr("bool_and(passed)").alias("all_pass"),
+    )
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/

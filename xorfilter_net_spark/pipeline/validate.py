@@ -35,6 +35,7 @@ __all__ = [
     "matches",
     "refers_to",
     "validate",
+    "suggest_checks",
 ]
 
 
@@ -174,4 +175,41 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def suggest_checks(
+    profile: DataFrame, matches_regexes: dict[str, str] | None = None
+) -> list[Check]:
+    """Close the profile -> validate loop (Deequ's constraint-suggestion
+    stage): derive a Check list from a ``pipeline/profile.py`` report.
+
+    Rules (each from one profile row, driver-side — the report is
+    column-count sized):
+      - n_nulls == 0        -> ``complete(col)``
+      - ndv == non-null rows (and > 1) -> ``unique(col)``
+      - numeric min/max present -> ``in_range(col, min, max)`` (the
+        observed envelope; new data outside it is what you want flagged)
+      - caller-supplied regex per column -> ``matches(col, regex)``
+
+    The suggestions are ordinary :class:`Check` objects — feed them back
+    through :func:`validate` (one scan) on tomorrow's partition and the
+    suite asserts today's invariants. Suggestion is heuristic by nature;
+    the CONTRACT is only that suggested checks PASS on the profiled data
+    itself (tested), mirroring Deequ's suggestion semantics.
+    """
+    rows = profile.collect()
+    out: list[Check] = []
+    regexes = matches_regexes or {}
+    for r in rows:
+        c = r["col_name"]
+        if r["n_nulls"] == 0:
+            out.append(complete(c))
+        nn = r["n_rows"] - r["n_nulls"]
+        if r["ndv"] is not None and nn > 1 and r["ndv"] == nn:
+            out.append(unique(c))
+        if r["min_num"] is not None and r["max_num"] is not None:
+            out.append(in_range(c, r["min_num"], r["max_num"]))
+        if c in regexes:
+            out.append(matches(c, regexes[c]))
     return out

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["scd2_history"]
+__all__ = ["scd2_history", "temporal_join"]
 
 
 def scd2_history(
@@ -66,3 +66,49 @@ def scd2_history(
         F.lead("t").over(w2).alias("valid_to_us"),
         F.lead("t").over(w2).isNull().alias("is_current"),
     )
+
+
+def temporal_join(
+    fact: DataFrame,
+    dim_history: DataFrame,
+    fact_key: str,
+    fact_ts: str,
+    dim_key: str = "key",
+) -> DataFrame:
+    """Point-in-time join of fact rows against an SCD2 history (as
+    produced by ``scd2_history``): each fact row picks the dimension
+    version whose ``[valid_from_us, valid_to_us)`` interval contains its
+    event time — the standard warehouse "join to the dimension AS OF the
+    fact's timestamp".
+
+    Shape: hash equi-join on the key with the interval predicate as a
+    residual filter — the right plan when versions-per-key is small
+    (the SCD2 norm): the join fans out to the key's version count and
+    the residual keeps exactly one row, so output cardinality == fact
+    cardinality with no shuffle beyond the key join (broadcast when the
+    dimension fits). For pathological version counts, the as-of
+    union+window shape (relational/asof.py) is the fallback — same
+    semantics, one shuffle, no fan-out.
+
+    Returns every fact column plus the dimension's ``attr`` and version
+    interval. Fact rows with no covering version (key unseen, or ts
+    before the first version) are dropped (inner semantics).
+    """
+    f = fact.withColumn(
+        "__t", F.unix_micros(F.col(fact_ts).cast("timestamp"))
+    )
+    d = dim_history.select(
+        F.col(dim_key).alias("__k"),
+        "attr",
+        "valid_from_us",
+        "valid_to_us",
+    )
+    cond = (
+        (F.col(fact_key) == F.col("__k"))
+        & (F.col("valid_from_us") <= F.col("__t"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("__t") < F.col("valid_to_us"))
+        )
+    )
+    return f.join(d, cond, "inner").drop("__k", "__t")
