@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "ivm_agg_view_documents",
     "q_temporal_join_events_scd2",
     "data_validation_suggested",
+    "streaming_ivm_view",
 ]
 
 

@@ -6227,6 +6227,75 @@ def q_validation_suggested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_ivm_view",
+    "with v0 as (select doc_id, source, n_chars from documents), "
+    "v1 as (select doc_id, source, "
+    "case when doc_id % 9 = 0 then n_chars + 9 else n_chars end as n_chars "
+    "from v0), "
+    "v2 as (select * from v1 where doc_id % 15 != 0) "
+    "select source, count(*) as n, sum(n_chars)::bigint as sum_n_chars "
+    "from v2 group by source",
+)
+def q_streaming_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance through the REAL streaming
+    engine (streaming/ivm.py): a per-source count/sum view initialized
+    from the documents snapshot, then maintained by two CDC micro-
+    batches (an update slice with pre/post images, then a delete slice)
+    folded in exactly-once via the view's own versioned commit + ledger.
+    The oracle recomputes the aggregate from the final logical state —
+    streaming maintenance == batch recomputation."""
+    import os
+    import tempfile
+    import time
+
+    from .streaming.ivm import init_view, read_view, stream_maintain_agg_view
+
+    root = tempfile.mkdtemp(prefix="xfns_sivm_")
+    view = os.path.join(root, "view")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    init_view(docs, view, ["source"], ["n_chars"])
+
+    upd = docs.filter("doc_id % 9 = 0")
+    c0 = upd.select(
+        "source", "n_chars", F.lit("update_preimage").alias("change_type")
+    ).unionByName(
+        upd.select(
+            "source",
+            (F.col("n_chars") + 9).alias("n_chars"),
+            F.lit("update_postimage").alias("change_type"),
+        )
+    )
+    # delete slice carries the post-update images (CDC feeds are ordered)
+    c1 = docs.filter("doc_id % 15 = 0").select(
+        "source",
+        F.expr(
+            "case when doc_id % 9 = 0 then n_chars + 9 else n_chars end"
+        ).alias("n_chars"),
+        F.lit("delete").alias("change_type"),
+    )
+    t0 = time.time() - 3600
+    for i, s in enumerate((c0, c1)):
+        p = os.path.join(root, "in", f"s{i}")
+        s.repartition(1).write.mode("overwrite").parquet(p)
+        for r, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(r, f), (t0 + 10 * i, t0 + 10 * i))
+
+    stream = (
+        spark.readStream.schema(c0.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "in", "s*"))
+    )
+    q = stream_maintain_agg_view(
+        stream, view, os.path.join(root, "ckpt"), ["source"], ["n_chars"]
+    )
+    q.awaitTermination()
+    return read_view(spark, view)
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/
