@@ -466,3 +466,43 @@ def test_cli_dsir(spark, tmp_path, cli_out):
          "--output", str(tmp_path / "scores")]
     )
     assert sc["mode"] == "scores" and sc["rows_out"] == len(RAW)
+
+
+def test_cli_profile_and_suggest(spark, sf_tiny, cli_out):
+    out = cli_out(
+        [
+            "profile",
+            "--input", f"{sf_tiny}/events.parquet",
+            "--columns", "event_id,event_type,value",
+            "--suggest",
+        ]
+    )
+    cols = {c["col_name"]: c for c in out["columns"]}
+    assert set(cols) == {"event_id", "event_type", "value"}
+    assert cols["event_id"]["n_nulls"] == 0
+    assert cols["event_id"]["ndv"] == cols["event_id"]["n_rows"]
+    assert "unique(event_id)" in out["suggested_checks"]
+    assert all(r["passed"] for r in out["suggested_report"])
+
+
+def test_cli_skip_index_build_and_prune(spark, sf_tiny, tmp_path, cli_out):
+    data = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    (
+        spark.read.parquet(f"{sf_tiny}/documents.parquet")
+        .repartitionByRange(4, "doc_id")
+        .write.mode("overwrite")
+        .parquet(data)
+    )
+    built = cli_out(
+        [
+            "skip-index", "build",
+            "--data", data, "--index", idx, "--key-col", "doc_id",
+        ]
+    )
+    assert built["key_col"] == "doc_id"
+    pruned = cli_out(
+        ["skip-index", "prune", "--index", idx, "--values", "3"]
+    )
+    assert pruned["n_files_total"] == 4
+    assert 1 <= pruned["n_files_kept"] <= 2

@@ -177,6 +177,48 @@ def cmd_sketch(args: argparse.Namespace) -> dict:
     raise SystemExit(f"unknown sketch kind: {args.kind}")
 
 
+def cmd_profile(args: argparse.Namespace) -> dict:
+    """One-scan column profile (pipeline/profile.py); optionally runs
+    the suggested checks back through the validator (Deequ loop)."""
+    from .pipeline.profile import profile_columns
+
+    spark = _get_spark("profile")
+    df = spark.read.parquet(args.input)
+    cols = args.columns.split(",") if args.columns else None
+    prof = profile_columns(df, cols, exact_ndv=not args.no_exact_ndv)
+    rows = [r.asDict() for r in prof.collect()]
+    out = {"command": "profile", "input": args.input, "columns": rows}
+    if args.suggest:
+        from .pipeline.validate import suggest_checks, validate
+
+        checks = suggest_checks(prof)
+        rep = validate(df, checks)
+        out["suggested_checks"] = [c.name for c in checks]
+        out["suggested_report"] = [r.asDict() for r in rep.collect()]
+    return out
+
+
+def cmd_skip_index(args: argparse.Namespace) -> dict:
+    """Filter-backed file-skipping index (sources/skipping.py)."""
+    from .sources.skipping import build_skip_index, prune_files
+
+    spark = _get_spark("skip-index")
+    if args.action == "build":
+        meta = build_skip_index(
+            spark, args.data, args.key_col, args.index, width=args.width
+        )
+        return {"command": "skip-index", "action": "build", **meta}
+    values = args.values.split(",")
+    kept, total = prune_files(spark, args.index, values)
+    return {
+        "command": "skip-index",
+        "action": "prune",
+        "n_files_total": total,
+        "n_files_kept": len(kept),
+        "files": kept,
+    }
+
+
 def cmd_dedup(args: argparse.Namespace) -> dict:
     """End-to-end dedup job: write the surviving rows of a corpus.
 
@@ -677,6 +719,29 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--num-col", required=True)
     dr.add_argument("--cat-col", required=True)
     dr.set_defaults(fn=cmd_drift)
+
+    pr2 = sub.add_parser(
+        "profile", help="one-scan column profile (+ optional Deequ loop)"
+    )
+    pr2.add_argument("--input", required=True, help="parquet path")
+    pr2.add_argument("--columns", default=None, help="comma list (default all)")
+    pr2.add_argument("--no-exact-ndv", action="store_true")
+    pr2.add_argument(
+        "--suggest", action="store_true",
+        help="run suggested checks back through the validator",
+    )
+    pr2.set_defaults(fn=cmd_profile)
+
+    si = sub.add_parser(
+        "skip-index", help="per-file filter index: build / prune"
+    )
+    si.add_argument("action", choices=["build", "prune"])
+    si.add_argument("--data", default=None, help="dataset dir (build)")
+    si.add_argument("--index", required=True, help="index dir")
+    si.add_argument("--key-col", default="doc_id")
+    si.add_argument("--width", type=int, default=8)
+    si.add_argument("--values", default="", help="comma list (prune)")
+    si.set_defaults(fn=cmd_skip_index)
 
     args = p.parse_args(argv)
     out = args.fn(args)
