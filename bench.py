@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "q_temporal_join_events_scd2",
     "data_validation_suggested",
     "streaming_ivm_view",
+    "bitmap_set_ops_users",
 ]
 
 

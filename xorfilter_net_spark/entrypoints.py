@@ -6296,6 +6296,51 @@ def q_streaming_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_view(spark, view)
 
 
+@query(
+    "bitmap_set_ops_users",
+    """
+with c as (select distinct user_id from events
+           where event_type = 'click' and user_id is not null),
+p as (select distinct user_id from events
+      where event_type = 'purchase' and user_id is not null)
+select (select count(*) from c) as n_click,
+       (select count(*) from p) as n_purchase,
+       (select count(*) from (select * from c intersect select * from p))
+         as n_inter,
+       (select count(*) from (select * from c union select * from p))
+         as n_union,
+       (select count(*) from (select * from c except select * from p))
+         as n_diff
+""",
+)
+def q_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mergeable bitmap distinct states (sketches/bitmap.py, the
+    ClickHouse groupBitmap analog): click/purchase user sets built as
+    two one-pass OR-mergeable bitsets, then EXACT intersection / union /
+    difference cardinalities from pure word algebra — the exact twin of
+    theta_set_ops_users. Every number value-checked against relational
+    set ops."""
+    from .sketches.base import aggregate
+    from .sketches.bitmap import BitmapSketch
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id is not null")
+    sk = BitmapSketch(capacity=1_000_000, key_col="user_id")
+    bc = aggregate(ev.filter("event_type = 'click'"), ["user_id"], sk)
+    bp = aggregate(ev.filter("event_type = 'purchase'"), ["user_id"], sk)
+    row = (
+        sk.estimate(bc),
+        sk.estimate(bp),
+        sk.intersect_count(bc, bp),
+        sk.union_count(bc, bp),
+        sk.diff_count(bc, bp),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_click long, n_purchase long, n_inter long, n_union long, "
+        "n_diff long",
+    )
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/
