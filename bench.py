@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "data_validation_suggested",
     "streaming_ivm_view",
     "bitmap_set_ops_users",
+    "q_ohlc_resample_events",
+    "q_gapfill_user_daily",
 ]
 
 

@@ -1,0 +1,92 @@
+"""relational/timeseries.py: OHLC bucket semantics (ties, nulls),
+gap-fill LOCF semantics, and registered-query oracle parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from xorfilter_net_spark.relational.timeseries import (
+    gapfill_forward,
+    resample_ohlc,
+)
+
+
+def ts(day, hour=0, sec=0):
+    return dt.datetime(2024, 1, day, hour, 0, sec)
+
+
+def test_ohlc_semantics(spark):
+    rows = [
+        # one 6h bucket: open=5 (earliest), close=9 (latest), high=20, low=2
+        ("a", ts(1, 0), 5.0, 1),
+        ("a", ts(1, 1), 20.0, 2),
+        ("a", ts(1, 2), 2.0, 3),
+        ("a", ts(1, 3), 9.0, 4),
+        # same ts tie -> tiebreak id decides open
+        ("b", ts(1, 0), 7.0, 10),
+        ("b", ts(1, 0), 3.0, 9),
+        # null value excluded entirely
+        ("a", ts(1, 4), None, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "et string, ts timestamp, value double, eid long"
+    )
+    got = {
+        (r["key"], r["bucket"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in resample_ohlc(df, "et", "ts", "value", "eid", 21600).collect()
+    }
+    b = 1704067200 * 1_000_000 // 21_600_000_000
+    assert got[("a", b)] == (5.0, 20.0, 2.0, 9.0, 4)
+    assert got[("b", b)] == (3.0, 7.0, 3.0, 7.0, 2)  # eid 9 first
+
+
+def test_gapfill_locf(spark):
+    rows = [
+        (1, ts(1)), (1, ts(1, 1)), (1, ts(4)),  # u1: d0 n=2, gap, d3 n=1
+        (2, ts(3)),                              # u2: starts day 2
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {
+        (r["key"], r["period"]): r["n_filled"]
+        for r in gapfill_forward(df, "u", "ts", 86400).collect()
+    }
+    d0 = 1704067200 // 86400
+    assert got == {
+        (1, d0): 2, (1, d0 + 1): 2, (1, d0 + 2): 2, (1, d0 + 3): 1,
+        (2, d0 + 2): 1, (2, d0 + 3): 1,  # u2 grid starts at ITS first day
+    }
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, ts(1), 1.0, 1)], "u long, ts timestamp, v double, e long")
+    with pytest.raises(ValueError):
+        resample_ohlc(df, "u", "ts", "v", "e", 0)
+    with pytest.raises(ValueError):
+        gapfill_forward(df, "u", "ts", -1)
+
+
+@pytest.mark.parametrize(
+    "name", ["q_ohlc_resample_events", "q_gapfill_user_daily"]
+)
+def test_registered_queries_match_duckdb(spark, sf_tiny, name):
+    import duckdb
+
+    from xorfilter_net_spark import entrypoints
+
+    got = sorted(
+        tuple(r) for r in entrypoints.QUERIES[name](spark, sf_tiny).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view events as select * from "
+        f"read_parquet('{sf_tiny}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(entrypoints.ORACLES[name]).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0

@@ -6341,6 +6341,83 @@ def q_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ohlc_resample_events",
+    """
+with e as (
+  select event_type as key,
+         cast(floor(epoch_us(ts) / 21600000000) as bigint) as bucket,
+         epoch_us(ts) as t, event_id, value as v
+  from events where value is not null and ts is not null
+),
+r as (
+  select *,
+         row_number() over (partition by key, bucket
+                            order by t, event_id) as rn_a,
+         row_number() over (partition by key, bucket
+                            order by t desc, event_id desc) as rn_d
+  from e
+)
+select key, bucket,
+       max(case when rn_a = 1 then v end) as open,
+       max(v) as high, min(v) as low,
+       max(case when rn_d = 1 then v end) as close,
+       count(*) as n
+from r group by key, bucket
+""",
+)
+def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval OHLC downsampling (relational/timeseries.py):
+    6-hour bars per event type in ONE hash aggregate — open/close via
+    min_by/max_by over a (epoch_us, event_id) total-order struct key.
+    The oracle derives open/close through row_number windows instead:
+    two different machineries, value-identical (pure selection, no
+    double arithmetic)."""
+    from .relational.timeseries import resample_ohlc
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_ohlc(
+        ev, "event_type", "ts", "value", "event_id", interval_seconds=21600
+    )
+
+
+@query(
+    "q_gapfill_user_daily",
+    """
+with e as (
+  select user_id as key,
+         cast(floor(epoch_us(ts) / 86400000000) as bigint) as period
+  from events where user_id is not null and ts is not null
+),
+daily as (select key, period, count(*) as n from e group by 1, 2),
+span as (select key, min(period) as p0 from daily group by key),
+gmax as (select max(period) as p1 from daily),
+cal as (select key, unnest(generate_series(p0, (select p1 from gmax)))
+          as period from span),
+f as (select cal.key, cal.period, daily.n
+      from cal left join daily
+        on daily.key = cal.key and daily.period = cal.period)
+select key, period,
+       last_value(n ignore nulls)
+         over (partition by key order by period
+               rows between unbounded preceding and current row)
+         as n_filled
+from f
+""",
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling with forward fill (relational/
+    timeseries.py::gapfill_forward): per-user daily counts densified
+    onto the [first-active, corpus-last] day grid, gaps carrying the
+    last observation forward — the event-stream -> regular-grid
+    conversion every metrics/feature pipeline needs. Grid size is
+    calendar-bounded; LOCF is an O(1)-state cumulative window."""
+    from .relational.timeseries import gapfill_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    return gapfill_forward(ev, "user_id", "ts", period_seconds=86400)
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/
