@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "bitmap_set_ops_users",
     "q_ohlc_resample_events",
     "q_gapfill_user_daily",
+    "rolling_distinct_users",
 ]
 
 

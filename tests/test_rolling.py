@@ -1,0 +1,86 @@
+"""sketches/rolling.py: trailing-window semantics vs a Python replay
+(gaps, partial leading windows), genericity over sketches, and
+registered-query oracle parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from xorfilter_net_spark.sketches.rolling import rolling_distinct_exact
+
+
+def test_rolling_vs_python_replay(spark):
+    rng = random.Random(5)
+    rows = []
+    for _ in range(400):
+        day = rng.randrange(0, 20)
+        # leave days 7-9 empty (gap): they must NOT appear as anchors
+        if day in (7, 8, 9):
+            continue
+        u = rng.randrange(0, 40)
+        rows.append((u, dt.datetime(2024, 1, 1) + dt.timedelta(days=day, seconds=u)))
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {
+        r["period"]: r["n_rolling"]
+        for r in rolling_distinct_exact(df, "u", "ts", 1000, window=3).collect()
+    }
+    base = 1704067200 // 86400
+    by_day = {}
+    for u, t in rows:
+        d = base + (t - dt.datetime(2024, 1, 1)).days
+        by_day.setdefault(d, set()).add(u)
+    want = {
+        d: len(set().union(*(by_day.get(d - k, set()) for k in range(3))))
+        for d in by_day
+    }
+    assert got == want
+    assert base + 7 not in got  # gap days are not anchors
+
+
+def test_window_one_is_daily_distinct(spark):
+    rows = [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 1)),
+            (1, dt.datetime(2024, 1, 2))]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {
+        r["period"]: r["n_rolling"]
+        for r in rolling_distinct_exact(df, "u", "ts", 100, window=1).collect()
+    }
+    base = 1704067200 // 86400
+    assert got == {base: 2, base + 1: 1}
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], "u long, ts timestamp")
+    with pytest.raises(ValueError):
+        rolling_distinct_exact(df, "u", "ts", 100, window=0)
+    with pytest.raises(ValueError):
+        rolling_distinct_exact(df, "u", "ts", 100, period_seconds=0)
+
+
+def test_registered_query_matches_duckdb(spark, sf_tiny):
+    import duckdb
+
+    from xorfilter_net_spark import entrypoints
+
+    got = sorted(
+        tuple(r)
+        for r in entrypoints.QUERIES["rolling_distinct_users"](
+            spark, sf_tiny
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view events as select * from "
+        f"read_parquet('{sf_tiny}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            entrypoints.ORACLES["rolling_distinct_users"]
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 5

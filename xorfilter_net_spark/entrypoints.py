@@ -6418,6 +6418,37 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_forward(ev, "user_id", "ts", period_seconds=86400)
 
 
+@query(
+    "rolling_distinct_users",
+    """
+with e as (
+  select distinct
+         cast(floor(epoch_us(ts) / 86400000000) as bigint) as p,
+         user_id as u
+  from events where user_id is not null and ts is not null
+),
+periods as (select distinct p from e)
+select periods.p as period,
+       (select count(distinct e.u) from e
+         where e.p between periods.p - 6 and periods.p) as n_rolling
+from periods
+""",
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct users per day (sketches/rolling.py):
+    per-day bitmap states from ONE corpus pass, each state fanned out to
+    the 7 windows it serves, per-window OR-merge + popcount. The moving
+    COUNT(DISTINCT) window functions cannot express, done in state
+    algebra — swap HLL/theta states for unbounded domains, same plan.
+    Value-exact vs the naive re-count oracle."""
+    from .sketches.rolling import rolling_distinct_exact
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_distinct_exact(
+        ev, "user_id", "ts", capacity=1_000_000, window=7
+    )
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/
