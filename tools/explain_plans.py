@@ -501,6 +501,84 @@ def main() -> None:
         )
     )
 
+    # 25+. validation suite: all row-local + uniqueness checks in ONE
+    # scan/aggregate; RI checks are counted anti-joins
+    from xorfilter_net_spark.pipeline.validate import (
+        complete,
+        in_range,
+        unique,
+        validate,
+    )
+
+    evv = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sections.append(
+        (
+            "Declarative validation suite (pipeline/validate.py)",
+            "Four constraints compile to ONE parquet scan feeding one "
+            "Expand + HashAggregate (uniqueness = count-distinct "
+            "branches of the same aggregate); the report explodes from "
+            "a single aggregate row. The Deequ one-job-per-check "
+            "anti-pattern never appears.",
+            captured_explain(
+                validate(
+                    evv,
+                    [
+                        complete("event_type"),
+                        unique("event_id"),
+                        unique("user_id"),
+                        in_range("value", 0, 250),
+                    ],
+                )
+            ),
+        )
+    )
+
+    # editdist PassJoin: segment equi-join + JVM levenshtein verify
+    sections.append(
+        (
+            "Exact edit-distance join (editdist_near_dup_pairs)",
+            "Candidate generation is codegen Generates (segment/substring "
+            "arithmetic) on both sides of a hash equi-join keyed on "
+            "(i, l, segment); verification is the JVM levenshtein in a "
+            "codegen filter; the prepared string table is persisted so "
+            "the four consuming subtrees share one source scan. No "
+            "Python node; the only non-equi joins are the degenerate "
+            "<=2d-char pools (empty here — every key is 48 chars).",
+            captured_explain(
+                ep.QUERIES["editdist_near_dup_pairs"](spark, SF_DIR)
+            ),
+        )
+    )
+
+    # funnel: every stage keyed on user_id — exchanges reused, not re-keyed
+    sections.append(
+        (
+            "Conversion funnel (q_funnel_view_click_purchase)",
+            "All three cascaded conditional-min aggregates and both "
+            "step joins key on user_id: after the first exchange the "
+            "plan shows ReusedExchange / aligned hashpartitioning, never "
+            "a re-key of the event stream.",
+            captured_explain(
+                ep.QUERIES["q_funnel_view_click_purchase"](spark, SF_DIR)
+            ),
+        )
+    )
+
+    # rolling distinct: one corpus aggregate, then state-row algebra only
+    sections.append(
+        (
+            "Rolling-window distinct (rolling_distinct_users)",
+            "The raw events feed exactly one groupBy-applyInPandas "
+            "(per-period bitmap states); everything after — the "
+            "window fan-out Generate, the anchor semi-join, the "
+            "per-window merge — exchanges only (period, state) rows. "
+            "The corpus is read once.",
+            captured_explain(
+                ep.QUERIES["rolling_distinct_users"](spark, SF_DIR)
+            ),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",

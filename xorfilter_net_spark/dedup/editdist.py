@@ -77,6 +77,10 @@ def editdist_join(
         )
         .filter(F.col("key").isNotNull())
         .withColumn("l", F.length("key"))
+        # four subtrees (seg, sub, both degenerate pools) read this;
+        # persist makes it one source scan instead of one per subtree
+        # (same precedent as triangle_counts' edge cache)
+        .persist()
     )
     idx = F.array(*[F.lit(i) for i in range(k)])
     shifts = F.array(*[F.lit(s) for s in range(-d, d + 1)])
