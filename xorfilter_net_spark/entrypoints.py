@@ -6449,6 +6449,53 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rolling_distinct_hll_ok",
+    "select true as within_bound, true as anchors_match",
+)
+def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME rolling-window plan with HLL states instead of bitmaps
+    (sketches/rolling.py is generic over MergeableSketch) — the
+    unbounded-key-domain variant. Gates: every window's estimate within
+    the 6-sigma HLL++ band of the exact bitmap answer, and both runs
+    anchor exactly the same periods."""
+    from .sketches.base import aggregate_by_group
+    from .sketches.hll import HllSketch
+    from .sketches.rolling import rolling_distinct_exact, rolling_state_window
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["period"]: r["n_rolling"]
+        for r in rolling_distinct_exact(
+            ev, "user_id", "ts", capacity=1_000_000, window=7
+        ).collect()
+    }
+    sk = HllSketch(p=12, key_col="__k")
+    e = ev.selectExpr(
+        "cast(floor(unix_micros(cast(ts as timestamp)) / 86400000000) "
+        "as bigint) as period",
+        "user_id as __k",
+    ).filter("__k is not null and period is not null")
+    states = aggregate_by_group(e, ["period"], ["__k"], sk)
+    approx = {
+        r["period"]: r["n_rolling"]
+        for r in rolling_state_window(
+            states, sk, lambda st: int(round(sk.estimate(st))), 7,
+            out_col="n_rolling",
+        ).collect()
+    }
+    band = 6 * sk.rel_std_error
+    within = all(
+        abs(approx[p] - n) <= max(4.0, band * n)
+        for p, n in exact.items()
+        if p in approx
+    )
+    return spark.createDataFrame(
+        [(bool(within), set(approx) == set(exact))],
+        "within_bound boolean, anchors_match boolean",
+    )
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/
