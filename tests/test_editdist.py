@@ -131,3 +131,27 @@ def test_registered_query_matches_duckdb_oracle(spark, sf_tiny):
     assert got == want
     assert len(got) > 0  # injected variants keep it non-vacuous
     assert {t[2] for t in got} >= {1, 2}  # both distances exercised
+
+
+# ---------------------------------------------------------------- property
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    keys=st.lists(
+        st.text(alphabet="aé✓", max_size=6), min_size=2, max_size=10
+    ),
+    d=st.integers(1, 2),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_property_unicode_alphabet(spark, keys, d):
+    """Multi-byte alphabet pins codepoint (not byte) semantics through
+    length/substring/levenshtein; duplicates, empties, and the
+    degenerate short-string pool all arise naturally."""
+    rows = list(enumerate(keys))
+    assert run(spark, rows, d) == brute(rows, d)
