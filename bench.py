@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "q_ohlc_resample_events",
     "q_gapfill_user_daily",
     "rolling_distinct_users",
+    "q_attribution_last_touch",
+    "phash_near_dup_media",
 ]
 
 

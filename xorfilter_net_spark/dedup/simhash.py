@@ -75,25 +75,42 @@ def simhash_near_pairs(
     filter runs JVM-side.
     """
     sigs = simhash_signatures(df, id_col, text_col)
+    return banded_hamming_pairs(sigs, "id", "simhash", max_distance, bands)
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_distance: int,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, distance) pairs from a 64-bit signature table with
+    Hamming <= max_distance — the band-blocked self-join shared by
+    SimHash text dedup and perceptual-hash media dedup
+    (multimodal/phash.py): signatures split into ``bands`` chunks, pairs
+    meet on any equal (band_idx, chunk), exact Hamming verified
+    JVM-side. Exact recall for max_distance <= bands-1 (pigeonhole)."""
+    sigs = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
     width = 64 // bands
     chunks = F.array(
         *[
             F.expr(
-                f"shiftright(simhash, {b * width}) & {(1 << width) - 1}"
+                f"shiftright(sig, {b * width}) & {(1 << width) - 1}"
             ).cast("long")
             for b in range(bands)
         ]
     )
-    ex = sigs.select("id", "simhash", F.posexplode(chunks).alias("band_idx", "chunk"))
+    ex = sigs.select("id", "sig", F.posexplode(chunks).alias("band_idx", "chunk"))
     a = ex.select(
         F.col("id").alias("id_a"),
-        F.col("simhash").alias("sig_a"),
+        F.col("sig").alias("sig_a"),
         "band_idx",
         "chunk",
     )
     b = ex.select(
         F.col("id").alias("id_b"),
-        F.col("simhash").alias("sig_b"),
+        F.col("sig").alias("sig_b"),
         "band_idx",
         "chunk",
     )

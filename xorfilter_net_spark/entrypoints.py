@@ -6496,6 +6496,113 @@ def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_attribution_last_touch",
+    """
+with e as (
+  select event_id, user_id as u, event_type, epoch_us(ts) as t
+  from events where user_id is not null and ts is not null
+),
+p as (select event_id, u, t from e where event_type = 'purchase'),
+c as (select u, t from e where event_type = 'click')
+select p.event_id as purchase_id, p.u as user_id,
+       p.t as t_purchase_us,
+       (select max(c.t) from c where c.u = p.u and c.t <= p.t)
+         as t_click_us,
+       coalesce((select max(c.t) from c where c.u = p.u and c.t <= p.t)
+                >= p.t - 604800000000, false) as attributed_7d
+from p
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution (the as-of join applied): each
+    purchase attributed to the user's most recent preceding click, with
+    a 7-day attribution window flag. One union+window shuffle
+    (relational/asof.py) — no per-purchase subquery, which is how the
+    ORACLE spells the same semantics (correlated max — a different
+    machinery agreeing value-for-value)."""
+    from .relational.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter("user_id is not null and ts is not null").select(
+        "event_id",
+        F.col("user_id").alias("u"),
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    purchases = e.filter("event_type = 'purchase'").select(
+        "event_id", "u", "t"
+    )
+    clicks = e.filter("event_type = 'click'").select("u", "t")
+    joined = asof_join(purchases, clicks, on="u", ts="t", payload_cols=[])
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("u").alias("user_id"),
+        F.col("t").alias("t_purchase_us"),
+        F.col("t_asof").alias("t_click_us"),
+        F.coalesce(
+            F.col("t_asof") >= F.col("t") - F.lit(604800000000),
+            F.lit(False),
+        ).alias("attributed_7d"),
+    )
+
+
+@query(
+    "phash_near_dup_media",
+    "select true as planted_all_recalled, true as planted_close, "
+    "true as naturals_separated",
+)
+def q_phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media near-dup detection (multimodal/phash.py):
+    real pHash math (resample -> orthonormal DCT -> median-threshold
+    64-bit signature) over the locality-preserving fake codec, banded
+    Hamming self-join for pairs. Planted variants (two payload bytes
+    changed) must all be recalled within the exact-recall band
+    (distance <= bands-1); natural media must sit far away (checked
+    over ALL planted-vs-result and natural phash distances, not just
+    the join output)."""
+    import numpy as np
+
+    from .multimodal.media import jitter_payloads, smooth_media_table
+    from .multimodal.phash import perceptual_hashes, phash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = smooth_media_table(docs)
+    variants = jitter_payloads(m.filter("media_id % 11 = 0"))
+    corpus = m.unionByName(variants)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in phash_near_pairs(corpus, max_distance=3, bands=4).collect()
+    }
+    sigs = {
+        r["media_id"]: np.uint64(r["phash"])
+        for r in perceptual_hashes(corpus).collect()
+    }
+    planted = [
+        (mid, mid + 1000000) for mid in sigs if mid % 11 == 0 and mid < 1000000
+    ]
+    dist = lambda a, b: bin(int(sigs[a] ^ sigs[b])).count("1")
+    planted_d = [dist(a, b) for a, b in planted]
+    planted_close = bool(planted and max(planted_d) <= 3)
+    recalled = all(p in pairs for p in planted)
+    # naturals: the join must surface ONLY planted pairs, and a
+    # deterministic sample of natural-vs-natural distances stays far
+    nat = sorted(i for i in sigs if i < 1000000)
+    sample_d = [
+        dist(a, b)
+        for i, a in enumerate(nat[:200])
+        for b in nat[i + 1 : i + 6]
+    ]
+    naturals_separated = bool(min(sample_d) > 3) and set(pairs) == set(
+        planted
+    )
+    return spark.createDataFrame(
+        [(recalled, planted_close, naturals_separated)],
+        "planted_all_recalled boolean, planted_close boolean, "
+        "naturals_separated boolean",
+    )
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/

@@ -67,11 +67,27 @@ def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     return (mixed & np.uint64(0xFF)).astype(np.uint8).reshape(height, width)
 
 
+def _fake_pixels_smooth(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Locality-preserving fake codec: pixels are the payload bytes tiled
+    verbatim (no mixing), so a small payload change perturbs few pixels —
+    the stand-in that lets NEAR-duplicate detection (perceptual hashing)
+    be exercised end to end. The avalanche codec above is the right
+    stand-in for exact-content work; this one for similarity work."""
+    need = width * height
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    if raw.size == 0:
+        raw = np.zeros(1, dtype=np.uint8)
+    reps = -(-need // raw.size)
+    return np.tile(raw, reps)[:need].reshape(height, width).copy()
+
+
 def decode_media(
     payload: bytes, width: int, height: int, codec: str = "fake"
 ) -> np.ndarray:
     if codec == "fake":
         return _fake_pixels(payload, width, height)
+    if codec == "fake_smooth":
+        return _fake_pixels_smooth(payload, width, height)
     raise NotImplementedError(
         "real media decoding requires an image/audio codec library that is "
         "not available in this environment; plug one in here"
@@ -200,5 +216,117 @@ def resize_media(
         schema=(
             "media_id long, media_type string, out_w int, out_h int, "
             "pixels binary, checksum long"
+        ),
+    )
+
+
+def _smooth_field(doc: int, w: int = 32, h: int = 32) -> np.ndarray:
+    """Deterministic 'image' for a doc id: a doc-unique 8x8 block-sign
+    pattern (64 bits of splitmix64 -> ±45 gray levels, the dominant
+    structure) over a mild doc-phased sinusoid texture. Two distinct
+    docs differ in ~32 of 64 blocks — far apart under any perceptual
+    hash — while small pixel jitter cannot flip a ±45-margin block.
+    (A purely parametric smooth family is the wrong corpus here: with
+    hundreds of docs, birthday-close phases produce GENUINELY similar
+    images — measured natural aHash distances down to 10 and pair
+    explosions. Unique block signs make separation deterministic.)"""
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    base = np.uint64((doc * 0x9E3779B97F4A7C15 + 0x5851F42D) & (2**64 - 1))
+    bits = splitmix64(base + np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    signs = (bits.astype(np.float64) * 2 - 1).reshape(8, 8) * 45.0
+    blocks = np.kron(signs, np.ones((h // 8, w // 8)))
+    fa = float(splitmix64(base ^ np.uint64(7)) % np.uint64(628)) / 100.0
+    fb = float(splitmix64(base ^ np.uint64(11)) % np.uint64(628)) / 100.0
+    texture = 15 * np.sin(2 * np.pi * x / w + fa) * np.cos(
+        2 * np.pi * y / h + fb
+    )
+    g = 128 + blocks + texture
+    return np.clip(g, 0, 255).astype(np.uint8)
+
+
+def smooth_media_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload, media_type, width, height, n_frames) — one
+    32x32 smooth grid per doc id; payload length == grid size, so the
+    ``fake_smooth`` codec decodes it verbatim (no tiling)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        _smooth_field(int(d)).tobytes() for d in ids
+                    ],
+                    "media_type": ["image/png"] * len(ids),
+                    "width": np.full(len(ids), 32, dtype=np.int32),
+                    "height": np.full(len(ids), 32, dtype=np.int32),
+                    "n_frames": np.ones(len(ids), dtype=np.int32),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        gen,
+        schema=(
+            "media_id long, payload binary, media_type string, "
+            "width int, height int, n_frames int"
+        ),
+    )
+
+
+def jitter_payloads(
+    media: DataFrame,
+    id_offset: int = 1_000_000,
+    n_points: int = 6,
+    max_delta: int = 3,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic tiny-noise variants (the 'same photo, re-encoded'
+    stand-in): ``n_points`` pixels perturbed by at most ``max_delta``
+    levels, positions/deltas derived from splitmix64(media_id) — no RNG,
+    rebuild-stable. Returned rows carry ``media_id + id_offset``."""
+
+    def gen(batches):
+        for pdf in batches:
+            out_ids, blobs = [], []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf[payload_col], pdf["width"], pdf["height"]
+            ):
+                px = decode_media(
+                    bytes(payload), int(w), int(h), "fake_smooth"
+                ).astype(np.int16)
+                base = np.uint64(
+                    (int(mid) * 0x9E3779B97F4A7C15) & (2**64 - 1)
+                )
+                seq = splitmix64(base + np.arange(3 * n_points, dtype=np.uint64))
+                ys = (seq[0::3] % np.uint64(px.shape[0])).astype(int)
+                xs = (seq[1::3] % np.uint64(px.shape[1])).astype(int)
+                deltas = (
+                    seq[2::3] % np.uint64(2 * max_delta + 1)
+                ).astype(int) - max_delta
+                px[ys, xs] += deltas
+                out_ids.append(int(mid) + id_offset)
+                blobs.append(
+                    np.clip(px, 0, 255).astype(np.uint8).tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": out_ids,
+                    "payload": blobs,
+                    "media_type": pdf["media_type"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "n_frames": pdf["n_frames"],
+                }
+            )
+
+    return media.select(
+        "media_id", payload_col, "media_type", "width", "height", "n_frames"
+    ).mapInPandas(
+        gen,
+        schema=(
+            "media_id long, payload binary, media_type string, "
+            "width int, height int, n_frames int"
         ),
     )
