@@ -138,3 +138,23 @@ def test_registered_query_matches_duckdb_oracle(spark, sf_tiny):
         ).fetchall()
     }
     assert got == want
+
+
+def test_triangle_xor_prune_parity(spark):
+    import random
+
+    from xorfilter_net_spark.relational.graph import triangle_counts
+
+    rng = random.Random(42)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(40), 2))) for _ in range(160)}
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    plain = {
+        tuple(r) for r in triangle_counts(df).collect()
+    }
+    pruned = {
+        tuple(r) for r in triangle_counts(df, prune="xor").collect()
+    }
+    assert plain == pruned
+    assert any(r[3] > 0 for r in plain)  # triangles exist
