@@ -6606,6 +6606,41 @@ def q_phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_BFS_SQL = """
+with recursive items as (
+  select distinct l_orderkey as g, l_partkey as i from lineitem
+),
+e as (
+  select distinct a.i as a, b.i as b
+  from items a join items b using (g) where a.i < b.i
+),
+ed as (select a as src, b as dst from e
+       union all select b as src, a as dst from e),
+s as (select min(a) as v from e),
+walk(node, d) as (
+  select v, 0 from s
+  union all
+  select ed.dst, w.d + 1 from walk w join ed on ed.src = w.node
+  where w.d < 2
+)
+select node, cast(min(d) as int) as dist from walk group by node
+"""
+
+
+@query("q_bfs_recursive_cte", _RECURSIVE_BFS_SQL)
+def q_bfs_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native recursive SQL (Spark 4 WITH RECURSIVE,
+    SPARK-24497): 2-hop BFS over the co-purchase graph written ONCE and
+    executed verbatim by BOTH engines — the oracle string IS the Spark
+    query. Spark's recursion supports UNION ALL only, so the walk
+    enumerates bounded-length paths (finite under the depth guard) and
+    min(d) collapses them; the driver-iterative twin (q_bfs_copurchase /
+    bfs_distances) is the production path — frontier-deduped rounds and
+    explicit lineage truncation instead of path enumeration."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_RECURSIVE_BFS_SQL)
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/
