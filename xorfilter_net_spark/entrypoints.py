@@ -6641,6 +6641,67 @@ def q_bfs_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_BFS_SQL)
 
 
+@query(
+    "streaming_rolling_distinct",
+    # oracle: the BATCH rolling-distinct definition over all events —
+    # streaming state maintenance must equal batch recomputation
+    """
+with e as (
+  select distinct
+         cast(floor(epoch_us(ts) / 86400000000) as bigint) as p,
+         user_id as u
+  from events where user_id is not null and ts is not null
+),
+periods as (select distinct p from e)
+select periods.p as period,
+       (select count(distinct e.u) from e
+         where e.p between periods.p - 6 and periods.p) as n_rolling
+from periods
+""",
+)
+def q_streaming_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling-window distinct (streaming/rolling.py): the
+    per-period bitmap state table maintained by two event micro-batches
+    through the REAL streaming engine (exactly-once versioned commits),
+    then the trailing-7-day distinct answered from states alone. Exact —
+    equals the batch operator's oracle because bitmap OR-merge loses
+    nothing across any batch split."""
+    import os
+    import tempfile
+    import time
+
+    from .streaming.rolling import (
+        init_period_store,
+        rolling_from_store,
+        stream_update_period_states,
+    )
+
+    root = tempfile.mkdtemp(prefix="xfns_sroll_")
+    store = os.path.join(root, "store")
+    init_period_store(spark, store)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    t0 = time.time() - 3600
+    for i, s in enumerate(
+        (ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1"))
+    ):
+        p = os.path.join(root, "in", f"s{i}")
+        s.repartition(1).write.mode("overwrite").parquet(p)
+        for r, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(r, f), (t0 + 10 * i, t0 + 10 * i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "in", "s*"))
+    )
+    q = stream_update_period_states(
+        stream, store, os.path.join(root, "ckpt"),
+        "user_id", "ts", capacity=1_000_000,
+    )
+    q.awaitTermination()
+    return rolling_from_store(spark, store, capacity=1_000_000, window=7)
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/
