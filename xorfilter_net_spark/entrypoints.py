@@ -6702,6 +6702,59 @@ def q_streaming_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_from_store(spark, store, capacity=1_000_000, window=7)
 
 
+@query(
+    "gdpr_purge_ok",
+    "select true as purged, true as history_intact, "
+    "true as targeted_rewrite",
+)
+def q_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge as a first-class flow (composing
+    sources/timetravel.py): delete one subject's rows via MERGE delete
+    markers — O(touched buckets), the hash-bucket layout locates every
+    key without a scan — then gate that (a) the current version contains
+    none of them, (b) the PRE-purge version still reads intact (history
+    is immutable until expire_versions retires it — the compliance
+    counterpart: expire is the actual erasure step), and (c) the commit
+    wrote only the touched buckets' directories."""
+    import tempfile
+
+    from .sources.timetravel import create_table, merge_into, read_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="xfns_gdpr_") + "/table"
+    create_table(docs, path, "doc_id", n_buckets=16)
+    targets = docs.filter("doc_id % 37 = 0")
+    n_targets = targets.count()
+    merge_into(
+        spark, path, targets.withColumn("__del", F.lit(True)),
+        deleted_col="__del",
+    )
+    now = read_table(spark, path)
+    purged = (
+        now.join(targets.select("doc_id"), "doc_id", "left_semi").count()
+        == 0
+        and now.count() == docs.count() - n_targets
+    )
+    v0 = read_table(spark, path, version=0)
+    history_intact = (
+        v0.count() == docs.count()
+        and v0.join(
+            targets.select("doc_id"), "doc_id", "left_semi"
+        ).count()
+        == n_targets
+    )
+    from .sources.timetravel import read_manifest
+
+    touched = read_manifest(path, 1)["buckets_touched"]
+    targeted_rewrite = 0 < touched < 16
+    return spark.createDataFrame(
+        [(bool(purged), bool(history_intact), bool(targeted_rewrite))],
+        "purged boolean, history_intact boolean, targeted_rewrite boolean",
+    )
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/
