@@ -124,6 +124,17 @@ def child(cpus: int, corpus_path: str) -> None:
             ),
         )
 
+    def _triangle(spark):
+        from xorfilter_net_spark.relational.graph import (
+            cooccurrence_edges,
+            triangle_counts,
+        )
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        return triangle_counts(
+            cooccurrence_edges(li, "l_orderkey", "l_partkey"), prune="xor"
+        )
+
     eval_df = corpus.filter("doc_id % 37 = 0").select("text")
     jobs = {
         "dup_span_report": lambda: duplicated_spans(corpus, k=10),
@@ -134,6 +145,10 @@ def child(cpus: int, corpus_path: str) -> None:
         "dsir_scores": lambda: dsir_scores(
             corpus, corpus.filter("doc_id % 31 = 1"), "doc_id", "text"
         ),
+        # graph family: raw sf0.1 lineitem (1.2M-edge co-purchase graph)
+        # — big enough on its own; run with SPARK_GRAFT_SCALE_REPLICAS=1
+        # to skip the (unused) corpus replication
+        "triangle": lambda: _triangle(spark),
     }
 
     def force(df) -> int:

@@ -119,10 +119,15 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     for i, c in enumerate(local):
         if c.kind == "row":
             aggs.append(
-                F.sum(
-                    F.when(F.expr(c.violation_expr), F.lit(1)).otherwise(
-                        F.lit(0)
-                    )
+                # coalesce: sum over ZERO rows is NULL, but an empty
+                # table violates nothing — the report must say (0, true)
+                F.coalesce(
+                    F.sum(
+                        F.when(F.expr(c.violation_expr), F.lit(1)).otherwise(
+                            F.lit(0)
+                        )
+                    ),
+                    F.lit(0),
                 ).alias(f"__v{i}")
             )
         else:  # unique: violations = non-null count - distinct count
