@@ -62,3 +62,12 @@ def test_all_oracles_bind_in_duckdb(registry, duck):
         except Exception as exc:  # noqa: BLE001 — collect every failure
             bad[name] = str(exc).splitlines()[0]
     assert not bad, bad
+
+
+def test_bench_queries_are_registered(registry):
+    import bench
+
+    queries, _ = registry
+    missing = [q for q in bench.BENCH_QUERIES if q not in queries]
+    assert not missing, missing
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
