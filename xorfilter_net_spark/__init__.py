@@ -27,6 +27,26 @@ _EXPORTS = {
     "with_text_features": "xorfilter_net_spark.text.analysis",
     "doc_fingerprints": "xorfilter_net_spark.text.fingerprint",
     "run_incremental_sketch": "xorfilter_net_spark.streaming.incremental",
+    "editdist_join": "xorfilter_net_spark.dedup.editdist",
+    "funnel_counts": "xorfilter_net_spark.relational.funnel",
+    "cohort_retention": "xorfilter_net_spark.relational.cohort",
+    "scd2_history": "xorfilter_net_spark.relational.scd",
+    "temporal_join": "xorfilter_net_spark.relational.scd",
+    "frequent_pairs": "xorfilter_net_spark.relational.assoc",
+    "triangle_counts": "xorfilter_net_spark.relational.graph",
+    "bfs_distances": "xorfilter_net_spark.relational.graph",
+    "kcore_subgraph": "xorfilter_net_spark.relational.graph",
+    "resample_ohlc": "xorfilter_net_spark.relational.timeseries",
+    "gapfill_forward": "xorfilter_net_spark.relational.timeseries",
+    "validate": "xorfilter_net_spark.pipeline.validate",
+    "suggest_checks": "xorfilter_net_spark.pipeline.validate",
+    "profile_columns": "xorfilter_net_spark.pipeline.profile",
+    "agg_view": "xorfilter_net_spark.pipeline.ivm",
+    "apply_changes": "xorfilter_net_spark.pipeline.ivm",
+    "build_skip_index": "xorfilter_net_spark.sources.skipping",
+    "scan_with_skip_index": "xorfilter_net_spark.sources.skipping",
+    "rolling_distinct_exact": "xorfilter_net_spark.sketches.rolling",
+    "phash_near_pairs": "xorfilter_net_spark.multimodal.phash",
 }
 
 __all__ = list(_EXPORTS)
