@@ -250,3 +250,51 @@ def test_change_data_feed_skips_same_owner_buckets(spark, tmp_path):
     from xorfilter_net_spark.sources.timetravel import table_changes
 
     assert table_changes(spark, path, 0, 1).count() == 0
+
+
+class TestFsck:
+    def test_clean_table_and_orphan_repair(self, spark, tmp_path):
+        import os
+
+        from xorfilter_net_spark.sources.timetravel import (
+            create_table, fsck, merge_into, read_table,
+        )
+
+        df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+        path = str(tmp_path / "t")
+        create_table(df, path, "k", n_buckets=4)
+        merge_into(
+            spark,
+            path,
+            spark.createDataFrame([(1, 11, False)], "k long, v long, __del boolean"),
+            deleted_col="__del",
+        )
+        rep = fsck(path)
+        assert rep["orphan_dirs"] == [] and rep["missing_dirs"] == []
+
+        # simulate a crash mid-commit: data dir written, no manifest
+        os.makedirs(os.path.join(path, "v99", "__bucket=0"))
+        with open(os.path.join(path, "v99", "__bucket=0", "junk"), "w") as f:
+            f.write("x")
+        rep = fsck(path)
+        assert rep["orphan_dirs"] == [99]
+        before = sorted(tuple(r) for r in read_table(spark, path).collect())
+        rep = fsck(path, repair=True)
+        assert rep["removed_dirs"] == [99]
+        assert not os.path.exists(os.path.join(path, "v99"))
+        # live data untouched, every version still reads
+        assert sorted(tuple(r) for r in read_table(spark, path).collect()) == before
+        assert read_table(spark, path, version=0).count() == 2
+
+    def test_missing_dir_detected(self, spark, tmp_path):
+        import shutil as sh
+
+        from xorfilter_net_spark.sources.timetravel import create_table, fsck
+
+        df = spark.createDataFrame([(1, 10)], "k long, v long")
+        path = str(tmp_path / "t2")
+        create_table(df, path, "k", n_buckets=2)
+        sh.rmtree(path + "/v0")
+        rep = fsck(path)
+        assert rep["missing_dirs"] == [0]
+        assert rep["removed_dirs"] == []

@@ -130,9 +130,25 @@ def child(cpus: int, corpus_path: str) -> None:
             triangle_counts,
         )
 
-        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        )
+        # disjoint shifted replicas grow the graph linearly (structure
+        # preserved, no cross-replica edges) so real wedge work, not the
+        # fixed driver/broadcast stages, dominates the measured wall
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_TRI_REPLICAS", "1"))
+        parts = [
+            li.select(
+                (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
+                (F.col("l_partkey") + i * 10_000_000).alias("l_partkey"),
+            )
+            for i in range(reps)
+        ]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionAll(p)
         return triangle_counts(
-            cooccurrence_edges(li, "l_orderkey", "l_partkey"), prune="xor"
+            cooccurrence_edges(big, "l_orderkey", "l_partkey"), prune="xor"
         )
 
     eval_df = corpus.filter("doc_id % 37 = 0").select("text")

@@ -421,3 +421,53 @@ def compact(spark: SparkSession, path: str) -> int:
         },
     )
     return new_version
+
+
+def fsck(path: str, repair: bool = False) -> dict:
+    """Consistency check + crash-orphan cleanup.
+
+    The commit protocol writes data dirs FIRST and the manifest+pointer
+    LAST, so a crash mid-commit leaves an ORPHAN data dir no manifest
+    references — invisible to every reader (correctness holds), but
+    occupying storage. ``fsck`` reports:
+
+      - ``orphan_dirs``: commit dirs referenced by NO manifest (crash
+        debris; removed when ``repair=True`` — always safe, readers
+        cannot reach them),
+      - ``missing_dirs``: commit dirs a manifest references but that do
+        not exist (real corruption — storage loss or manual deletion;
+        NEVER auto-repaired, the affected versions are unreadable),
+      - ``danglers``: manifest files for versions newer than the
+        ``_current`` pointer (a crash between manifest write and pointer
+        flip cannot produce these — the manifest write and pointer write
+        are one ``_write_manifest`` call — so they too indicate manual
+        tampering; reported, not touched).
+
+    The Iceberg analog is ``remove_orphan_files``.
+    """
+    versions = list_versions(path)
+    referenced: set[int] = set()
+    for v in versions:
+        referenced.update(read_manifest(path, v)["owners"].values())
+    on_disk = {
+        int(name[1:])
+        for name in os.listdir(path)
+        if name.startswith("v") and name[1:].isdigit()
+    }
+    orphans = sorted(on_disk - referenced)
+    missing = sorted(referenced - on_disk)
+    current = current_version(path)
+    danglers = sorted(v for v in versions if v > current)
+    removed = []
+    if repair:
+        for c in orphans:
+            shutil.rmtree(os.path.join(path, f"v{c}"), ignore_errors=True)
+            removed.append(c)
+    return {
+        "versions": versions,
+        "current": current,
+        "orphan_dirs": orphans,
+        "missing_dirs": missing,
+        "danglers": danglers,
+        "removed_dirs": removed,
+    }
