@@ -506,3 +506,21 @@ def test_cli_skip_index_build_and_prune(spark, sf_tiny, tmp_path, cli_out):
     )
     assert pruned["n_files_total"] == 4
     assert 1 <= pruned["n_files_kept"] <= 2
+
+
+def test_cli_table_fsck(spark, tmp_path, cli_out):
+    import os
+
+    base = str(tmp_path / "in")
+    spark.createDataFrame([(1, 10), (2, 20)], "k long, v long").write.parquet(base)
+    path = str(tmp_path / "vt")
+    cli_out(
+        ["table", "create", "--path", path, "--input", base, "--key-col", "k",
+         "--buckets", "4"]
+    )
+    os.makedirs(os.path.join(path, "v7"))
+    rep = cli_out(["table", "fsck", "--path", path])
+    assert rep["orphan_dirs"] == [7] and rep["removed_dirs"] == []
+    rep = cli_out(["table", "fsck", "--path", path, "--repair"])
+    assert rep["removed_dirs"] == [7]
+    assert not os.path.exists(os.path.join(path, "v7"))

@@ -424,6 +424,8 @@ def cmd_table(args: argparse.Namespace) -> dict:
         )
     elif args.action == "compact":
         out["version"] = tt.compact(spark, args.path)
+    elif args.action == "fsck":
+        out.update(tt.fsck(args.path, repair=args.repair))
     elif args.action == "changes":
         df = tt.table_changes(
             spark, args.path, args.from_version, args.version
@@ -684,7 +686,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     t.add_argument(
         "action",
-        choices=["create", "merge", "read", "compact", "expire", "changes"],
+        choices=[
+            "create", "merge", "read", "compact", "expire", "changes",
+            "fsck",
+        ],
     )
     t.add_argument("--from-version", type=int, default=0)
     t.add_argument("--path", required=True)
@@ -695,6 +700,7 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--version", type=int, default=None)
     t.add_argument("--output", help="parquet output (read)")
     t.add_argument("--keep-latest", type=int, default=1)
+    t.add_argument("--repair", action="store_true", help="fsck: remove orphans")
     t.set_defaults(fn=cmd_table)
 
     sp = sub.add_parser(
