@@ -6755,6 +6755,60 @@ def q_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_sliding_window_events",
+    # each event belongs to duration/slide = 2 overlapping windows:
+    # starts s = floor(t/slide)*slide and s - slide, kept if t < s + dur
+    """
+with e as (
+  select event_type, epoch_us(ts) as t, value from events
+  where ts is not null
+),
+w as (
+  select event_type, value,
+         (cast(floor(t / 300000000) as bigint) - k) * 300000000
+           as win_start_us, t
+  from e, unnest(generate_series(0, 1)) as u(k)
+  where (cast(floor(t / 300000000) as bigint) - k) * 300000000 <= t
+    and t < (cast(floor(t / 300000000) as bigint) - k) * 300000000
+            + 600000000
+)
+select win_start_us, event_type, count(*) as n,
+       cast(sum(cast(value as decimal(18, 4))) as double) as sum_value
+from w group by 1, 2
+""",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) event-time windows — 10-minute windows
+    every 5 minutes via the built-in ``window(ts, dur, slide)`` (the
+    same expression the streaming path uses in streaming/windowed.py,
+    evaluated in batch). The oracle derives each event's two covering
+    windows arithmetically — different machinery, same buckets."""
+    from .streaming.windowed import windowed_agg
+
+    ev = load_table(spark, sf_dir, "events").filter("ts is not null")
+    out = windowed_agg(
+        ev,
+        "ts",
+        "10 minutes",
+        "0 seconds",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.expr(_dec_sum("value", "sum_value")),
+        ],
+        slide="5 minutes",
+    )
+    return out.select(
+        F.unix_micros(F.col("window.start").cast("timestamp")).alias(
+            "win_start_us"
+        ),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/
