@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "q_attribution_last_touch",
     "phash_near_dup_media",
     "q_sliding_window_events",
+    "cdc_chunks_documents",
 ]
 
 

@@ -6809,6 +6809,52 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cdc_chunks_documents",
+    f"""
+with corpus as ({_DOC_DUP_SELECT}),
+base as (
+  select doc_id, coalesce(text, '') as t,
+         length(coalesce(text, '')) as n
+  from corpus where length(coalesce(text, '')) > 0
+),
+pos as (
+  select doc_id, t, n, unnest(generate_series(1, n)) as i from base
+),
+starts as (
+  select doc_id, t, n, i from pos
+  where i = 1 or substr(md5(substr(t, i, 8)), 1, 2) < '04'
+),
+cl as (
+  select doc_id, t, n, i,
+         coalesce(lead(i) over w, n + 1) as e,
+         row_number() over w - 1 as chunk_idx
+  from starts window w as (partition by doc_id order by i)
+)
+select doc_id, chunk_idx, i as start, e - i as length,
+       md5(substr(t, i, e - i)) as chunk_hash
+from cl
+""",
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (text/cdc.py, the LBFS/FastCDC boundary
+    rule on text): md5-prefix rolling boundaries, per-doc lead() window
+    to close chunks, codegen chunk hashes. Run over the dup-injected
+    corpus so truncated near-copies share aligned chunk hashes — the
+    shift-invariance that makes cross-doc chunk dedup work. Value-exact
+    oracle; the dedup-ratio aggregate is chunk_dedup_stats."""
+    from .text.cdc import content_defined_chunks
+
+    corpus = _doc_dup_corpus(spark, sf_dir)
+    return content_defined_chunks(corpus, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "start",
+        "length",
+        "chunk_hash",
+    )
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/
