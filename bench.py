@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "phash_near_dup_media",
     "q_sliding_window_events",
     "cdc_chunks_documents",
+    "q_token_bucket_counts",
 ]
 
 

@@ -6855,6 +6855,77 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_token_bucket_counts",
+    f"""
+with corpus as ({_DOC_DUP_SELECT}),
+toks as (
+  select doc_id as id, unnest(string_split(coalesce(text, ''), ' ')) as tok
+  from corpus
+),
+t as (select id, tok from toks where tok != '')
+select id,
+       ((((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) * 16
+          + (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1)) * 16
+          + (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)) % 256
+         as bucket,
+       count(*) as cnt
+from t group by 1, 2
+""",
+)
+def q_token_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing sparse vectors (text/hash_embed.py): the exact
+    integer (id, bucket, count) view of the hashed embeddings — the
+    oracle surface of the text -> ANN bridge; the float normalization
+    is gated separately by hash_embed_ann_ok."""
+    from .text.hash_embed import token_bucket_counts
+
+    corpus = _doc_dup_corpus(spark, sf_dir)
+    return token_bucket_counts(corpus, "doc_id", "text", dim=256)
+
+
+@query(
+    "hash_embed_ann_ok",
+    "select true as nn_recall_ok, true as unit_norm_ok",
+)
+def q_hash_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text -> hashed embeddings -> existing ANN kernel, end to end:
+    every injected truncated near-copy must rank its source document in
+    its top-3 (brute exact cosine over the hashed vectors), and all
+    embeddings must be unit-norm (1e-9 tolerance). The gate that the
+    text/ANN bridge actually ranks near-duplicates first."""
+    from .ann.brute import topk_cosine
+    from .text.hash_embed import hash_embeddings
+
+    corpus = _doc_dup_corpus(spark, sf_dir)
+    emb = hash_embeddings(corpus, "doc_id", "text", dim=256).persist()
+    norm_bad = (
+        emb.withColumn(
+            "__n", F.expr("abs(aggregate(embedding, 0D, (a,x) -> a + x*x) - 1)")
+        )
+        .filter("__n > 1e-9")
+        .count()
+    )
+    dup_rows = emb.filter("id >= 1000000").collect()
+    queries = [(int(r["id"]), list(r["embedding"])) for r in dup_rows]
+    # top-3: a handful of documents in this small-vocabulary corpus are
+    # legitimately nearer to a truncated copy than its own source (cos
+    # ~0.985 vs ~0.99) — containment in the top 3 is the robust claim
+    nn = topk_cosine(emb, "id", "embedding", queries, k=3)
+    hits = (
+        nn.filter("neighbor_id = qid - 1000000")
+        .select("qid")
+        .distinct()
+        .count()
+    )
+    emb.unpersist()
+    return spark.createDataFrame(
+        [(bool(hits == len(queries)), bool(norm_bad == 0))],
+        "nn_recall_ok boolean, unit_norm_ok boolean",
+    )
+
+
 @query("q_kcore_copurchase", None)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/
