@@ -103,3 +103,32 @@ def test_registered_query_matches_duckdb(spark, sf_tiny):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_hive_partitioned_dataset_keeps_partition_columns(spark, sf_tiny):
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="skipidx_hive_")
+    data, idx = root + "/data", root + "/idx"
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    (
+        docs.write.mode("overwrite")
+        .partitionBy("source")
+        .parquet(data)
+    )
+    build_skip_index(spark, data, "doc_id", idx, width=8)
+    keys = [3, 17]
+    got = sorted(
+        tuple(r)
+        for r in scan_with_skip_index(spark, data, idx, "doc_id", keys)
+        .select("doc_id", "source")  # source IS the partition column
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(data)
+        .filter(F.col("doc_id").isin(keys))
+        .select("doc_id", "source")
+        .collect()
+    )
+    assert got == want and len(got) == 2

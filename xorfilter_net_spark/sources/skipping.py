@@ -163,6 +163,12 @@ def scan_with_skip_index(
             spark.read.parquet(data_path)
             .filter(F.lit(False))
         )
-    return spark.read.parquet(*kept).filter(
-        F.col(key_col).cast("string").isin([str(v) for v in values])
+    # basePath keeps hive partition columns derivable when the dataset
+    # is partitioned (reading explicit files would otherwise drop them)
+    return (
+        spark.read.option("basePath", data_path)
+        .parquet(*kept)
+        .filter(
+            F.col(key_col).cast("string").isin([str(v) for v in values])
+        )
     )
