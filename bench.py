@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "q_sliding_window_events",
     "cdc_chunks_documents",
     "q_token_bucket_counts",
+    "kmeans_cell_profile_embeddings",
+    "streaming_topk_tools",
 ]
 
 

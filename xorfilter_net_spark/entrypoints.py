@@ -6943,6 +6943,69 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_subgraph(edges, k=60)
 
 
+@query(
+    "streaming_topk_tools",
+    # oracle: the exact batch GROUP BY — with 5 distinct tools << k=64
+    # the Misra-Gries state never shrinks, so the maintained estimates
+    # ARE the exact counts (the below-capacity exactness regime)
+    f"with {TRANSCRIPTS_CTE} "
+    "select tool as key, count(*) as est_count from transcripts "
+    "where tool is not null group by tool",
+)
+def q_streaming_topk_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters (streaming/topk.py): a Misra-Gries state
+    maintained over the transcript tool stream by two micro-batches
+    through the REAL streaming engine (file source, foreachBatch
+    accumulator with atomic commits + replay ledger). Merge
+    associativity makes stream == batch; below-k cardinality makes the
+    estimates exact — hence the value-exact GROUP BY oracle."""
+    import os
+    import tempfile
+    import time
+
+    from .streaming.topk import heavy_hitters_df, stream_heavy_hitters
+
+    root = tempfile.mkdtemp(prefix="xfns_stopk_")
+    t = load_transcripts(spark, sf_dir).select("conv_id", "tool")
+    t0 = time.time() - 3600
+    for i, s in enumerate(
+        (t.filter("crc32(conv_id) % 2 = 0"), t.filter("crc32(conv_id) % 2 = 1"))
+    ):
+        p = os.path.join(root, "in", f"s{i}")
+        s.repartition(1).write.mode("overwrite").parquet(p)
+        for r, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(r, f), (t0 + 10 * i, t0 + 10 * i))
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "in", "s*"))
+    )
+    acc = stream_heavy_hitters(
+        stream, "tool", os.path.join(root, "state"),
+        os.path.join(root, "ckpt"), k=64,
+    )
+    return heavy_hitters_df(spark, acc)
+
+
+@query("kmeans_cell_profile_embeddings", None)
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully distributed Lloyd k-means (ann/kmeans.py): every iteration
+    is one mapInPandas pass whose per-batch output is the k x d table of
+    quantized per-cell sums (map-side combine — points never shuffle,
+    vectors never reach the driver), reduced by a k x d-bounded hash
+    aggregate. Iterative -> rows-only driver gate (same convention as
+    pagerank/BPE); exactness = the bit-identical pure-NumPy replay in
+    tests/test_kmeans.py. inertia_monotone carries the Lloyd descent
+    property in-query."""
+    from .ann.kmeans import kmeans_cell_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_cell_profile(
+        emb, "vec_id", "embedding", k=8, iters=6, seed=11
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'has this (conv_id, text-fingerprint) been seen?' over the
     sf0.001 transcripts — XOR16 build + vectorized probe, per-role counts."""
