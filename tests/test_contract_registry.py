@@ -53,6 +53,10 @@ def test_rows_only_queries_are_the_documented_iterative_set(registry):
         # Lloyd iterations -> rows-only; exactness = the bit-identical
         # NumPy replay differential in tests/test_kmeans.py
         "kmeans_cell_profile_embeddings",
+        # WordPiece training/encode is iterative like BPE/unigram;
+        # differential + greedy-property checks in tests/test_wordpiece.py
+        "wordpiece_pieces_documents",
+        "wordpiece_encode_stats",
     }
 
 

@@ -5657,6 +5657,53 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("wordpiece_pieces_documents", None)
+def q_wordpiece_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WordPiece training (text/wordpiece.py, Schuster &
+    Nakajima ICASSP'12 — the BERT tokenizer): 10 likelihood-scored
+    merges over the documents corpus, then the surface vocabulary
+    (word-initial + ##-continuation pieces). Same scale shape as BPE
+    (one corpus shuffle, vocab-sized iterations); the ratio argmax is
+    EXACT via float64 band pre-rank + driver Fraction re-compare.
+    Iterative -> rows-only; the strong check is the pure-Python
+    textbook differential in tests/test_wordpiece.py."""
+    from .text.wordpiece import train_wordpiece, vocab_pieces
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = train_wordpiece(docs, num_merges=10)
+    out = vocab_pieces(vocab)
+    vocab.unpersist()
+    return out
+
+
+@query("wordpiece_encode_stats", None)
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style greedy longest-match-first WordPiece encode against
+    the trained surface vocabulary — Arrow kernel over DISTINCT words +
+    word-keyed join-back (the production word-table shape). Per-doc
+    token and [UNK] counts. Iterative upstream -> rows-only; the greedy
+    property is verified piece-by-piece in tests/test_wordpiece.py."""
+    from .text.wordpiece import (
+        UNK,
+        encode_wordpiece,
+        train_wordpiece,
+        wordpiece_vocab_set,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = train_wordpiece(docs, num_merges=10)
+    pieces = wordpiece_vocab_set(vocab)
+    vocab.unpersist()
+    enc = encode_wordpiece(docs, pieces, "doc_id", "text")
+    return enc.select(
+        "doc_id",
+        F.size("wp_tokens").alias("n_wp_tokens"),
+        F.expr(
+            f"size(filter(wp_tokens, t -> t = '{UNK}'))"
+        ).alias("n_unk"),
+    )
+
+
 @query("bpe_encode_distinct_parity", "select true as paths_identical")
 def q_bpe_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-scale BPE encode (encode_with_merges_distinct:
