@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "q_ohlc_resample_events",
     "q_gapfill_user_daily",
     "rolling_distinct_users",
+    "rolling_topk_event_types",
     "q_attribution_last_touch",
     "phash_near_dup_media",
     "q_sliding_window_events",

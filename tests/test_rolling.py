@@ -84,3 +84,53 @@ def test_registered_query_matches_duckdb(spark, sf_tiny):
     )
     assert got == want
     assert len(got) > 5
+
+
+def test_rolling_topk_vs_python_replay(spark):
+    from xorfilter_net_spark.sketches.rolling import rolling_topk_mg
+
+    rng = random.Random(9)
+    rows = []
+    for _ in range(500):
+        day = rng.randrange(0, 12)
+        if day == 5:  # gap day: no anchor
+            continue
+        key = f"t{rng.randrange(0, 6)}"
+        rows.append((key, dt.datetime(2024, 1, 1) + dt.timedelta(days=day)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {
+        (r["period"], r["key"]): r["est_count"]
+        for r in rolling_topk_mg(df, "k", "ts", k=64, window=4).collect()
+    }
+    base = 1704067200 // 86400
+    by_day = {}
+    for key, t in rows:
+        d = base + (t - dt.datetime(2024, 1, 1)).days
+        by_day.setdefault(d, {}).setdefault(key, 0)
+        by_day[d][key] += 1
+    want = {}
+    for d in by_day:
+        for back in range(4):
+            for key, c in by_day.get(d - back, {}).items():
+                want[(d, key)] = want.get((d, key), 0) + 0  # anchor init
+        for back in range(4):
+            for key, c in by_day.get(d - back, {}).items():
+                want[(d, key)] += c
+    assert got == want
+    assert not any(p == base + 5 for p, _ in got)
+
+
+def test_rolling_topk_truncation_and_order(spark):
+    from xorfilter_net_spark.sketches.rolling import rolling_topk_mg
+
+    rows = (
+        [("a", dt.datetime(2024, 1, 1))] * 5
+        + [("b", dt.datetime(2024, 1, 1))] * 3
+        + [("c", dt.datetime(2024, 1, 1))] * 3
+        + [("d", dt.datetime(2024, 1, 1))]
+    )
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = rolling_topk_mg(df, "k", "ts", k=64, window=2, top=2).collect()
+    # deterministic: count desc then key asc -> a(5), b(3); c tied with b
+    # loses on key order
+    assert [(r["key"], r["est_count"]) for r in got] == [("a", 5), ("b", 3)]

@@ -6500,6 +6500,36 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_topk_event_types",
+    # naive trailing-window re-count: every (active period, type) pair's
+    # 7-day frequency — exact because distinct types << k (no MG shrink)
+    """
+with e as (
+  select cast(floor(epoch_us(ts) / 86400000000) as bigint) as p,
+         event_type as et
+  from events where event_type is not null and ts is not null
+),
+periods as (select distinct p from e)
+select periods.p as period, e.et as key, count(*) as est_count
+from periods join e on e.p between periods.p - 6 and periods.p
+group by 1, 2
+""",
+)
+def q_rolling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day event-type frequency table per day
+    (sketches/rolling.py::rolling_topk_mg) — the FREQUENCY twin of the
+    rolling distinct: per-day Misra-Gries states from one corpus pass,
+    explode-fanout, per-window counter-addition merge. The oracle
+    re-counts each window naively (W x the corpus per sweep — the cost
+    this operator exists to avoid); values match exactly because the
+    per-window distinct-type count never reaches k=64."""
+    from .sketches.rolling import rolling_topk_mg
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_topk_mg(ev, "event_type", "ts", k=64, window=7)
+
+
+@query(
     "rolling_distinct_hll_ok",
     "select true as within_bound, true as anchors_match",
 )

@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 from .base import MergeableSketch, aggregate_by_group
 from .bitmap import BitmapSketch
 
-__all__ = ["rolling_state_window", "rolling_distinct_exact"]
+__all__ = [
+    "rolling_state_window",
+    "rolling_distinct_exact",
+    "rolling_topk_mg",
+]
 
 
 def rolling_state_window(
@@ -77,6 +81,74 @@ def rolling_state_window(
 
     return src.groupBy("__target").applyInPandas(
         merge_group, schema=f"{period_col} long, {out_col} long"
+    )
+
+
+def rolling_topk_mg(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    k: int = 256,
+    window: int = 7,
+    period_seconds: int = 86400,
+    top: int | None = None,
+) -> DataFrame:
+    """(period, key, est_count) — the trailing-``window`` frequency
+    table per active period, from per-period Misra-Gries states. The
+    frequency twin of ``rolling_distinct_exact``: same one-pass +
+    explode-fanout + per-window merge plan, but the window answer is a
+    whole (key, count) table instead of one integer.
+
+    MG merge is counter addition + shrink (Mergeable Summaries), so
+    per-window estimates carry the usual [true - N_w/(k+1), true] bound
+    where N_w is the WINDOW's row count; when distinct keys per window
+    never exceed ``k`` no shrink fires anywhere and every count is EXACT
+    — the regime the registered query's value-exact oracle pins.
+    ``top`` truncates each window's table to its ``top`` most frequent
+    keys (count desc, key asc — deterministic)."""
+    from .misra_gries import MisraGriesSketch
+
+    if period_seconds <= 0:
+        raise ValueError("period_seconds must be positive")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    sk = MisraGriesSketch(k=k, key_col="__k")
+    e = events.select(
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(period_seconds * 1_000_000)
+        ).alias("period"),
+        F.col(key_col).cast("string").alias("__k"),
+    ).filter(F.col("__k").isNotNull() & F.col("period").isNotNull())
+    states = aggregate_by_group(e, ["period"], ["__k"], sk)
+    contrib = states.select(
+        F.explode(
+            F.sequence(F.col("period"), F.col("period") + (window - 1))
+        ).alias("__target"),
+        "state",
+    )
+    anchors = states.select(F.col("period").alias("__target")).distinct()
+    src = contrib.join(anchors, "__target", "left_semi")
+
+    def merge_group(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        st = sk.zero()
+        for blob in pdf["state"]:
+            st = sk.merge(st, sk.deserialize(bytes(blob)))
+        items = sorted(
+            sk.finish(st).items(), key=lambda kv: (-kv[1], str(kv[0]))
+        )
+        if top is not None:
+            items = items[:top]
+        return pd.DataFrame(
+            {
+                "period": [keys[0]] * len(items),
+                "key": [str(key) for key, _ in items],
+                "est_count": [int(c) for _, c in items],
+            }
+        )
+
+    return src.groupBy("__target").applyInPandas(
+        merge_group, schema="period long, key string, est_count long"
     )
 
 
