@@ -7021,6 +7021,37 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_format_roundtrip_events",
+    # row counts are real data facts; parity is the Spark-side gate
+    "select f as format, (select count(*) from events) as n_rows, "
+    "true as parity from (values ('csv'), ('json'), ('orc'), ('parquet')) "
+    "t(f)",
+)
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every batch file format through the same skew-proof sink layout
+    (sources/formats.py): events written as parquet/ORC/JSONL/CSV and
+    read back schema-pinned; parity = exact multiset equality both
+    directions. Timestamps projected to epoch micros and the JSON props
+    to their md5 first — text formats re-parse timestamps through a
+    format string and CSV cannot hold null-vs-empty, so the gate
+    measures the FORMAT machinery, not incidental string dialects."""
+    import tempfile
+
+    from .sources.formats import roundtrip_dataset
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "event_type",
+        "user_id",
+        "value",
+        "unix_micros(cast(ts as timestamp)) as ts_us",
+        "md5(coalesce(props, '')) as props_md5",
+    )
+    root = tempfile.mkdtemp(prefix="xfns_fmt_")
+    return roundtrip_dataset(ev, root).orderBy("format")
+
+
+@query(
     "streaming_topk_tools",
     # oracle: the exact batch GROUP BY — with 5 distinct tools << k=64
     # the Misra-Gries state never shrinks, so the maintained estimates

@@ -30,6 +30,7 @@ def write_dataset(
     max_records_per_file: int = 5_000_000,
     mode: str = "overwrite",
     format: str = "parquet",
+    options: dict | None = None,
 ) -> None:
     """Write ``df`` as a hive-partitioned dataset with a bounded,
     skew-proof file count per partition directory."""
@@ -46,6 +47,8 @@ def write_dataset(
         .format(format)
         .option("maxRecordsPerFile", str(max_records_per_file))
     )
+    for key, val in (options or {}).items():
+        writer = writer.option(key, val)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.save(path)
