@@ -792,3 +792,17 @@ def test_ddsketch_collapse_caps_bins_and_keeps_upper_quantiles():
     for q in (0.9, 0.95, 0.99):  # above the collapsed mass
         exact = srt[int(np.floor(q * (len(srt) - 1)))]
         assert abs(d.quantile(st, q) - exact) <= d.alpha * exact * 1.0001
+
+
+def test_ddsketch_rollup_query_gates(spark, sf_tiny):
+    """Sketch-column rollup for quantiles: byte-identical rolled-up
+    states + rank gates hold at the tiny SF too."""
+    from xorfilter_net_spark import entrypoints
+
+    out = entrypoints.QUERIES["ddsketch_rollup_events_ok"](
+        spark, sf_tiny
+    ).collect()
+    assert out
+    for r in out:
+        assert r["rollup_matches_direct"]
+        assert r["p50_rank_ok"] and r["p95_rank_ok"]

@@ -767,6 +767,79 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ddsketch_rollup_events_ok",
+    "select event_type, true as p50_rank_ok, true as p95_rank_ok, "
+    "true as rollup_matches_direct "
+    "from events where event_type is not null and value is not null "
+    "group by event_type",
+)
+def q_ddsketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-column rollup pattern applied to QUANTILES: per-
+    (event_type, day) DDSketch states built in one map-side-combined
+    pass, per-type answers by re-merging stored daily states. DDSketch
+    is the right quantile sketch for this because its merge is plain
+    bucket-count addition — the rolled-up state is BYTE-IDENTICAL to
+    direct per-type aggregation (KLL/t-digest merges only agree within
+    their error bound), asserted per type alongside rank-accuracy gates
+    on p50/p95 from the rolled-up states."""
+    from .sketches.columns import merge_states, partial_states
+    from .sketches.ddsketch import DDSketch
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type is not null and value is not null")
+        .withColumn("day", F.to_date("ts"))
+        .persist()
+    )
+    sk = DDSketch(alpha=0.01, value_col="value", max_bins=4096)
+    daily = merge_states(
+        partial_states(ev, ["event_type", "day"], ["value"], sk),
+        ["event_type", "day"],
+        sk,
+    )
+    rolled = merge_states(daily, ["event_type"], sk)
+    direct = merge_states(
+        partial_states(ev, ["event_type"], ["value"], sk), ["event_type"], sk
+    )
+    match = (
+        rolled.withColumnRenamed("state", "r_state")
+        .join(direct.withColumnRenamed("state", "d_state"), "event_type")
+        .select(
+            "event_type",
+            (F.col("r_state") == F.col("d_state")).alias(
+                "rollup_matches_direct"
+            ),
+        )
+    )
+    # rank-accuracy of the rolled-up states: per type, the fraction of
+    # values at or below the estimate must sit within 0.02 of q (the
+    # same empirical gate as ddsketch_event_value_quantiles_ok)
+    rows = []
+    for r in rolled.collect():
+        st = sk.deserialize(bytes(r["state"]))
+        sub = ev.filter(F.col("event_type") == r["event_type"])
+        n = sub.count()
+        oks = []
+        # 0.02 rank margin widened by discreteness at small per-type n
+        tol = max(0.02, 2.5 / n)
+        for q in (0.5, 0.95):
+            est = sk.quantile(st, q)
+            tr = sub.filter(F.col("value") <= est).count() / n
+            oks.append(abs(tr - q) <= tol)
+        rows.append((r["event_type"], oks[0], oks[1]))
+    checks = spark.createDataFrame(
+        rows, "event_type string, p50_rank_ok boolean, p95_rank_ok boolean"
+    )
+    out = checks.join(match, "event_type").select(
+        "event_type", "p50_rank_ok", "p95_rank_ok", "rollup_matches_direct"
+    )
+    out = out.cache()
+    out.count()
+    ev.unpersist()
+    return out
+
+
+@query(
     "cms_event_type_counts",
     "select event_type, count(*) as est_count from events group by event_type",
 )
