@@ -50,6 +50,9 @@ def test_rows_only_queries_are_the_documented_iterative_set(registry):
         # exactness = the Python peel differential in
         # tests/test_profile_assoc_kcore.py
         "q_kcore_copurchase",
+        # HITS is iterative like pagerank; bit-exact Python replay
+        # differential in tests/test_pagerank.py
+        "hits_tools",
         # Lloyd iterations -> rows-only; exactness = the bit-identical
         # NumPy replay differential in tests/test_kmeans.py
         "kmeans_cell_profile_embeddings",

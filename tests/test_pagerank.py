@@ -95,3 +95,70 @@ def test_tool_edges_shape(spark):
         ("none", "tool_a"): 1,
         ("tool_a", "tool_b"): 2,
     }
+
+
+def py_hits(edges, iters=8):
+    nodes: set = set()
+    for s, t, w in edges:
+        nodes |= {s, t}
+    n = len(nodes)
+    hub = {v: MASS_E12 // n for v in nodes}
+    auth = {v: MASS_E12 // n for v in nodes}
+
+    def half(scores, forward):
+        raw = {v: 0 for v in nodes}
+        for s, t, w in edges:
+            if forward:
+                raw[t] += scores[s] * w
+            else:
+                raw[s] += scores[t] * w
+        total = sum(raw.values())
+        if total == 0:
+            return {v: MASS_E12 // n for v in nodes}
+        return {v: raw[v] * MASS_E12 // total for v in nodes}
+
+    for _ in range(iters):
+        auth = half(hub, True)
+        hub = half(auth, False)
+    return auth, hub
+
+
+def test_hits_matches_python_replay_exactly(spark, edges_df):
+    from xorfilter_net_spark.relational.pagerank import hits
+
+    got = {
+        r["node"]: (r["auth_e12"], r["hub_e12"])
+        for r in hits(edges_df, iters=6).collect()
+    }
+    auth, hub = py_hits(EDGES, iters=6)
+    assert got == {v: (auth[v], hub[v]) for v in auth}
+
+
+def test_hits_partitioning_invariant(spark, edges_df):
+    from xorfilter_net_spark.relational.pagerank import hits
+
+    a = {
+        tuple(r)
+        for r in hits(edges_df.repartition(1), iters=4).collect()
+    }
+    b = {
+        tuple(r)
+        for r in hits(edges_df.repartition(5), iters=4).collect()
+    }
+    assert a == b
+
+
+def test_hits_semantics(spark, edges_df):
+    from xorfilter_net_spark.relational.pagerank import hits
+
+    out = {
+        r["node"]: (r["auth_e12"], r["hub_e12"])
+        for r in hits(edges_df, iters=8).collect()
+    }
+    # c receives weight-4 in-links from the two biggest hubs -> top authority
+    assert max(out, key=lambda v: out[v][0]) == "c"
+    # d has no out-edges -> zero hub score; a has no strong in-links
+    assert out["d"][1] == 0
+    # L1 mass ~1e12 up to floor leak (<= n units per half-step)
+    assert abs(sum(v[0] for v in out.values()) - MASS_E12) <= 8 * len(out)
+    assert abs(sum(v[1] for v in out.values()) - MASS_E12) <= 8 * len(out)

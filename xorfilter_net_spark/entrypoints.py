@@ -4796,6 +4796,23 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("hits_tools", None)
+def q_hits_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the agent tool-transition graph
+    (relational/pagerank.py::hits): which tools are information sinks
+    (authorities) vs dispatchers (hubs) in tool-call flows. Same exact
+    int64 micro-unit convention as pagerank — L1-normalized with pinned
+    floor semantics each half-step via an overflow-proof decimal(38,0)
+    remainder trick, bit-identical to the pure-Python replay
+    (tests/test_pagerank.py). Iterative -> rows-only driver gate."""
+    from .relational.pagerank import hits, tool_edges
+
+    t = load_transcripts(spark, sf_dir)
+    return hits(tool_edges(t), iters=8).select(
+        "node", "auth_e12", "hub_e12"
+    )
+
+
 @query("pagerank_tools", None)
 def q_pagerank_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the agent tool-transition graph (relational/

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "tool_edges"]
+__all__ = ["pagerank", "hits", "tool_edges"]
 
 MASS_E12 = 10**12
 
@@ -122,3 +122,91 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def _l1_norm_e12(raw: DataFrame, col: str, total: int) -> DataFrame:
+    """score_e12 = floor(raw * 10^12 / total), computed EXACTLY in
+    decimal(38,0): (x*M - (x*M) % S) / S — subtracting the remainder
+    first makes the decimal division an exact integer, so no engine
+    rounding mode can touch it (raw*M <= ~10^30 << 10^38)."""
+    m = MASS_E12
+    expr = (
+        f"cast(((cast({col} as decimal(38,0)) * {m}) - "
+        f"((cast({col} as decimal(38,0)) * {m}) % {total})) / {total} "
+        "as long)"
+    )
+    return raw.withColumn(col, F.expr(expr))
+
+
+def hits(edges: DataFrame, iters: int = 15) -> DataFrame:
+    """(node, auth_e12, hub_e12) — HITS hubs/authorities (Kleinberg,
+    JACM'99) over a weighted edge list, in the same exact-int64
+    convention as ``pagerank``: scores are L1-normalized to 10^12
+    micro-units after every half-step with pinned floor semantics, so
+    the whole run is bit-identical under any partitioning and to the
+    pure-Python replay in tests/test_pagerank.py.
+
+    Per iteration: one dst-keyed integer-sum shuffle (auth step), one
+    src-keyed one (hub step), and two scalar collects (the L1 totals).
+    Edges are cached once and never move; only node-sized score rows
+    cross the wire; ``localCheckpoint`` keeps plan depth O(1).
+
+    Operating envelope (documented, test-pinned): per-edge products
+    ``hub_e12 * w`` must stay under 2^63 — true whenever every edge
+    weight is < 9.2e6. For heavier multigraph weights pre-scale ``w``
+    (ordering-preserving); the normalization itself is overflow-proof
+    via the decimal path."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "w").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "node string, auth_e12 long, hub_e12 long"
+        )
+    hubs = nodes.withColumn("hub_e12", F.lit(MASS_E12 // n))
+    auths = nodes.withColumn("auth_e12", F.lit(MASS_E12 // n))
+
+    def half_step(scores: DataFrame, score_col: str, from_col: str,
+                  to_col: str, out_col: str) -> DataFrame:
+        raw = (
+            e.join(scores, e[from_col] == scores["node"])
+            .select(
+                F.col(to_col).alias("node"),
+                (F.col(score_col) * F.col("w")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias(out_col))
+        )
+        total = raw.agg(
+            F.coalesce(F.sum(out_col), F.lit(0)).alias("s")
+        ).collect()[0]["s"]
+        if total == 0:
+            return nodes.withColumn(out_col, F.lit(MASS_E12 // n))
+        normed = _l1_norm_e12(raw, out_col, int(total))
+        return (
+            nodes.join(normed, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col(out_col), F.lit(0)).alias(out_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(iters):
+        auths = half_step(hubs, "hub_e12", "src", "dst", "auth_e12")
+        hubs = half_step(auths, "auth_e12", "dst", "src", "hub_e12")
+    out = nodes.join(auths, "node", "left").join(hubs, "node", "left").select(
+        "node",
+        F.coalesce("auth_e12", F.lit(0)).alias("auth_e12"),
+        F.coalesce("hub_e12", F.lit(0)).alias("hub_e12"),
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return out
