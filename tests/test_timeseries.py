@@ -90,3 +90,87 @@ def test_registered_queries_match_duckdb(spark, sf_tiny, name):
     )
     assert got == want
     assert len(got) > 0
+
+
+class TestRollingMomentAnomalies:
+    def test_planted_spike_flags(self, spark):
+        import datetime as dt
+
+        from xorfilter_net_spark.relational.timeseries import (
+            rolling_moment_anomalies,
+        )
+
+        rows = []
+        # 10 calm days around 10.0 +- 0.2, then a day-11 spike at 50.0
+        for day in range(10):
+            for i in range(20):
+                rows.append(
+                    (10.0 + 0.2 * ((i % 5) - 2),
+                     dt.datetime(2024, 1, 1) + dt.timedelta(days=day, hours=i % 24))
+                )
+        for i in range(20):
+            rows.append(
+                (50.0, dt.datetime(2024, 1, 11) + dt.timedelta(hours=i % 24))
+            )
+        df = spark.createDataFrame(rows, "value double, ts timestamp")
+        out = {
+            r["period"]: r
+            for r in rolling_moment_anomalies(df, "value", "ts").collect()
+        }
+        base = 1704067200 // 86400
+        # first day: empty prior window -> false
+        assert out[base]["n_prior"] == 0
+        assert out[base]["is_anomaly"] is False
+        # calm mid-run day: not anomalous
+        assert out[base + 5]["is_anomaly"] is False
+        # the spike day deviates wildly from its prior week
+        assert out[base + 10]["is_anomaly"] is True
+
+    def test_python_replay_exact(self, spark):
+        import datetime as dt
+        import random
+
+        from xorfilter_net_spark.relational.timeseries import (
+            rolling_moment_anomalies,
+        )
+
+        rng = random.Random(3)
+        rows = [
+            (rng.uniform(-5, 5),
+             dt.datetime(2024, 1, 1) + dt.timedelta(days=rng.randrange(0, 9)))
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(rows, "value double, ts timestamp")
+        got = {
+            r["period"]: (
+                r["n_day"], r["sum_day_q"], r["n_prior"],
+                r["sum_prior_q"], r["sumsq_prior_q"], r["is_anomaly"],
+            )
+            for r in rolling_moment_anomalies(
+                df, "value", "ts", window=3
+            ).collect()
+        }
+        import math
+
+        base = 1704067200 // 86400
+        day: dict = {}
+        for v, t in rows:
+            p = base + (t - dt.datetime(2024, 1, 1)).days
+            q = math.floor(float(v) * 1000)
+            n, s1, s2 = day.get(p, (0, 0, 0))
+            day[p] = (n + 1, s1 + q, s2 + q * q)
+        want = {}
+        for p, (n_d, s1_d, _) in day.items():
+            N = S1 = S2 = 0
+            for back in range(1, 4):
+                if p - back in day:
+                    n, s1, s2 = day[p - back]
+                    N, S1, S2 = N + n, S1 + s1, S2 + s2
+            if N == 0:
+                flag = False
+            else:
+                flag = (s1_d * N - S1 * n_d) ** 2 * N > 9 * n_d * n_d * (
+                    S2 * N - S1 * S1
+                )
+            want[p] = (n_d, s1_d, N, S1, S2, flag)
+        assert got == want

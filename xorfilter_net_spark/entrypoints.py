@@ -7111,6 +7111,63 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_anomaly_event_values",
+    # the identical integer/hugeint arithmetic — DuckDB's int128 plays
+    # the role Spark's decimal(38,0) plays; sums cast back to bigint so
+    # both engines emit the same column types
+    """
+with e as (
+  select cast(floor(epoch_us(ts) / 86400000000) as bigint) as period,
+         cast(floor(cast(value as double) * 1000) as bigint) as q
+  from events where value is not null and ts is not null
+),
+day as (
+  select period, count(*) as n_day,
+         cast(sum(q) as bigint) as sum_day_q,
+         cast(sum(q * q) as bigint) as sumsq_day_q
+  from e group by period
+),
+prior as (
+  select d2.period as p,
+         cast(sum(d1.n_day) as bigint) as n_prior,
+         cast(sum(d1.sum_day_q) as bigint) as sum_prior_q,
+         cast(sum(d1.sumsq_day_q) as bigint) as sumsq_prior_q
+  from day d1 join day d2
+    on d2.period between d1.period + 1 and d1.period + 7
+  group by d2.period
+)
+select day.period, day.n_day, day.sum_day_q,
+       coalesce(prior.n_prior, 0) as n_prior,
+       coalesce(prior.sum_prior_q, 0) as sum_prior_q,
+       coalesce(prior.sumsq_prior_q, 0) as sumsq_prior_q,
+       case when coalesce(prior.n_prior, 0) = 0 then false else
+         (cast(day.sum_day_q as hugeint) * prior.n_prior
+          - cast(prior.sum_prior_q as hugeint) * day.n_day)
+         * (cast(day.sum_day_q as hugeint) * prior.n_prior
+            - cast(prior.sum_prior_q as hugeint) * day.n_day)
+         * prior.n_prior
+         > 9 * cast(day.n_day as hugeint) * day.n_day
+           * (cast(prior.sumsq_prior_q as hugeint) * prior.n_prior
+              - cast(prior.sum_prior_q as hugeint) * prior.sum_prior_q)
+       end as is_anomaly
+from day left join prior on day.period = prior.p
+""",
+)
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-sigma daily anomaly flags on event values
+    (relational/timeseries.py::rolling_moment_anomalies): each day's
+    mean vs the prior 7 days' population mean, the sigma test
+    cross-multiplied into ONE integer comparison in decimal(38,0) — no
+    division, no sqrt, no floats, zero Python. One corpus aggregate;
+    everything after is periods-sized. Value-exact oracle (DuckDB
+    replays the arithmetic in hugeint)."""
+    from .relational.timeseries import rolling_moment_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_moment_anomalies(ev, "value", "ts", window=7)
+
+
+@query(
     "q_format_roundtrip_events",
     # row counts are real data facts; parity is the Spark-side gate
     "select f as format, (select count(*) from events) as n_rows, "

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["resample_ohlc", "gapfill_forward"]
+__all__ = ["resample_ohlc", "gapfill_forward", "rolling_moment_anomalies"]
 
 
 def _epoch_us(ts_col: str):
@@ -115,4 +115,92 @@ def gapfill_forward(
             "period",
             F.last("n", ignorenulls=True).over(w).alias("n_filled"),
         )
+    )
+
+
+def rolling_moment_anomalies(
+    events: DataFrame,
+    value_col: str,
+    ts_col: str,
+    window: int = 7,
+    period_seconds: int = 86400,
+    sigmas: int = 3,
+    quant: int = 1000,
+) -> DataFrame:
+    """Exact 3-sigma anomaly flags per period: does each period's mean
+    value deviate from the PRIOR ``window`` periods' population mean by
+    more than ``sigmas`` standard deviations?
+
+    Entirely whole-stage codegen — no Python, no floats, no sqrt:
+    values quantize to milli-units (``floor(v*quant)``, one IEEE op,
+    identical cross-engine), per-period (n, sum, sumsq) moment rows are
+    the mergeable state (plain integer addition — the degenerate
+    mergeable sketch), each period's moments fan out to the ``window``
+    FOLLOWING periods they are "prior context" for, and the sigma test
+    is cross-multiplied into one integer comparison::
+
+        (s1_d*N - S1*n_d)^2 * N  >  sigmas^2 * n_d^2 * (S2*N - S1^2)
+
+    evaluated in decimal(38,0) (hugeint in the DuckDB oracle) so no
+    division or sqrt ever runs — both sides exact, flag deterministic.
+    Periods with an empty prior window flag false (no evidence).
+
+    Scale: ONE corpus-sized aggregate; the fanout/compare stages are
+    periods-sized. The decimal(38) envelope holds while
+    ``(sum*N)^2 * N < 10^38`` — comfortable for daily windows at
+    milli-quantization (pre-scale ``quant`` down for pathological
+    magnitudes)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if period_seconds <= 0:
+        raise ValueError("period_seconds must be positive")
+    per = events.select(
+        F.floor(
+            _epoch_us(ts_col) / F.lit(period_seconds * 1_000_000)
+        ).alias("period"),
+        F.expr(
+            f"cast(floor(cast({value_col} as double) * {quant}) as bigint)"
+        ).alias("q"),
+    ).filter(F.col("q").isNotNull() & F.col("period").isNotNull())
+    day = per.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_day"),
+        F.sum("q").alias("sum_day_q"),
+        F.sum(F.expr("q * q")).alias("sumsq_day_q"),
+    )
+    prior_contrib = day.select(
+        F.explode(
+            F.sequence(F.col("period") + 1, F.col("period") + window)
+        ).alias("p"),
+        "n_day",
+        "sum_day_q",
+        "sumsq_day_q",
+    )
+    prior = prior_contrib.groupBy("p").agg(
+        F.sum("n_day").alias("n_prior"),
+        F.sum("sum_day_q").alias("sum_prior_q"),
+        F.sum("sumsq_day_q").alias("sumsq_prior_q"),
+    )
+    j = day.join(prior, day["period"] == prior["p"], "left").select(
+        "period",
+        "n_day",
+        "sum_day_q",
+        F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
+        F.coalesce("sum_prior_q", F.lit(0)).alias("sum_prior_q"),
+        F.coalesce("sumsq_prior_q", F.lit(0)).alias("sumsq_prior_q"),
+    )
+    d = "cast({} as decimal(38,0))"
+    lhs = (
+        f"(({d.format('sum_day_q')} * n_prior - "
+        f"{d.format('sum_prior_q')} * n_day) * "
+        f"({d.format('sum_day_q')} * n_prior - "
+        f"{d.format('sum_prior_q')} * n_day)) * n_prior"
+    )
+    rhs = (
+        f"{sigmas * sigmas} * ({d.format('n_day')} * n_day) * "
+        f"({d.format('sumsq_prior_q')} * n_prior - "
+        f"{d.format('sum_prior_q')} * {d.format('sum_prior_q')})"
+    )
+    return j.withColumn(
+        "is_anomaly",
+        F.expr(f"case when n_prior = 0 then false else {lhs} > {rhs} end"),
     )
