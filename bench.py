@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "rolling_distinct_users",
     "rolling_topk_event_types",
     "rolling_anomaly_event_values",
+    "q_trend_event_values",
     "q_attribution_last_touch",
     "phash_near_dup_media",
     "q_sliding_window_events",

@@ -174,3 +174,70 @@ class TestRollingMomentAnomalies:
                 )
             want[p] = (n_d, s1_d, N, S1, S2, flag)
         assert got == want
+
+
+class TestGroupedTrend:
+    def test_known_perfect_lines(self, spark):
+        import datetime as dt
+
+        from xorfilter_net_spark.relational.timeseries import grouped_trend
+
+        rows = []
+        t0 = dt.datetime(2024, 1, 1)
+        # group 'up': y = 2.0 * x_hours + 1.0; group 'flat': constant 5
+        for h in range(6):
+            rows.append(("up", 2.0 * h + 1.0, t0 + dt.timedelta(hours=h)))
+            rows.append(("flat", 5.0, t0 + dt.timedelta(hours=h)))
+        # degenerate group: a single point -> NULL rationals
+        rows.append(("one", 3.0, t0))
+        df = spark.createDataFrame(rows, "g string, value double, ts timestamp")
+        out = {
+            r["g"]: r
+            for r in grouped_trend(df, "g", "ts", "value").collect()
+        }
+        up = out["up"]
+        # exact rational slope = 2000 milli-units/hour
+        assert up["slope_num"] == 2000 * up["den"]
+        assert up["intercept_num"] == 1000 * up["den"]
+        flat = out["flat"]
+        assert flat["slope_num"] == 0
+        assert flat["intercept_num"] == 5000 * flat["den"]
+        assert out["one"]["slope_num"] is None
+        assert out["one"]["den"] is None
+
+    def test_python_replay_exact(self, spark):
+        import datetime as dt
+        import math
+        import random
+
+        from xorfilter_net_spark.relational.timeseries import grouped_trend
+
+        rng = random.Random(11)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (f"g{rng.randrange(3)}", rng.uniform(-10, 10),
+             t0 + dt.timedelta(minutes=rng.randrange(0, 5000)))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(rows, "g string, value double, ts timestamp")
+        got = {
+            r["g"]: (r["n"], r["sx"], r["sy"], r["sxx"], r["sxy"],
+                     r["slope_num"], r["den"])
+            for r in grouped_trend(df, "g", "ts", "value").collect()
+        }
+        origin = min(int(t.timestamp() * 1_000_000) for _, _, t in rows)
+        acc: dict = {}
+        for g, v, t in rows:
+            x = (int(t.timestamp() * 1_000_000) - origin) // 3_600_000_000
+            y = math.floor(float(v) * 1000)
+            n, sx, sy, sxx, sxy = acc.get(g, (0, 0, 0, 0, 0))
+            acc[g] = (n + 1, sx + x, sy + y, sxx + x * x, sxy + x * y)
+        want = {}
+        for g, (n, sx, sy, sxx, sxy) in acc.items():
+            den = n * sxx - sx * sx
+            want[g] = (
+                n, sx, sy, sxx, sxy,
+                (n * sxy - sx * sy) if den else None,
+                den if den else None,
+            )
+        assert got == want

@@ -7111,6 +7111,55 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_trend_event_values",
+    """
+with e as (
+  select event_type as g, epoch_us(ts) as t,
+         cast(floor(cast(value as double) * 1000) as bigint) as y
+  from events
+  where event_type is not null and ts is not null and value is not null
+),
+o as (select min(t) as t0 from e),
+x as (select g, (t - (select t0 from o)) // 3600000000 as x, y from e),
+m as (
+  select g, count(*) as n,
+         cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+         cast(sum(x * x) as bigint) as sxx,
+         cast(sum(x * y) as bigint) as sxy
+  from x group by g
+)
+select g as event_type, n, sx, sy, sxx, sxy,
+  case when cast(n as hugeint) * sxx - cast(sx as hugeint) * sx = 0
+    then null else cast(cast(n as hugeint) * sxy
+                        - cast(sx as hugeint) * sy as bigint) end
+    as slope_num,
+  case when cast(n as hugeint) * sxx - cast(sx as hugeint) * sx = 0
+    then null else cast(cast(sy as hugeint) * sxx
+                        - cast(sx as hugeint) * sxy as bigint) end
+    as intercept_num,
+  case when cast(n as hugeint) * sxx - cast(sx as hugeint) * sx = 0
+    then null else cast(cast(n as hugeint) * sxx
+                        - cast(sx as hugeint) * sx as bigint) end
+    as den
+from m
+""",
+)
+def q_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS value trend as exact integer rationals
+    (relational/timeseries.py::grouped_trend): slope/intercept
+    numerators + shared denominator from five mergeable integer moments
+    in ONE map-side-combined hash aggregate — drift direction without a
+    float anywhere (division left to the consumer, the repo's TF-IDF /
+    PMI convention). x = hours since the corpus's first event, y =
+    milli-quantized value; decimal(38,0) Spark-side == hugeint in the
+    oracle. Value-exact."""
+    from .relational.timeseries import grouped_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_trend(ev, "event_type", "ts", "value")
+
+
+@query(
     "rolling_anomaly_event_values",
     # the identical integer/hugeint arithmetic — DuckDB's int128 plays
     # the role Spark's decimal(38,0) plays; sums cast back to bigint so

@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["resample_ohlc", "gapfill_forward", "rolling_moment_anomalies"]
+__all__ = [
+    "resample_ohlc",
+    "gapfill_forward",
+    "rolling_moment_anomalies",
+    "grouped_trend",
+]
 
 
 def _epoch_us(ts_col: str):
@@ -203,4 +208,94 @@ def rolling_moment_anomalies(
     return j.withColumn(
         "is_anomaly",
         F.expr(f"case when n_prior = 0 then false else {lhs} > {rhs} end"),
+    )
+
+
+def grouped_trend(
+    events: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    y_quant: int = 1000,
+    x_origin_us: int | None = None,
+    x_unit_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Per-group OLS trend line as EXACT integer rationals — "is this
+    metric drifting up or down per group" without a single float.
+
+    Closed-form simple regression needs only five mergeable integer
+    moments per group: (n, Σx, Σy, Σxx, Σxy). One map-side-combined
+    hash aggregate computes them; the slope/intercept are returned as
+    (numerator, denominator) pairs::
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+        intercept = (Σy·Σxx − Σx·Σxy) / (n·Σxx − Σx²)
+
+    with the division LEFT TO THE CONSUMER (the repo's standing
+    convention for cross-engine exactness — cf. TF-IDF, PMI). The
+    numerators/denominator are evaluated in decimal(38,0) (hugeint in
+    the oracle). x is the event time in coarse integer units
+    (``(epoch_us − origin) / x_unit_us``, hours by default) measured
+    from the corpus's own min timestamp unless pinned — keeping Σxx
+    small enough that the decimal envelope holds for ~10^9 rows/group
+    at hour resolution over a year. y quantizes to milli-units.
+
+    ``sign(slope_num) * sign(den)`` is the drift direction; groups with
+    a degenerate x spread (den = 0: <2 distinct x) emit NULL rationals.
+    """
+    e = events.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).alias("__ts"),
+        F.expr(
+            f"cast(floor(cast({y_col} as double) * {y_quant}) as bigint)"
+        ).alias("y"),
+    ).filter(
+        F.col("g").isNotNull()
+        & F.col("__ts").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    if x_origin_us is None:
+        x_origin_us = int(
+            e.agg(
+                F.min(F.unix_micros(F.col("__ts").cast("timestamp")))
+            ).collect()[0][0]
+            or 0
+        )
+    # integer `div`, not float floor: x >= 0 by origin choice, and the
+    # oracle replays the identical integer op (no double in the path)
+    x = F.expr(
+        f"(unix_micros(cast(__ts as timestamp)) - {x_origin_us}) "
+        f"div {x_unit_us}"
+    )
+    m = (
+        e.select("g", x.cast("long").alias("x"), "y")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+        )
+    )
+    d = "cast({} as decimal(38,0))"
+    den = f"({d.format('n')} * sxx - {d.format('sx')} * sx)"
+    slope_num = f"({d.format('n')} * sxy - {d.format('sx')} * sy)"
+    icpt_num = f"({d.format('sy')} * sxx - {d.format('sx')} * sxy)"
+    return m.select(
+        F.col("g").alias(group_col),
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        F.expr(
+            f"case when {den} = 0 then null else cast({slope_num} as long) end"
+        ).alias("slope_num"),
+        F.expr(
+            f"case when {den} = 0 then null else cast({icpt_num} as long) end"
+        ).alias("intercept_num"),
+        F.expr(
+            f"case when {den} = 0 then null else cast({den} as long) end"
+        ).alias("den"),
     )
