@@ -99,3 +99,56 @@ def test_streaming_query_matches_batch_oracle(spark, sf_tiny):
     )
     assert got == want
     assert len(got) > 5
+
+
+def test_moment_store_equals_batch_operator(spark, sf_tiny):
+    """Maintained moment states -> anomaly report must equal the batch
+    operator row for row (same quantization, same flag arithmetic)."""
+    import tempfile
+
+    from xorfilter_net_spark.relational.timeseries import (
+        rolling_moment_anomalies,
+    )
+    from xorfilter_net_spark.sketches.moments import MomentSketch
+    from xorfilter_net_spark.sources.session import load_table
+    from xorfilter_net_spark.streaming.rolling import (
+        apply_batch,
+        moment_anomalies_from_store,
+    )
+
+    ev = load_table(spark, sf_tiny, "events").select("event_id", "value", "ts")
+    sk = MomentSketch(quant=1000, value_col="__k")
+    store = tempfile.mkdtemp(prefix="sanom_")
+    init_period_store(spark, store)
+    apply_batch(
+        spark, store, ev.filter("event_id % 3 != 2"), 0, sk,
+        "value", "ts", 86400,
+    )
+    apply_batch(
+        spark, store, ev.filter("event_id % 3 = 2"), 1, sk,
+        "value", "ts", 86400,
+    )
+    got = sorted(
+        tuple(r) for r in moment_anomalies_from_store(spark, store).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in rolling_moment_anomalies(ev, "value", "ts", window=7).collect()
+    )
+    assert got == want
+
+
+def test_moment_sketch_unit():
+    import pandas as pd
+
+    from xorfilter_net_spark.sketches.moments import MomentSketch
+
+    sk = MomentSketch(quant=1000, value_col="v")
+    st = sk.update(sk.zero(), pd.DataFrame({"v": [1.5, -2.25, None]}))
+    assert st == (2, 1500 - 2250, 1500**2 + 2250**2)
+    # merge = addition; serialize round-trips python-int state
+    two = sk.merge(st, sk.deserialize(sk.serialize(st)))
+    assert two == (4, 2 * (1500 - 2250), 2 * (1500**2 + 2250**2))
+    # arbitrary-precision: values far past the int64 envelope survive
+    big = sk.update(sk.zero(), pd.DataFrame({"v": [9e15] * 3}))
+    assert big[2] == 3 * (int(9e15) * 1000) ** 2

@@ -47,6 +47,19 @@ _EXPORTS = {
     "scan_with_skip_index": "xorfilter_net_spark.sources.skipping",
     "rolling_distinct_exact": "xorfilter_net_spark.sketches.rolling",
     "phash_near_pairs": "xorfilter_net_spark.multimodal.phash",
+    "rolling_topk_mg": "xorfilter_net_spark.sketches.rolling",
+    "rolling_moment_anomalies": "xorfilter_net_spark.relational.timeseries",
+    "grouped_trend": "xorfilter_net_spark.relational.timeseries",
+    "kmeans_fit": "xorfilter_net_spark.ann.kmeans",
+    "kmeans_assign": "xorfilter_net_spark.ann.kmeans",
+    "train_wordpiece": "xorfilter_net_spark.text.wordpiece",
+    "encode_wordpiece": "xorfilter_net_spark.text.wordpiece",
+    "stream_heavy_hitters": "xorfilter_net_spark.streaming.topk",
+    "roundtrip_dataset": "xorfilter_net_spark.sources.formats",
+    "read_dataset": "xorfilter_net_spark.sources.formats",
+    "hits": "xorfilter_net_spark.relational.pagerank",
+    "pagerank": "xorfilter_net_spark.relational.pagerank",
+    "MomentSketch": "xorfilter_net_spark.sketches.moments",
 }
 
 __all__ = list(_EXPORTS)

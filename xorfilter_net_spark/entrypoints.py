@@ -5867,10 +5867,14 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    # prune='xor': wedges probed against the oriented-edge filter before
-    # the closure shuffle (41M wedges -> ~2M surviving rows at sf0.1);
-    # zero false negatives => identical counts (parity-tested)
-    return triangle_counts(edges, prune="xor")
+    # plain closure semi-join: the 1.2M-row closure side BROADCASTS, so
+    # the 41M wedges are filtered map-side with zero shuffle — measured
+    # 8.0 s vs 73.6 s for prune='xor' at sf0.1/local[32] (the prune pays
+    # filter construction + string-key probes to avoid a shuffle that
+    # AQE already avoids). prune='xor' remains the beyond-broadcast
+    # path: when the edge set no longer fits a broadcast, the probe
+    # prunes the wedge shuffle instead (row-identical, parity-tested).
+    return triangle_counts(edges, prune=None)
 
 
 @query(
@@ -7159,12 +7163,11 @@ def q_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_trend(ev, "event_type", "ts", "value")
 
 
-@query(
-    "rolling_anomaly_event_values",
-    # the identical integer/hugeint arithmetic — DuckDB's int128 plays
-    # the role Spark's decimal(38,0) plays; sums cast back to bigint so
-    # both engines emit the same column types
-    """
+# the identical integer/hugeint arithmetic — DuckDB's int128 plays the
+# role Spark's decimal(38,0) plays; sums cast back to bigint so both
+# engines emit the same column types. Shared verbatim by the batch
+# operator AND its streaming-maintenance twin (same output contract).
+_ANOMALY_ORACLE = """
 with e as (
   select cast(floor(epoch_us(ts) / 86400000000) as bigint) as period,
          cast(floor(cast(value as double) * 1000) as bigint) as q
@@ -7200,8 +7203,10 @@ select day.period, day.n_day, day.sum_day_q,
               - cast(prior.sum_prior_q as hugeint) * prior.sum_prior_q)
        end as is_anomaly
 from day left join prior on day.period = prior.p
-""",
-)
+"""
+
+
+@query("rolling_anomaly_event_values", _ANOMALY_ORACLE)
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-sigma daily anomaly flags on event values
     (relational/timeseries.py::rolling_moment_anomalies): each day's
@@ -7214,6 +7219,53 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rolling_moment_anomalies(ev, "value", "ts", window=7)
+
+
+@query("streaming_rolling_anomaly", _ANOMALY_ORACLE)
+def q_streaming_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-sigma anomaly monitor as MAINTAINED STATE: per-day moment
+    sketches (sketches/moments.py — exact integer (n, Σq, Σq²), merge =
+    addition) kept in the versioned period store by two event
+    micro-batches through the real streaming engine (exactly-once
+    ledgered commits), then the anomaly report computed from states
+    alone — history never re-read, flag arithmetic driver-side in
+    arbitrary-precision ints. The oracle is VERBATIM the batch
+    operator's: streaming maintenance must equal batch recomputation."""
+    import os
+    import tempfile
+    import time
+
+    from .sketches.moments import MomentSketch
+    from .streaming.rolling import (
+        init_period_store,
+        moment_anomalies_from_store,
+        stream_update_period_states,
+    )
+
+    root = tempfile.mkdtemp(prefix="xfns_sanom_")
+    store = os.path.join(root, "store")
+    init_period_store(spark, store)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value", "ts")
+    t0 = time.time() - 3600
+    for i, s in enumerate(
+        (ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1"))
+    ):
+        p = os.path.join(root, "in", f"s{i}")
+        s.repartition(1).write.mode("overwrite").parquet(p)
+        for r, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(r, f), (t0 + 10 * i, t0 + 10 * i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "in", "s*"))
+    )
+    q = stream_update_period_states(
+        stream, store, os.path.join(root, "ckpt"),
+        "value", "ts", sketch=MomentSketch(quant=1000, value_col="__k"),
+    )
+    q.awaitTermination()
+    return moment_anomalies_from_store(spark, store, window=7)
 
 
 @query(

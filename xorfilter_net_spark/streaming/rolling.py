@@ -40,6 +40,7 @@ __all__ = [
     "stream_update_period_states",
     "read_period_states",
     "rolling_from_store",
+    "moment_anomalies_from_store",
 ]
 
 _META = "view.json"
@@ -144,14 +145,18 @@ def stream_update_period_states(
     checkpoint_dir: str,
     key_col: str,
     ts_col: str,
-    capacity: int,
+    capacity: int | None = None,
     period_seconds: int = 86400,
     trigger_once: bool = True,
+    sketch: MergeableSketch | None = None,
 ):
-    """Attach the maintainer (bitmap states) to an event stream. The
-    store must already be initialized (``init_period_store``)."""
+    """Attach the maintainer to an event stream. The store must already
+    be initialized (``init_period_store``). Default state is a bitmap
+    over ``key_col`` (rolling distinct); pass any ``MergeableSketch``
+    reading the ``__k`` column to maintain other per-period state — e.g.
+    ``MomentSketch`` for the 3-sigma anomaly monitor."""
     spark = events_stream.sparkSession
-    sk = BitmapSketch(capacity, key_col="__k")
+    sk = sketch if sketch is not None else BitmapSketch(capacity, key_col="__k")
 
     def for_each(batch_df: DataFrame, batch_id: int) -> None:
         apply_batch(
@@ -182,4 +187,48 @@ def rolling_from_store(
         sk.estimate,
         window,
         out_col="n_rolling",
+    )
+
+
+def moment_anomalies_from_store(
+    spark: SparkSession,
+    store_dir: str,
+    quant: int = 1000,
+    window: int = 7,
+    sigmas: int = 3,
+) -> DataFrame:
+    """The 3-sigma anomaly report from a MAINTAINED moment store — the
+    streaming twin of ``relational/timeseries.py::
+    rolling_moment_anomalies``, producing the identical rows (the
+    registered query's oracle IS the batch operator's oracle).
+
+    The store is periods-sized, so the flag arithmetic runs driver-side
+    in arbitrary-precision Python ints — no decimal(38) envelope at all
+    on this path. Event history is never re-read."""
+    from ..sketches.moments import MomentSketch
+
+    sk = MomentSketch(quant=quant)
+    per = {
+        int(r["period"]): sk.deserialize(bytes(r["state"]))
+        for r in read_period_states(spark, store_dir).collect()
+    }
+    rows = []
+    for p in sorted(per):
+        n_d, s1_d, _ = per[p]
+        N = S1 = S2 = 0
+        for back in range(1, window + 1):
+            if p - back in per:
+                n, s1, s2 = per[p - back]
+                N, S1, S2 = N + n, S1 + s1, S2 + s2
+        if N == 0:
+            flag = False
+        else:
+            flag = (s1_d * N - S1 * n_d) ** 2 * N > (
+                sigmas * sigmas
+            ) * n_d * n_d * (S2 * N - S1 * S1)
+        rows.append((p, n_d, s1_d, N, S1, S2, bool(flag)))
+    return spark.createDataFrame(
+        rows,
+        "period long, n_day long, sum_day_q long, n_prior long, "
+        "sum_prior_q long, sumsq_prior_q long, is_anomaly boolean",
     )
