@@ -524,3 +524,53 @@ def test_cli_table_fsck(spark, tmp_path, cli_out):
     rep = cli_out(["table", "fsck", "--path", path, "--repair"])
     assert rep["removed_dirs"] == [7]
     assert not os.path.exists(os.path.join(path, "v7"))
+
+
+def test_cli_kmeans(spark, sf_tiny, tmp_path, cli_out):
+    out = cli_out(
+        [
+            "kmeans",
+            "--input", f"{sf_tiny}/embeddings.parquet",
+            "-k", "4", "--iters", "3",
+            "--output", str(tmp_path / "cells"),
+        ]
+    )
+    assert out["k"] == 4
+    assert sum(out["sizes"].values()) == 500
+    assert len(out["inertia_e6"]) == 3
+    got = spark.read.parquet(str(tmp_path / "cells"))
+    assert got.count() == 500
+    assert set(got.columns) == {"id", "cell", "cos_e6"}
+
+
+def test_cli_wordpiece(spark, sf_tiny, tmp_path, cli_out):
+    out = cli_out(
+        [
+            "wordpiece",
+            "--input", f"{sf_tiny}/documents.parquet",
+            "--num-merges", "5",
+            "--pieces-output", str(tmp_path / "pieces"),
+            "--encode-output", str(tmp_path / "enc"),
+        ]
+    )
+    assert out["n_merges"] == 5
+    assert out["n_pieces"] > 0
+    enc = spark.read.parquet(str(tmp_path / "enc"))
+    assert "wp_tokens" in enc.columns
+    assert enc.count() == spark.read.parquet(
+        f"{sf_tiny}/documents.parquet"
+    ).count()
+
+
+def test_cli_anomaly(spark, sf_tiny, tmp_path, cli_out):
+    out = cli_out(
+        [
+            "anomaly",
+            "--input", f"{sf_tiny}/events.parquet",
+            "--output", str(tmp_path / "anom"),
+        ]
+    )
+    assert out["periods"] > 0
+    rep = spark.read.parquet(str(tmp_path / "anom"))
+    assert "is_anomaly" in rep.columns
+    assert rep.count() == out["periods"]

@@ -177,6 +177,79 @@ def cmd_sketch(args: argparse.Namespace) -> dict:
     raise SystemExit(f"unknown sketch kind: {args.kind}")
 
 
+def cmd_kmeans(args: argparse.Namespace) -> dict:
+    from .ann.kmeans import kmeans_assign, kmeans_fit
+
+    spark = _get_spark("kmeans")
+    df = spark.read.parquet(args.input)
+    fit = kmeans_fit(
+        df, args.id_col, args.vec_col,
+        k=args.k, iters=args.iters, seed=args.seed,
+    )
+    assigned = kmeans_assign(df, args.id_col, args.vec_col, fit["centroids"])
+    if args.output:
+        assigned.write.mode("overwrite").parquet(args.output)
+    return {
+        "command": "kmeans",
+        "k": int(fit["centroids"].shape[0]),
+        "sizes": {str(c): n for c, n in sorted(fit["sizes"].items())},
+        "inertia_e6": fit["inertia_e6"],
+        "output": args.output,
+    }
+
+
+def cmd_wordpiece(args: argparse.Namespace) -> dict:
+    from .text.wordpiece import (
+        encode_wordpiece,
+        train_wordpiece,
+        vocab_pieces,
+        wordpiece_vocab_set,
+    )
+
+    spark = _get_spark("wordpiece")
+    df = spark.read.parquet(args.input)
+    merges, vocab = train_wordpiece(
+        df, text_col=args.text_col, num_merges=args.num_merges
+    )
+    pieces_df = vocab_pieces(vocab)
+    if args.pieces_output:
+        pieces_df.write.mode("overwrite").parquet(args.pieces_output)
+    out = {
+        "command": "wordpiece",
+        "n_merges": len(merges),
+        "n_pieces": pieces_df.count(),
+        "merges": [[m.left, m.right, m.pair_count] for m in merges[:20]],
+    }
+    if args.encode_output:
+        enc = encode_wordpiece(
+            df, wordpiece_vocab_set(vocab), args.id_col, args.text_col
+        )
+        enc.write.mode("overwrite").parquet(args.encode_output)
+        out["encode_output"] = args.encode_output
+    vocab.unpersist()
+    return out
+
+
+def cmd_anomaly(args: argparse.Namespace) -> dict:
+    from .relational.timeseries import rolling_moment_anomalies
+
+    spark = _get_spark("anomaly")
+    df = spark.read.parquet(args.input)
+    rep = rolling_moment_anomalies(
+        df, args.value_col, args.ts_col,
+        window=args.window, sigmas=args.sigmas,
+    )
+    if args.output:
+        rep.write.mode("overwrite").parquet(args.output)
+    flagged = rep.filter("is_anomaly").count()
+    return {
+        "command": "anomaly",
+        "periods": rep.count(),
+        "flagged": flagged,
+        "output": args.output,
+    }
+
+
 def cmd_profile(args: argparse.Namespace) -> dict:
     """One-scan column profile (pipeline/profile.py); optionally runs
     the suggested checks back through the validator (Deequ loop)."""
@@ -748,6 +821,40 @@ def main(argv: list[str] | None = None) -> int:
     si.add_argument("--width", type=int, default=8)
     si.add_argument("--values", default="", help="comma list (prune)")
     si.set_defaults(fn=cmd_skip_index)
+
+    km = sub.add_parser(
+        "kmeans", help="distributed Lloyd k-means over an embedding column"
+    )
+    km.add_argument("--input", required=True, help="parquet path")
+    km.add_argument("--id-col", default="vec_id")
+    km.add_argument("--vec-col", default="embedding")
+    km.add_argument("-k", type=int, default=16)
+    km.add_argument("--iters", type=int, default=8)
+    km.add_argument("--seed", type=int, default=11)
+    km.add_argument("--output", default=None, help="assignment parquet")
+    km.set_defaults(fn=cmd_kmeans)
+
+    wp = sub.add_parser(
+        "wordpiece", help="train a WordPiece vocab; optionally encode"
+    )
+    wp.add_argument("--input", required=True, help="parquet path")
+    wp.add_argument("--id-col", default="doc_id")
+    wp.add_argument("--text-col", default="text")
+    wp.add_argument("--num-merges", type=int, default=20)
+    wp.add_argument("--pieces-output", default=None)
+    wp.add_argument("--encode-output", default=None)
+    wp.set_defaults(fn=cmd_wordpiece)
+
+    an = sub.add_parser(
+        "anomaly", help="exact rolling 3-sigma anomaly report"
+    )
+    an.add_argument("--input", required=True, help="parquet path")
+    an.add_argument("--value-col", default="value")
+    an.add_argument("--ts-col", default="ts")
+    an.add_argument("--window", type=int, default=7)
+    an.add_argument("--sigmas", type=int, default=3)
+    an.add_argument("--output", default=None)
+    an.set_defaults(fn=cmd_anomaly)
 
     args = p.parse_args(argv)
     out = args.fn(args)
