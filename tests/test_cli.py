@@ -574,3 +574,21 @@ def test_cli_anomaly(spark, sf_tiny, tmp_path, cli_out):
     rep = spark.read.parquet(str(tmp_path / "anom"))
     assert "is_anomaly" in rep.columns
     assert rep.count() == out["periods"]
+
+
+def test_cli_table_delete(spark, sf_tiny, tmp_path, cli_out):
+    docs = f"{sf_tiny}/documents.parquet"
+    path = str(tmp_path / "vt")
+    cli_out(["table", "create", "--path", path, "--input", docs,
+             "--key-col", "doc_id", "--buckets", "8"])
+    keys = str(tmp_path / "dead")
+    spark.read.parquet(docs).filter("doc_id % 7 = 0").select(
+        "doc_id"
+    ).write.parquet(keys)
+    out = cli_out(["table", "delete", "--path", path, "--input", keys])
+    assert out["merge_on_read"] is True
+    n_total = spark.read.parquet(docs).count()
+    n_dead = spark.read.parquet(keys).count()
+    read_out = str(tmp_path / "rd")
+    got = cli_out(["table", "read", "--path", path, "--output", read_out])
+    assert got["rows"] == n_total - n_dead

@@ -298,3 +298,96 @@ class TestFsck:
         rep = fsck(path)
         assert rep["missing_dirs"] == [0]
         assert rep["removed_dirs"] == []
+
+
+class TestDeletionVectors:
+    """Merge-on-read deletes: sidecar layers, materialization on
+    rewrite/compact, CDF visibility, GC of sidecar dirs."""
+
+    def _setup(self, spark, tmp_path):
+        from xorfilter_net_spark.sources.timetravel import delete_where
+
+        path = str(tmp_path / "t")
+        df = _docs(spark)
+        create_table(df, path, "k", n_buckets=8)
+        dead = spark.range(10).select((F.col("id") * 6).alias("k"))  # 10 keys
+        res = delete_where(spark, path, dead)
+        return path, df, dead, res
+
+    def test_delete_without_rewrite(self, spark, tmp_path):
+        path, df, dead, res = self._setup(spark, tmp_path)
+        assert res["merge_on_read"] is True
+        # no data dir was written for the delete commit
+        assert not os.path.exists(os.path.join(path, "v1"))
+        assert os.path.exists(os.path.join(path, "dv1"))
+        m = read_manifest(path)
+        assert set(m["owners"].values()) == {0}  # owners untouched
+        assert any(m["dvs"].values())
+        dead_keys = {r.k for r in dead.collect()}
+        now = _rows(read_table(spark, path))
+        assert {t[0] for t in now} == {
+            r.k for r in df.collect()
+        } - dead_keys
+        # pre-delete version reads intact
+        assert _rows(read_table(spark, path, version=0)) == _rows(df)
+
+    def test_merge_materializes_touched_bucket_dvs(self, spark, tmp_path):
+        path, df, dead, _ = self._setup(spark, tmp_path)
+        # re-insert ONE deleted key with new payload
+        re_k = 6
+        delta = spark.createDataFrame([(re_k, "resurrected", 99)],
+                                      "k long, text string, grp long")
+        merge_into(spark, path, delta)
+        m = read_manifest(path)
+        # the re-inserted key's bucket cleared its dv layer
+        from xorfilter_net_spark.sources.timetravel import _bucketed
+
+        b = _bucketed(delta, "k", 8).collect()[0]["bucket"]
+        assert b not in m["dvs"] or m["dvs"][b] == []
+        now = {r.k: (r.text, r.grp) for r in read_table(spark, path).collect()}
+        assert now[re_k] == ("resurrected", 99)
+        # other deleted keys stay gone (their buckets keep the layer,
+        # or were materialized during the rewrite — either way absent)
+        for r in dead.collect():
+            if r.k != re_k:
+                assert r.k not in now
+
+    def test_compact_materializes_all(self, spark, tmp_path):
+        path, df, dead, _ = self._setup(spark, tmp_path)
+        before = _rows(read_table(spark, path))
+        compact(spark, path)
+        m = read_manifest(path)
+        assert m["dvs"] == {}
+        assert _rows(read_table(spark, path)) == before
+
+    def test_cdf_sees_dv_deletes(self, spark, tmp_path):
+        from xorfilter_net_spark.sources.timetravel import table_changes
+
+        path, df, dead, _ = self._setup(spark, tmp_path)
+        ch = table_changes(spark, path, 0, 1)
+        got = {(r.k, r.change_type) for r in ch.collect()}
+        assert got == {(r.k, "delete") for r in dead.collect()}
+
+    def test_expire_gcs_dv_dirs(self, spark, tmp_path):
+        path, df, dead, _ = self._setup(spark, tmp_path)
+        compact(spark, path)  # v2 owns everything, dvs empty
+        rep = expire_versions(path, keep_latest=1)
+        assert rep["removed_dv_dirs"] == [1]
+        assert not os.path.exists(os.path.join(path, "dv1"))
+        assert _rows(read_table(spark, path)) == sorted(
+            (r.k, r.text, r.grp)
+            for r in df.join(dead, "k", "left_anti").collect()
+        )
+
+    def test_fsck_dv_awareness(self, spark, tmp_path):
+        from xorfilter_net_spark.sources.timetravel import fsck
+
+        path, df, dead, _ = self._setup(spark, tmp_path)
+        rep = fsck(path)
+        assert rep["orphan_dv_dirs"] == []
+        assert rep["missing_dv_dirs"] == []
+        # plant an orphan dv dir; repair removes it
+        os.makedirs(os.path.join(path, "dv9"))
+        rep = fsck(path, repair=True)
+        assert rep["removed_dv_dirs"] == [9]
+        assert not os.path.exists(os.path.join(path, "dv9"))

@@ -495,6 +495,9 @@ def cmd_table(args: argparse.Namespace) -> dict:
             if args.version is not None
             else tt.current_version(args.path)
         )
+    elif args.action == "delete":
+        keys = spark.read.parquet(args.input)
+        out.update(tt.delete_where(spark, args.path, keys))
     elif args.action == "compact":
         out["version"] = tt.compact(spark, args.path)
     elif args.action == "fsck":
@@ -760,7 +763,7 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument(
         "action",
         choices=[
-            "create", "merge", "read", "compact", "expire", "changes",
+            "create", "merge", "delete", "read", "compact", "expire", "changes",
             "fsck",
         ],
     )

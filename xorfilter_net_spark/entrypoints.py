@@ -6927,6 +6927,85 @@ def q_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dv_delete_semantics_ok",
+    "select true as mor_delete, true as no_rewrite, "
+    "true as history_intact, true as materialize_on_merge, "
+    "true as compact_clears",
+)
+def q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion vectors (sources/timetravel.py::
+    delete_where): a delete commit writes per-bucket key sidecars — no
+    bucket data is rewritten (O(deleted keys), the Delta DV / Iceberg
+    delete-file trade on bare parquet). Gates: (a) current read excludes
+    the deleted keys, (b) the delete commit wrote NO data dir and left
+    every owner untouched, (c) the pre-delete version still reads
+    intact, (d) a later merge touching a bucket MATERIALIZES its
+    pending deletes and clears the layer, (e) compact clears all layers
+    with identical visible rows."""
+    import os as _os
+    import tempfile
+
+    from .sources.timetravel import (
+        compact,
+        create_table,
+        delete_where,
+        merge_into,
+        read_manifest,
+        read_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="xfns_dv_") + "/table"
+    create_table(docs, path, "doc_id", n_buckets=16)
+    dead = docs.filter("doc_id % 11 = 0").select("doc_id")
+    n_dead = dead.count()
+    res = delete_where(spark, path, dead)
+    now = read_table(spark, path)
+    mor_delete = (
+        now.join(dead, "doc_id", "left_semi").count() == 0
+        and now.count() == docs.count() - n_dead
+    )
+    m1 = read_manifest(path)
+    no_rewrite = (
+        not _os.path.exists(_os.path.join(path, "v1"))
+        and set(m1["owners"].values()) == {0}
+        and res["merge_on_read"]
+    )
+    v0 = read_table(spark, path, version=0)
+    history_intact = v0.count() == docs.count()
+    # re-insert one deleted key; its bucket's layer must clear
+    re_row = docs.filter("doc_id % 11 = 0").limit(1)
+    merge_into(spark, path, re_row)
+    m2 = read_manifest(path)
+    re_id = re_row.collect()[0]["doc_id"]
+    cleared_bucket = [
+        b for b in m1["dvs"] if b not in m2["dvs"] or m2["dvs"][b] == []
+    ]
+    now2 = read_table(spark, path)
+    materialize_on_merge = (
+        len(cleared_bucket) >= 1
+        and now2.filter(F.col("doc_id") == re_id).count() == 1
+        and now2.count() == docs.count() - n_dead + 1
+    )
+    before = now2.count()
+    compact(spark, path)
+    m3 = read_manifest(path)
+    compact_clears = (
+        m3["dvs"] == {} and read_table(spark, path).count() == before
+    )
+    return spark.createDataFrame(
+        [(
+            bool(mor_delete), bool(no_rewrite), bool(history_intact),
+            bool(materialize_on_merge), bool(compact_clears),
+        )],
+        "mor_delete boolean, no_rewrite boolean, history_intact boolean, "
+        "materialize_on_merge boolean, compact_clears boolean",
+    )
+
+
+@query(
     "q_sliding_window_events",
     # each event belongs to duration/slide = 2 overlapping windows:
     # starts s = floor(t/slide)*slide and s - slide, kept if t < s + dur

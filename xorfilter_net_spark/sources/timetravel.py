@@ -35,6 +35,18 @@ Iceberg parallels, implemented from scratch on bare parquet:
 
 Merge cost is O(delta + touched-bucket data); history cost is
 O(touched buckets per commit), not O(snapshot per commit).
+
+**Merge-on-read deletes (deletion vectors)**: ``delete_where`` commits a
+delete WITHOUT rewriting any bucket data — it writes per-bucket sidecar
+key lists (``dv<commit>/bucket=<b>``) and layers them in the manifest
+(``dvs: {bucket: [dv commits]}``). Readers anti-join the live sidecars
+on (bucket, key); an upsert or ``compact`` touching a bucket
+MATERIALIZES its deletes (reads apply them first) and clears its DV
+list. This is the Delta deletion-vector / Iceberg delete-file trade
+re-built on bare parquet: deletes cost O(deleted keys) at write time and
+a small anti-join at read time, instead of O(touched-bucket data) at
+write time — the right side of the trade when deletes are frequent and
+small relative to buckets (GDPR erasure, retention sweeps).
 """
 
 from __future__ import annotations
@@ -81,7 +93,67 @@ def read_manifest(path: str, version: int | None = None) -> dict:
     with open(_manifest_path(path, version)) as f:
         m = json.load(f)
     m["owners"] = {int(k): int(v) for k, v in m["owners"].items()}
+    # deletion-vector layers per bucket (absent on pre-DV manifests)
+    m["dvs"] = {
+        int(k): [int(c) for c in v] for k, v in m.get("dvs", {}).items()
+    }
     return m
+
+
+def _dvdir(path: str, commit: int) -> str:
+    return os.path.join(path, f"dv{commit}")
+
+
+def _dv_keys(
+    spark: SparkSession, path: str, m: dict, buckets: list[int]
+) -> DataFrame | None:
+    """(key, bucket) union of the live delete sidecars covering
+    ``buckets`` at manifest ``m`` — partition-pruned per dv commit."""
+    by_dv: dict[int, list[int]] = {}
+    for b in buckets:
+        for c in m["dvs"].get(b, []):
+            by_dv.setdefault(c, []).append(b)
+    out = None
+    for c, bs in sorted(by_dv.items()):
+        scan = spark.read.parquet(_dvdir(path, c))
+        if len(bs) < m["n_buckets"]:
+            scan = scan.filter(F.col(BUCKET_COL).isin(bs))
+        out = scan if out is None else out.unionByName(scan)
+    return out
+
+
+def _bucket_state(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    buckets: list[int],
+    with_commit: bool = False,
+) -> DataFrame | None:
+    """State of ``buckets`` at manifest ``m``: owning-commit scans,
+    schema-aligned union, live deletion vectors anti-joined."""
+    by_commit: dict[int, list[int]] = {}
+    for b in buckets:
+        by_commit.setdefault(m["owners"][b], []).append(b)
+    out = None
+    for c, bs in sorted(by_commit.items()):
+        scan = spark.read.parquet(_vdir(path, c))
+        if len(bs) < m["n_buckets"]:
+            scan = scan.filter(F.col(BUCKET_COL).isin(bs))
+        if with_commit:
+            scan = scan.withColumn("_commit", F.lit(c))
+        out = scan if out is None else out.unionByName(
+            scan, allowMissingColumns=True
+        )
+    if out is None:
+        return None
+    dv = _dv_keys(spark, path, m, buckets)
+    if dv is not None:
+        out = out.join(
+            dv.select(m["key_col"], BUCKET_COL),
+            [m["key_col"], BUCKET_COL],
+            "left_anti",
+        )
+    return out
 
 
 def current_version(path: str) -> int:
@@ -127,20 +199,9 @@ def read_table(
     written by — row-level provenance for free, since a row's commit IS
     its file's commit)."""
     m = read_manifest(path, version)
-    by_commit: dict[int, list[int]] = {}
-    for b, c in m["owners"].items():
-        by_commit.setdefault(c, []).append(b)
-    parts = []
-    for c, buckets in sorted(by_commit.items()):
-        scan = spark.read.parquet(_vdir(path, c))
-        if len(buckets) < m["n_buckets"]:
-            scan = scan.filter(F.col(BUCKET_COL).isin(buckets))
-        if with_commit:
-            scan = scan.withColumn("_commit", F.lit(c))
-        parts.append(scan)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
+    out = _bucket_state(
+        spark, path, m, sorted(m["owners"]), with_commit=with_commit
+    )
     return out.drop(BUCKET_COL)
 
 
@@ -175,21 +236,16 @@ def merge_into(
             path,
             new_version,
             {**m, **carry, "version": new_version, "parent": m["version"],
-             "owners": m["owners"], "buckets_touched": 0},
+             "owners": m["owners"], "dvs": m["dvs"],
+             "buckets_touched": 0},
         )
         return {"version": new_version, "buckets_touched": 0,
                 "n_buckets": n_buckets}
 
-    # current state of ONLY the touched buckets, from their owners
-    by_commit: dict[int, list[int]] = {}
-    for b in touched:
-        by_commit.setdefault(m["owners"][b], []).append(b)
-    base = None
-    for c, buckets in sorted(by_commit.items()):
-        scan = spark.read.parquet(_vdir(path, c)).filter(
-            F.col(BUCKET_COL).isin(buckets)
-        )
-        base = scan if base is None else base.unionByName(scan)
+    # current state of ONLY the touched buckets, from their owners —
+    # WITH their live deletion vectors applied (a rewrite materializes
+    # pending deletes; skipping this would resurrect deleted rows)
+    base = _bucket_state(spark, path, m, touched)
 
     # additive schema evolution: the commit schema is the union of the
     # base buckets' schema and the delta's (marker excluded); whichever
@@ -229,8 +285,11 @@ def merge_into(
         _vdir(path, new_version)
     )
     owners = dict(m["owners"])
+    dvs = {b: list(v) for b, v in m["dvs"].items()}
     for b in touched:
         owners[b] = new_version
+        # the rewrite materialized this bucket's deletes
+        dvs.pop(b, None)
     _write_manifest(
         path,
         new_version,
@@ -240,6 +299,7 @@ def merge_into(
             "key_col": key_col,
             "n_buckets": n_buckets,
             "owners": owners,
+            "dvs": dvs,
             "buckets_touched": len(touched),
             **carry,
         },
@@ -248,6 +308,60 @@ def merge_into(
         "version": new_version,
         "buckets_touched": len(touched),
         "n_buckets": n_buckets,
+    }
+
+
+def delete_where(
+    spark: SparkSession, path: str, keys: DataFrame
+) -> dict:
+    """Merge-on-read delete: commit a new version removing ``keys``
+    WITHOUT rewriting any bucket data.
+
+    Writes per-bucket sidecar key lists under ``dv<version>/bucket=<b>``
+    and layers them in the manifest; owners are untouched, so the commit
+    costs O(deleted keys) regardless of bucket size. Readers of this and
+    later versions anti-join the sidecars; earlier versions are
+    unaffected (the sidecar is versioned like any commit). A later
+    upsert or ``compact`` touching a bucket materializes its deletes and
+    drops the layer. The Delta deletion-vector / Iceberg delete-file
+    trade on bare parquet."""
+    m = read_manifest(path)
+    key_col, n_buckets = m["key_col"], m["n_buckets"]
+    new_version = m["version"] + 1
+    carry = {k: m[k] for k in ("applied_batches",) if k in m}
+    d = _bucketed(
+        keys.select(key_col).dropDuplicates([key_col]), key_col, n_buckets
+    )
+    touched = sorted(
+        r[BUCKET_COL] for r in d.select(BUCKET_COL).distinct().collect()
+    )
+    dvs = {b: list(v) for b, v in m["dvs"].items()}
+    if touched:
+        d.repartition(max(len(touched) // 4, 1), BUCKET_COL).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(_dvdir(path, new_version))
+        for b in touched:
+            dvs.setdefault(b, []).append(new_version)
+    _write_manifest(
+        path,
+        new_version,
+        {
+            "version": new_version,
+            "parent": m["version"],
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "owners": m["owners"],
+            "dvs": dvs,
+            "buckets_touched": len(touched),
+            "dv_commit": True,
+            **carry,
+        },
+    )
+    return {
+        "version": new_version,
+        "buckets_touched": len(touched),
+        "n_buckets": n_buckets,
+        "merge_on_read": True,
     }
 
 
@@ -277,23 +391,18 @@ def table_changes(
     ma = read_manifest(path, v_from)
     mb = read_manifest(path, v_to)
     key_col = ma["key_col"]
+    # a bucket's state can change by rewrite (owner differs) OR by a
+    # deletion-vector layer (dv list differs); either way both sides
+    # scan it, with each side's live sidecars applied
     changed = [
-        b for b in ma["owners"] if ma["owners"][b] != mb["owners"][b]
+        b
+        for b in ma["owners"]
+        if ma["owners"][b] != mb["owners"][b]
+        or ma["dvs"].get(b, []) != mb["dvs"].get(b, [])
     ]
 
     def _side(m: dict) -> DataFrame | None:
-        by_commit: dict[int, list[int]] = {}
-        for b in changed:
-            by_commit.setdefault(m["owners"][b], []).append(b)
-        out = None
-        for c, buckets in sorted(by_commit.items()):
-            scan = spark.read.parquet(_vdir(path, c)).filter(
-                F.col(BUCKET_COL).isin(buckets)
-            )
-            out = scan if out is None else out.unionByName(
-                scan, allowMissingColumns=True
-            )
-        return out
+        return _bucket_state(spark, path, m, changed) if changed else None
 
     a, b = _side(ma), _side(mb)
     if a is None or b is None:
@@ -378,21 +487,31 @@ def expire_versions(path: str, keep_latest: int = 1) -> dict:
     kept = versions[-keep_latest:]
     expired = [v for v in versions if v not in kept]
     live_commits: set[int] = set()
+    live_dvs: set[int] = set()
     for v in kept:
-        live_commits.update(read_manifest(path, v)["owners"].values())
+        mk = read_manifest(path, v)
+        live_commits.update(mk["owners"].values())
+        for layers in mk["dvs"].values():
+            live_dvs.update(layers)
     removed_dirs = []
+    removed_dv_dirs = []
     for v in expired:
         os.remove(_manifest_path(path, v))
     for name in os.listdir(path):
-        if not name.startswith("v") or not name[1:].isdigit():
-            continue
-        c = int(name[1:])
-        if c not in live_commits:
-            shutil.rmtree(os.path.join(path, name))
-            removed_dirs.append(c)
+        if name.startswith("dv") and name[2:].isdigit():
+            c = int(name[2:])
+            if c not in live_dvs:
+                shutil.rmtree(os.path.join(path, name))
+                removed_dv_dirs.append(c)
+        elif name.startswith("v") and name[1:].isdigit():
+            c = int(name[1:])
+            if c not in live_commits:
+                shutil.rmtree(os.path.join(path, name))
+                removed_dirs.append(c)
     return {
         "expired_versions": expired,
         "removed_commit_dirs": sorted(removed_dirs),
+        "removed_dv_dirs": sorted(removed_dv_dirs),
         "kept_versions": kept,
     }
 
@@ -416,6 +535,8 @@ def compact(spark: SparkSession, path: str) -> int:
             "key_col": m["key_col"],
             "n_buckets": m["n_buckets"],
             "owners": {b: new_version for b in range(m["n_buckets"])},
+            # the full rewrite materialized every pending delete
+            "dvs": {},
             "buckets_touched": m["n_buckets"],
             **{k: m[k] for k in ("applied_batches",) if k in m},
         },
@@ -447,27 +568,42 @@ def fsck(path: str, repair: bool = False) -> dict:
     """
     versions = list_versions(path)
     referenced: set[int] = set()
+    referenced_dvs: set[int] = set()
     for v in versions:
-        referenced.update(read_manifest(path, v)["owners"].values())
+        mv = read_manifest(path, v)
+        referenced.update(mv["owners"].values())
+        for layers in mv["dvs"].values():
+            referenced_dvs.update(layers)
+    names = os.listdir(path)
     on_disk = {
-        int(name[1:])
-        for name in os.listdir(path)
-        if name.startswith("v") and name[1:].isdigit()
+        int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()
+    }
+    dv_on_disk = {
+        int(n[2:]) for n in names if n.startswith("dv") and n[2:].isdigit()
     }
     orphans = sorted(on_disk - referenced)
+    orphan_dvs = sorted(dv_on_disk - referenced_dvs)
     missing = sorted(referenced - on_disk)
+    missing_dvs = sorted(referenced_dvs - dv_on_disk)
     current = current_version(path)
     danglers = sorted(v for v in versions if v > current)
     removed = []
+    removed_dvs = []
     if repair:
         for c in orphans:
             shutil.rmtree(os.path.join(path, f"v{c}"), ignore_errors=True)
             removed.append(c)
+        for c in orphan_dvs:
+            shutil.rmtree(os.path.join(path, f"dv{c}"), ignore_errors=True)
+            removed_dvs.append(c)
     return {
         "versions": versions,
         "current": current,
         "orphan_dirs": orphans,
+        "orphan_dv_dirs": orphan_dvs,
         "missing_dirs": missing,
+        "missing_dv_dirs": missing_dvs,
         "danglers": danglers,
         "removed_dirs": removed,
+        "removed_dv_dirs": removed_dvs,
     }
