@@ -579,6 +579,36 @@ def main() -> None:
         )
     )
 
+    # exact anomaly flags: one corpus aggregate, then periods-sized
+    # codegen arithmetic — no Python operator anywhere
+    sections.append(
+        (
+            "Rolling 3-sigma anomaly flags (rolling_anomaly_event_values)",
+            "Entirely whole-stage codegen: one map-side-combined corpus "
+            "aggregate to per-period moments, a periods-sized Generate "
+            "fan-out + aggregate for the prior windows, and the "
+            "cross-multiplied decimal(38,0) sigma comparison as a "
+            "Project. No ArrowEvalPython / BatchEvalPython node.",
+            captured_explain(
+                ep.QUERIES["rolling_anomaly_event_values"](spark, SF_DIR)
+            ),
+        )
+    )
+
+    # grouped OLS trend: ONE hash aggregate for all five moments
+    sections.append(
+        (
+            "Per-group OLS trend (q_trend_event_values)",
+            "Five integer moments (n, Σx, Σy, Σxx, Σxy) in ONE "
+            "map-side-combined HashAggregate over the corpus; the "
+            "rational slope/intercept numerators are a Project in "
+            "decimal(38,0). Zero Python, zero extra shuffles.",
+            captured_explain(
+                ep.QUERIES["q_trend_event_values"](spark, SF_DIR)
+            ),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",
@@ -680,11 +710,17 @@ def main() -> None:
     assert "ArrowEvalPython" not in dsir_plan and "BatchEvalPython" not in dsir_plan
     assert "BroadcastHashJoin" in dsir_plan and "Generate" in dsir_plan
     assert "SortMergeJoin" not in dsir_plan
+    anom_plan = sections[-2][2]
+    assert "ArrowEvalPython" not in anom_plan and "BatchEvalPython" not in anom_plan
+    assert "Generate" in anom_plan  # the periods-sized window fan-out
+    trend_plan = sections[-1][2]
+    assert "ArrowEvalPython" not in trend_plan and "BatchEvalPython" not in trend_plan
+    assert "HashAggregate" in trend_plan and "Join" not in trend_plan
     print(
         "topk/multi-distinct/z-order/q18/grouping-sets/hof/merge/"
         "q6/q8/q19/redact/not-in/cooccur/fuse-sql/contamination/"
         "prefix-join/curate/spans/lm/postings/timetravel/"
-        "curate-transcripts/dsir plans — OK"
+        "curate-transcripts/dsir/anomaly/trend plans — OK"
     )
     spark.stop()
 
