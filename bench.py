@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "rolling_topk_event_types",
     "rolling_anomaly_event_values",
     "q_trend_event_values",
+    "q_gini_segment_spend",
     "q_attribution_last_touch",
     "phash_near_dup_media",
     "q_sliding_window_events",

@@ -7194,6 +7194,50 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_gini_segment_spend",
+    """
+with j as (
+  select c.c_mktsegment as g,
+         cast(floor(cast(o.o_totalprice as double)) as bigint) as q
+  from orders o join customer c on o.o_custkey = c.c_custkey
+  where c.c_mktsegment is not null
+),
+r as (
+  select g, q, row_number() over (partition by g order by q) as i from j
+),
+m as (
+  select g, count(*) as n, cast(sum(q) as bigint) as sum_q,
+         cast(sum(i * q) as bigint) as iq
+  from r group by g
+)
+select g as c_mktsegment, n, sum_q,
+  case when n * sum_q = 0 then null
+       else 2 * iq - (n + 1) * sum_q end as gini_num,
+  case when n * sum_q = 0 then null else n * sum_q end as gini_den
+from m
+""",
+)
+def q_gini_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration of order spend per market segment
+    (relational/stats.py::gini_by_group): the sorted-rank identity as
+    integer rationals — one window shuffle + one hash aggregate, no
+    float division anywhere (consumer divides, the TF-IDF/PMI/trend
+    convention). Rank ties cancel in the Σi·x sum, so the value is
+    deterministic despite row_number's arbitrary tie order. Value-exact
+    oracle (identical window replay)."""
+    from .relational.stats import gini_by_group
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).filter(
+        "c_mktsegment is not null"
+    )
+    return gini_by_group(j, "c_mktsegment", "o_totalprice", quant=1)
+
+
+@query(
     "q_trend_event_values",
     """
 with e as (
