@@ -134,3 +134,38 @@ def test_rolling_topk_truncation_and_order(spark):
     # deterministic: count desc then key asc -> a(5), b(3); c tied with b
     # loses on key order
     assert [(r["key"], r["est_count"]) for r in got] == [("a", 5), ("b", 3)]
+
+
+def test_grouped_rolling_distinct_vs_python_replay(spark):
+    rng = random.Random(13)
+    rows = []
+    for _ in range(400):
+        g = f"t{rng.randrange(3)}"
+        day = rng.randrange(0, 10)
+        if (g, day) == ("t1", 4):  # per-group gap day
+            continue
+        rows.append((g, rng.randrange(0, 30),
+                     dt.datetime(2024, 1, 1) + dt.timedelta(days=day)))
+    df = spark.createDataFrame(rows, "g string, u long, ts timestamp")
+    got = {
+        (r["g"], r["period"]): r["n_rolling"]
+        for r in rolling_distinct_exact(
+            df, "u", "ts", 1000, window=3, group_cols=["g"]
+        ).collect()
+    }
+    base = 1704067200 // 86400
+    by = {}
+    for g, u, t in rows:
+        d = base + (t - dt.datetime(2024, 1, 1)).days
+        by.setdefault((g, d), set()).add(u)
+    want = {
+        (g, d): len(
+            set().union(*(by.get((g, d - k), set()) for k in range(3)))
+        )
+        for (g, d) in by
+    }
+    assert got == want
+    # a group's gap day is not an anchor FOR THAT GROUP even when other
+    # groups are active then
+    assert ("t1", base + 4) not in got
+    assert any(p == base + 4 for (g, p) in got if g != "t1")

@@ -124,6 +124,37 @@ def child(cpus: int, corpus_path: str) -> None:
             ),
         )
 
+    def _kmeans(spark):
+        from xorfilter_net_spark.ann.kmeans import kmeans_assign, kmeans_fit
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_KM_REPLICAS", "512"))
+        rep = spark.range(reps).withColumnRenamed("id", "rep")
+        big = (
+            emb.crossJoin(rep)
+            .select(
+                (F.col("vec_id") + F.col("rep") * 10_000_000).alias(
+                    "vec_id"
+                ),
+                F.expr(
+                    "transform(embedding, (x, j) -> x + "
+                    "cast(rep as double) * 0.0007d "
+                    "* cast(j % 5 as double))"
+                ).alias("embedding"),
+            )
+            # FIXED partition count: the job must be identical at every
+            # parallelism level (only the master local[N] varies)
+            .repartition(32)
+            .persist()
+        )
+        big.count()
+        fit = kmeans_fit(
+            big, "vec_id", "embedding", k=32, iters=4, seed=11
+        )
+        return kmeans_assign(big, "vec_id", "embedding", fit["centroids"])
+
     def _triangle(spark):
         from xorfilter_net_spark.relational.graph import (
             cooccurrence_edges,
@@ -165,6 +196,10 @@ def child(cpus: int, corpus_path: str) -> None:
         # — big enough on its own; run with SPARK_GRAFT_SCALE_REPLICAS=1
         # to skip the (unused) corpus replication
         "triangle": lambda: _triangle(spark),
+        # distributed Lloyd k-means over a replicated embedding corpus
+        # (jittered per replica so cells stay non-degenerate); run with
+        # SPARK_GRAFT_SCALE_REPLICAS=1 — the text corpus is unused
+        "kmeans": lambda: _kmeans(spark),
     }
 
     def force(df) -> int:

@@ -6594,6 +6594,39 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_distinct_by_type",
+    """
+with e as (
+  select distinct event_type as et,
+         cast(floor(epoch_us(ts) / 86400000000) as bigint) as p,
+         user_id as u
+  from events
+  where user_id is not null and ts is not null and event_type is not null
+),
+anchors as (select distinct et, p from e)
+select anchors.et as event_type, anchors.p as period,
+       (select count(distinct e.u) from e
+         where e.et = anchors.et
+           and e.p between anchors.p - 6 and anchors.p) as n_rolling
+from anchors
+""",
+)
+def q_rolling_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group rolling distinct: trailing-7-day distinct users for
+    EACH event type (sketches/rolling.py, ``group_cols``) — per-(type,
+    day) bitmap states from one corpus pass, grouped explode-fanout,
+    per-(type, window) OR-merge. Exact vs the naive grouped re-count
+    oracle; the un-grouped variant is rolling_distinct_users."""
+    from .sketches.rolling import rolling_distinct_exact
+
+    ev = load_table(spark, sf_dir, "events").filter("event_type is not null")
+    return rolling_distinct_exact(
+        ev, "user_id", "ts", capacity=1_000_000, window=7,
+        group_cols=["event_type"],
+    )
+
+
+@query(
     "rolling_topk_event_types",
     # naive trailing-window re-count: every (active period, type) pair's
     # 7-day frequency — exact because distinct types << k (no MG shrink)

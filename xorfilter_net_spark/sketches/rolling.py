@@ -159,21 +159,61 @@ def rolling_distinct_exact(
     capacity: int,
     window: int = 7,
     period_seconds: int = 86400,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(period, n_rolling) — EXACT distinct ``key_col`` values in the
-    trailing ``window`` periods ending at each active period, via
-    per-period bitmap states."""
+    """(group..., period, n_rolling) — EXACT distinct ``key_col``
+    values in the trailing ``window`` periods ending at each of the
+    group's active periods, via per-(group, period) bitmap states.
+    ``group_cols=None`` gives the global roll-up (one state stream)."""
     if period_seconds <= 0:
         raise ValueError("period_seconds must be positive")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    gcols = list(group_cols or [])
     sk = BitmapSketch(capacity, key_col="__k")
     e = events.select(
+        *gcols,
         F.floor(
             F.unix_micros(F.col(ts_col).cast("timestamp"))
             / F.lit(period_seconds * 1_000_000)
         ).alias("period"),
         F.col(key_col).alias("__k"),
     ).filter(F.col("__k").isNotNull() & F.col("period").isNotNull())
-    states = aggregate_by_group(e, ["period"], ["__k"], sk)
-    return rolling_state_window(
-        states, sk, sk.estimate, window, out_col="n_rolling"
+    for g in gcols:
+        e = e.filter(F.col(g).isNotNull())
+    states = aggregate_by_group(e, gcols + ["period"], ["__k"], sk)
+    if not gcols:
+        return rolling_state_window(
+            states, sk, sk.estimate, window, out_col="n_rolling"
+        )
+    # grouped fan-out: a (group, period) state serves the group's own
+    # next W windows; anchors are the group's active periods
+    contrib = states.select(
+        *gcols,
+        F.explode(
+            F.sequence(F.col("period"), F.col("period") + (window - 1))
+        ).alias("__target"),
+        "state",
+    )
+    anchors = states.select(
+        *gcols, F.col("period").alias("__target")
+    ).distinct()
+    src = contrib.join(anchors, gcols + ["__target"], "left_semi")
+    gschema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in states.select(*gcols).schema.fields
+    )
+
+    def merge_group(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        st = sk.zero()
+        for blob in pdf["state"]:
+            st = sk.merge(st, sk.deserialize(bytes(blob)))
+        row = {c: [k] for c, k in zip(gcols, keys[:-1])}
+        row["period"] = [keys[-1]]
+        row["n_rolling"] = [sk.estimate(st)]
+        return pd.DataFrame(row)
+
+    return src.groupBy(*gcols, "__target").applyInPandas(
+        merge_group,
+        schema=f"{gschema}, period long, n_rolling long",
     )
