@@ -81,3 +81,12 @@ def test_bench_queries_are_registered(registry):
     missing = [q for q in bench.BENCH_QUERIES if q not in queries]
     assert not missing, missing
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_package_exports_resolve():
+    """Every lazily-exported name must import and resolve (a moved
+    function would otherwise only fail at first user touch)."""
+    import xorfilter_net_spark as pkg
+
+    for name in pkg.__all__:
+        assert getattr(pkg, name) is not None, name

@@ -138,3 +138,101 @@ def test_graph_empty(spark):
     assert triangle_counts(edges).count() == 0
     assert kcore_subgraph(edges, 2).count() == 0
     assert bfs_distances(edges, 3).count() == 0  # no source resolvable
+
+
+def test_anomaly_trend_gini_empty(spark, empty_events):
+    from xorfilter_net_spark.relational.stats import gini_by_group
+    from xorfilter_net_spark.relational.timeseries import (
+        grouped_trend,
+        rolling_moment_anomalies,
+    )
+
+    assert rolling_moment_anomalies(empty_events, "value", "ts").count() == 0
+    assert grouped_trend(
+        empty_events, "event_type", "ts", "value"
+    ).count() == 0
+    assert gini_by_group(empty_events, "event_type", "value").count() == 0
+
+
+def test_rolling_topk_and_grouped_empty(spark, empty_events):
+    from xorfilter_net_spark.sketches.rolling import (
+        rolling_distinct_exact,
+        rolling_topk_mg,
+    )
+
+    assert rolling_topk_mg(empty_events, "event_type", "ts").count() == 0
+    assert rolling_distinct_exact(
+        empty_events, "user_id", "ts", 100, group_cols=["event_type"]
+    ).count() == 0
+
+
+def test_kmeans_empty_raises(spark):
+    from xorfilter_net_spark.ann.kmeans import kmeans_fit
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_fit(empty, "vec_id", "embedding", k=2, iters=1)
+
+
+def test_wordpiece_empty_corpus(spark):
+    from xorfilter_net_spark.text.wordpiece import (
+        train_wordpiece,
+        vocab_pieces,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    merges, vocab = train_wordpiece(empty, num_merges=3)
+    assert merges == []
+    assert vocab_pieces(vocab).count() == 0
+
+
+def test_hits_empty_graph(spark):
+    from xorfilter_net_spark.relational.pagerank import hits
+
+    empty = spark.createDataFrame([], "src string, dst string, w long")
+    assert hits(empty, iters=2).count() == 0
+
+
+def test_moment_anomaly_store_empty(spark, tmp_path):
+    from xorfilter_net_spark.streaming.rolling import (
+        init_period_store,
+        moment_anomalies_from_store,
+    )
+
+    store = str(tmp_path / "s")
+    init_period_store(spark, store)
+    assert moment_anomalies_from_store(spark, store).count() == 0
+
+
+def test_roundtrip_empty_dataframe(spark, tmp_path):
+    from xorfilter_net_spark.sources.formats import roundtrip_dataset
+
+    empty = spark.createDataFrame([], "id long, s string")
+    out = {
+        r["format"]: (r["n_rows"], r["parity"])
+        for r in roundtrip_dataset(
+            empty, str(tmp_path / "fmt"), formats=("parquet", "json")
+        ).collect()
+    }
+    assert out["parquet"] == (0, True)
+    assert out["json"] == (0, True)
+
+
+def test_delete_where_no_matching_keys(spark, tmp_path):
+    from xorfilter_net_spark.sources.timetravel import (
+        create_table,
+        delete_where,
+        read_table,
+    )
+
+    df = spark.range(20).selectExpr("id as k", "id * 2 as v")
+    path = str(tmp_path / "t")
+    create_table(df, path, "k", n_buckets=4)
+    # delete keys that do not exist: rows unchanged, version advances
+    res = delete_where(
+        spark, path, spark.range(100, 105).selectExpr("id as k")
+    )
+    assert res["version"] == 1
+    assert read_table(spark, path).count() == 20
