@@ -4947,6 +4947,89 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "conversation_near_dup_pairs",
+    # assembled-conversation corpus (same 'role: text' assembly as
+    # q_assemble_conversations) with injected 90%-prefix variants, then
+    # the exact all-pairs char-8-gram Jaccard — the same oracle pattern
+    # as minhash_near_dup_pairs, lifted from documents to conversations
+    f"""
+with {TRANSCRIPTS_CTE},
+conv as (
+  select cast(substr(conv_id, 6) as bigint) as cid,
+         string_agg(role || ': ' || text, chr(10) order by turn_idx)
+           as text
+  from transcripts group by conv_id
+),
+corpus as (
+  select cid, text from conv
+  union all
+  select cid + 1000000 as cid,
+         substr(text, 1, cast(floor(length(text) * 0.9) as int)) as text
+  from conv where cid % 7 = 0
+),
+sh as (
+  select cid,
+         case when length(text) >= 8 then
+           list_distinct(list_transform(range(length(text) - 7),
+                                        i -> substr(text, i + 1, 8)))
+         else [text] end as s
+  from corpus
+),
+pairs as (
+  select a.cid as id_a, b.cid as id_b,
+    cast(floor(1000000.0 * len(list_intersect(a.s, b.s)) /
+      nullif(len(list_distinct(list_concat(a.s, b.s))), 0)) as bigint)
+      as jaccard_e6
+  from sh a join sh b on a.cid < b.cid
+    and len(a.s) <= 2 * len(b.s) and len(b.s) <= 2 * len(a.s)
+  where cast(floor(1000000.0 * len(list_intersect(a.s, b.s)) /
+      nullif(len(list_distinct(list_concat(a.s, b.s))), 0)) as bigint)
+      >= 500000
+)
+select id_a, id_b, jaccard_e6 from pairs
+""",
+)
+def q_conversation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level near-dup detection — the transcript-payload
+    composition: assemble each conversation into its training document
+    (the q_assemble_conversations definition), inject 90%-prefix
+    variants, then MinHash(128) + banded LSH + exact-Jaccard verify at
+    tau=0.5 (dedup/minhash.py). Conversations from different documents
+    share ~no 8-grams, injected truncations sit >=0.85 — same operating
+    point as the document query, so the verified output equals the
+    exact all-pairs oracle."""
+    from .dedup.minhash import near_duplicate_pairs
+
+    t = load_transcripts(spark, sf_dir)
+    line = F.concat_ws(": ", "role", "text")
+    conv = (
+        t.select("conv_id", "turn_idx", line.alias("line"))
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+        .select(
+            F.expr("cast(substr(conv_id, 6) as bigint)").alias("cid"),
+            "text",
+        )
+    )
+    variants = conv.filter("cid % 7 = 0").select(
+        (F.col("cid") + 1_000_000).alias("cid"),
+        F.expr(
+            "substr(text, 1, cast(floor(length(text) * 0.9) as int))"
+        ).alias("text"),
+    )
+    corpus = conv.unionByName(variants)
+    return near_duplicate_pairs(corpus, "cid", "text", tau=0.5)
+
+
+@query(
     "q_assemble_conversations",
     f"with {TRANSCRIPTS_CTE} "
     "select conv_id, "
