@@ -161,7 +161,13 @@ def triangle_counts(edges: DataFrame, prune: str | None = None) -> DataFrame:
             wk, ck, "__vw", "__vw", how="left_semi", width=8
         ).drop("__vw")
     else:
-        tris = wedges.join(closure, ["v", "w"], "left_semi")
+        # explicit broadcast hint: prune=None IS the broadcastable
+        # regime by contract (see docstring), and without the hint AQE
+        # only converts to a broadcast join when the closure side's
+        # runtime stats happen to be materialized under the threshold —
+        # measured 52 s (sort-merge of 41M wedges) vs 8 s (hinted) for
+        # the identical query at sf0.1/local[32]
+        tris = wedges.join(F.broadcast(closure), ["v", "w"], "left_semi")
     # ONE evaluation of the (expensive) closure join: the three node
     # roles explode in codegen instead of a 3-way self-union, which
     # would re-run the join per branch
