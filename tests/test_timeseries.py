@@ -169,7 +169,7 @@ class TestRollingMomentAnomalies:
             if N == 0:
                 flag = False
             else:
-                flag = (s1_d * N - S1 * n_d) ** 2 * N > 9 * n_d * n_d * (
+                flag = (s1_d * N - S1 * n_d) ** 2 > 9 * n_d * n_d * (
                     S2 * N - S1 * S1
                 )
             want[p] = (n_d, s1_d, N, S1, S2, flag)

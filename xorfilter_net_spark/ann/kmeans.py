@@ -133,7 +133,12 @@ def kmeans_fit(
 
     Each iteration's inertia is measured against that iteration's
     INPUT centroids (the standard Lloyd bookkeeping), so the list is
-    the objective trace of successive centroid sets.
+    the objective trace of successive centroid sets. ``sizes`` shares
+    that convention: it is the cell census of the LAST iteration's
+    assignment (i.e. under the penultimate centroids) — a labeling
+    against the returned final centroids (``kmeans_assign``) can
+    differ; consumers that publish sizes next to an assignment should
+    count the assignment itself (cli.cmd_kmeans does).
     """
     src = emb.select(
         F.col(id_col).cast("long").alias("id"), vec_col

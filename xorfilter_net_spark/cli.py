@@ -186,13 +186,24 @@ def cmd_kmeans(args: argparse.Namespace) -> dict:
         df, args.id_col, args.vec_col,
         k=args.k, iters=args.iters, seed=args.seed,
     )
-    assigned = kmeans_assign(df, args.id_col, args.vec_col, fit["centroids"])
+    assigned = kmeans_assign(
+        df, args.id_col, args.vec_col, fit["centroids"]
+    ).persist()
     if args.output:
         assigned.write.mode("overwrite").parquet(args.output)
+    # report sizes from the FINAL-centroid assignment actually written,
+    # not kmeans_fit's last-iteration bookkeeping (which reflects the
+    # penultimate centroids) — keeps the CLI output self-consistent
+    # with the assignment parquet
+    k = int(fit["centroids"].shape[0])
+    sizes = {c: 0 for c in range(k)}
+    for r in assigned.groupBy("cell").count().collect():
+        sizes[int(r["cell"])] = int(r["count"])
+    assigned.unpersist()
     return {
         "command": "kmeans",
-        "k": int(fit["centroids"].shape[0]),
-        "sizes": {str(c): n for c, n in sorted(fit["sizes"].items())},
+        "k": k,
+        "sizes": {str(c): n for c, n in sorted(sizes.items())},
         "inertia_e6": fit["inertia_e6"],
         "output": args.output,
     }

@@ -976,8 +976,11 @@ def q_fd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent Directions gate over the embedding corpus: the mergeable
     ell-row matrix sketch B (two-phase aggregate, one <=2*ell-row state
     per partition crossing the shuffle) must satisfy the published
-    deterministic guarantee vs the exact Gram matrix A'A (computed
-    driver-side at test scale only):
+    deterministic guarantee vs the exact Gram matrix A'A (itself
+    computed DISTRIBUTIVELY: per-partition d x d partial sums via
+    mapInPandas — numPartitions x d^2 floats cross the wire, never the
+    corpus — then summed driver-side; same two-phase shape as the
+    sketch, so the gate is 100-TB-safe):
       spectral_ok:  lambda_max(A'A - B'B) <= 2*||A||_F^2 / ell
       psd_ok:       A'A - B'B >= 0 (the sketch never overestimates the
                     energy of any direction)
@@ -988,14 +991,33 @@ def q_fd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketches.base import aggregate
     from .sketches.fd import FrequentDirections
 
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
     d = len(emb.first()["embedding"])
     fd = FrequentDirections(ell=24, d=d, vec_col="embedding")
     st = aggregate(emb.repartition(8), ["embedding"], fd)
-    A = np.stack([r["embedding"] for r in emb.collect()]).astype(np.float64)
-    diff = A.T @ A - fd.gram(st)
+
+    def _gram_partials(batches):
+        G = np.zeros((d, d), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                G += A.T @ A
+                seen = True
+        if seen:
+            yield pd.DataFrame({"gram": [G.ravel().tolist()]})
+
+    parts = emb.mapInPandas(
+        _gram_partials, "gram array<double>"
+    ).collect()
+    AtA = np.zeros((d, d), dtype=np.float64)
+    for r in parts:
+        AtA += np.asarray(r["gram"], dtype=np.float64).reshape(d, d)
+    diff = AtA - fd.gram(st)
     eigs = np.linalg.eigvalsh(diff)
-    fro2 = float((A**2).sum())
+    fro2 = float(np.trace(AtA))
     spectral_ok = bool(eigs.max() <= fd.cov_error_bound(st) + 1e-9 * fro2)
     psd_ok = bool(eigs.min() >= -1e-9 * fro2)
     return spark.createDataFrame(
@@ -6865,7 +6887,7 @@ def q_phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in phash_near_pairs(corpus, max_distance=3, bands=4).collect()
     }
     sigs = {
-        r["media_id"]: np.uint64(r["phash"])
+        r["media_id"]: np.uint64(r["phash"] & 0xFFFFFFFFFFFFFFFF)
         for r in perceptual_hashes(corpus).collect()
     }
     planted = [
@@ -7436,7 +7458,6 @@ select day.period, day.n_day, day.sum_day_q,
           - cast(prior.sum_prior_q as hugeint) * day.n_day)
          * (cast(day.sum_day_q as hugeint) * prior.n_prior
             - cast(prior.sum_prior_q as hugeint) * day.n_day)
-         * prior.n_prior
          > 9 * cast(day.n_day as hugeint) * day.n_day
            * (cast(prior.sumsq_prior_q as hugeint) * prior.n_prior
               - cast(prior.sum_prior_q as hugeint) * prior.sum_prior_q)

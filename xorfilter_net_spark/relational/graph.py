@@ -88,7 +88,11 @@ def cooccurrence_edges(
     )
 
 
-def triangle_counts(edges: DataFrame, prune: str | None = None) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    prune: str | None = None,
+    broadcast_max_edges: int = 8_000_000,
+) -> DataFrame:
     """(node, deg, wedge_pairs, tri) per node of an undirected simple
     graph given as distinct (a, b) rows with a < b.
 
@@ -113,6 +117,14 @@ def triangle_counts(edges: DataFrame, prune: str | None = None) -> DataFrame:
     *beyond-broadcast* strategy: once the edge set outgrows the
     broadcast threshold the closure join must shuffle all wedges, and
     probing first cuts that shuffle by ~|wedges|/|triangles|.
+
+    The broadcast hint is GATED on the measured edge count
+    (``broadcast_max_edges``, default 8M ≈ a few hundred MB of closure
+    rows): under the cap the hint is forced (AQE's runtime stats can
+    arrive too late — measured 52 s unhinted vs 8 s hinted at sf0.1);
+    over it the plain join keeps AQE's sort-merge fallback instead of
+    forcing a driver/executor-OOM-sized broadcast. The count is one
+    cheap job over the already-persisted edge list.
     """
     edges = edges.select("a", "b").persist()
     deg = (
@@ -160,14 +172,18 @@ def triangle_counts(edges: DataFrame, prune: str | None = None) -> DataFrame:
         tris = filter_pruned_join(
             wk, ck, "__vw", "__vw", how="left_semi", width=8
         ).drop("__vw")
-    else:
-        # explicit broadcast hint: prune=None IS the broadcastable
-        # regime by contract (see docstring), and without the hint AQE
-        # only converts to a broadcast join when the closure side's
-        # runtime stats happen to be materialized under the threshold —
+    elif edges.count() <= broadcast_max_edges:
+        # explicit broadcast hint (gated on |E|): without it AQE only
+        # converts to a broadcast join when the closure side's runtime
+        # stats happen to be materialized under the threshold —
         # measured 52 s (sort-merge of 41M wedges) vs 8 s (hinted) for
         # the identical query at sf0.1/local[32]
         tris = wedges.join(F.broadcast(closure), ["v", "w"], "left_semi")
+    else:
+        # beyond-broadcast-cap graphs: let AQE pick (sort-merge of the
+        # wedges, skew-split as needed); prune='xor' is the strategy
+        # that cuts this shuffle when it dominates
+        tris = wedges.join(closure, ["v", "w"], "left_semi")
     # ONE evaluation of the (expensive) closure join: the three node
     # roles explode in codegen instead of a 3-way self-union, which
     # would re-run the join per branch

@@ -151,11 +151,12 @@ def hits(edges: DataFrame, iters: int = 15) -> DataFrame:
     Edges are cached once and never move; only node-sized score rows
     cross the wire; ``localCheckpoint`` keeps plan depth O(1).
 
-    Operating envelope (documented, test-pinned): per-edge products
-    ``hub_e12 * w`` must stay under 2^63 — true whenever every edge
-    weight is < 9.2e6. For heavier multigraph weights pre-scale ``w``
-    (ordering-preserving); the normalization itself is overflow-proof
-    via the decimal path."""
+    Overflow: per-edge products AND their dst-keyed sums run in
+    decimal(38,0) end-to-end (a bare int64 sum could silently wrap on
+    one dominant hub with several heavy out-edges even when every
+    per-edge product is in range), so the envelope is the weighted-mass
+    bound Σ(score·w) < 10^26 per half-step — effectively unbounded for
+    real graphs; the normalization shares the same decimal path."""
     spark = edges.sparkSession
     e = edges.select("src", "dst", "w").persist()
     nodes = (
@@ -178,7 +179,9 @@ def hits(edges: DataFrame, iters: int = 15) -> DataFrame:
             e.join(scores, e[from_col] == scores["node"])
             .select(
                 F.col(to_col).alias("node"),
-                (F.col(score_col) * F.col("w")).alias("c"),
+                (
+                    F.col(score_col).cast("decimal(38,0)") * F.col("w")
+                ).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias(out_col))

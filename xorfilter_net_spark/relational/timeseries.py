@@ -144,7 +144,10 @@ def rolling_moment_anomalies(
     FOLLOWING periods they are "prior context" for, and the sigma test
     is cross-multiplied into one integer comparison::
 
-        (s1_d*N - S1*n_d)^2 * N  >  sigmas^2 * n_d^2 * (S2*N - S1^2)
+        (s1_d*N - S1*n_d)^2  >  sigmas^2 * n_d^2 * (S2*N - S1^2)
+
+    (divide both sides by n_d^2*N^2 to recover the familiar
+    ``(mean_day - mean_prior)^2 > sigmas^2 * var_prior`` form)
 
     evaluated in decimal(38,0) (hugeint in the DuckDB oracle) so no
     division or sqrt ever runs — both sides exact, flag deterministic.
@@ -152,7 +155,7 @@ def rolling_moment_anomalies(
 
     Scale: ONE corpus-sized aggregate; the fanout/compare stages are
     periods-sized. The decimal(38) envelope holds while
-    ``(sum*N)^2 * N < 10^38`` — comfortable for daily windows at
+    ``(sum*N)^2 < 10^38`` — comfortable for daily windows at
     milli-quantization (pre-scale ``quant`` down for pathological
     magnitudes)."""
     if window < 1:
@@ -198,7 +201,7 @@ def rolling_moment_anomalies(
         f"(({d.format('sum_day_q')} * n_prior - "
         f"{d.format('sum_prior_q')} * n_day) * "
         f"({d.format('sum_day_q')} * n_prior - "
-        f"{d.format('sum_prior_q')} * n_day)) * n_prior"
+        f"{d.format('sum_prior_q')} * n_day))"
     )
     rhs = (
         f"{sigmas * sigmas} * ({d.format('n_day')} * n_day) * "

@@ -223,7 +223,7 @@ def moment_anomalies_from_store(
         if N == 0:
             flag = False
         else:
-            flag = (s1_d * N - S1 * n_d) ** 2 * N > (
+            flag = (s1_d * N - S1 * n_d) ** 2 > (
                 sigmas * sigmas
             ) * n_d * n_d * (S2 * N - S1 * S1)
         rows.append((p, n_d, s1_d, N, S1, S2, bool(flag)))
