@@ -435,6 +435,23 @@ class TestStatefulGroupSketchTws:
         for g, n in totals.items():
             assert n == counts[g]
 
+    def test_tws_gate_reason_pinned(self):
+        """When the TWS path is gated off, the reason must be exactly
+        the documented one — protobuf (the state-API client's wire
+        format) is unimportable — so the skip above is a verified
+        environment fact, not a silent rot path. In environments WITH
+        protobuf this asserts the gate opens (and the real test above
+        runs)."""
+        from xorfilter_net_spark.streaming.windowed import tws_available
+
+        try:
+            import google.protobuf  # noqa: F401
+
+            have_protobuf = True
+        except ImportError:
+            have_protobuf = False
+        assert tws_available() == have_protobuf
+
 
 class TestStreamingSessionize:
     def test_sessions_merge_across_microbatches(self, spark, tmp_path):

@@ -227,6 +227,35 @@ def test_golden_vector_pinned_seed():
     assert [int(s) for s in f.seeds] == exp["seeds"]
 
 
+def test_golden_size_sweep_all_widths():
+    """Reference-parity determinism sweep: sizes {1,10,100,1000} x all
+    three widths under the pinned seed, mirroring
+    DeterministicIntegrationTests.cs:173-199 (seeded size sweep) and
+    :11-34 (identical filters across runs). Each combo asserts
+    run-to-run slot identity, zero false negatives, and a frozen
+    (size, seeds, sha256(slots)) golden vector."""
+    import hashlib
+    import json
+    import pathlib
+
+    p = pathlib.Path(__file__).parent / "golden" / "xor_sweep_seed12345.json"
+    exp = json.loads(p.read_text())
+    for width in (8, 16, 32):
+        for n in (1, 10, 100, 1000):
+            keys = keys_basic(n)
+            f = build_from_bytes(keys, width=width, seed=SEED)
+            g = build_from_bytes(keys, width=width, seed=SEED)
+            assert np.array_equal(f.slots, g.slots)
+            assert bool(f.contains_bytes(keys).all())
+            e = exp[f"w{width}_n{n}"]
+            assert f.size == e["size"]
+            assert [int(s) for s in f.seeds] == e["seeds"]
+            assert (
+                hashlib.sha256(f.slots.tobytes()).hexdigest()
+                == e["slots_sha256"]
+            )
+
+
 class TestSqlhashMode:
     """sqlhash addressing: slot mixing/fingerprints via Spark's
     xxhash64-on-long semantics (probe-able with zero Python in SQL)."""

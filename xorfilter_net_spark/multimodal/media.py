@@ -81,6 +81,30 @@ def _fake_pixels_smooth(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.tile(raw, reps)[:need].reshape(height, width).copy()
 
 
+def pil_available() -> bool:
+    """True when Pillow is importable — gates the real-codec path."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_pixels(payload: bytes) -> np.ndarray:
+    """Real decode via Pillow: payload is an actual encoded image
+    (PNG/JPEG/...); returns the grayscale pixel grid at the image's OWN
+    dimensions — with a real codec the container is authoritative and
+    the table's width/height metadata is advisory (used for pruning,
+    not decoding)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
+
+
 def decode_media(
     payload: bytes, width: int, height: int, codec: str = "fake"
 ) -> np.ndarray:
@@ -88,9 +112,18 @@ def decode_media(
         return _fake_pixels(payload, width, height)
     if codec == "fake_smooth":
         return _fake_pixels_smooth(payload, width, height)
+    if codec == "pil":
+        if not pil_available():
+            raise NotImplementedError(
+                "codec='pil' requires Pillow, which is not installed in "
+                "this environment; the deterministic fake codecs cover "
+                "the Spark-side plumbing in the meantime"
+            )
+        return _pil_pixels(payload)
     raise NotImplementedError(
-        "real media decoding requires an image/audio codec library that is "
-        "not available in this environment; plug one in here"
+        f"unknown codec {codec!r}: 'fake'/'fake_smooth' (deterministic "
+        "stand-ins) and 'pil' (real image decode, needs Pillow) are "
+        "supported; plug other codec libraries in here"
     )
 
 
@@ -159,6 +192,14 @@ def sample_frames(
     )
 
 
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of a 2-D pixel grid (pure index
+    gather, codec-independent)."""
+    iy = (np.arange(out_h) * px.shape[0]) // out_h
+    ix = (np.arange(out_w) * px.shape[1]) // out_w
+    return px[np.ix_(iy, ix)]
+
+
 def resize_media(
     media: DataFrame,
     out_w: int = 8,
@@ -184,9 +225,7 @@ def resize_media(
                 pdf["height"],
             ):
                 px = decode_media(bytes(payload), int(w), int(h), codec)
-                iy = (np.arange(out_h) * px.shape[0]) // out_h
-                ix = (np.arange(out_w) * px.shape[1]) // out_w
-                small = px[np.ix_(iy, ix)]
+                small = resize_nearest(px, out_w, out_h)
                 ids.append(mid)
                 types.append(mtype)
                 blobs.append(small.tobytes())
