@@ -296,6 +296,21 @@ def bench_filter_throughput(
             )
             dt = time.perf_counter() - t0
             assert n == n_probe, f"table-sql false negatives: {n_probe - n}"
+            # first pass pays the one-time artifact decode + persist of
+            # the flattened slot table; report it as the cold cost and a
+            # second pass as the per-probe steady state a deployment
+            # actually amortizes to (the decoded table is reused for the
+            # artifact's lifetime)
+            extras["probe_table_sql_cold_sec"] = round(dt, 3)
+            extras["probe_table_sql_cold_keys_per_sec"] = int(n_probe / dt)
+            t0 = time.perf_counter()
+            n = (
+                tab.probe_sql(probe_df, "key")
+                .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
+                .collect()[0]["n"]
+            )
+            dt = time.perf_counter() - t0
+            assert n == n_probe, f"table-sql false negatives: {n_probe - n}"
             extras["probe_table_sql_sec"] = round(dt, 3)
             extras["probe_table_sql_keys_per_sec"] = int(n_probe / dt)
             # (b) shard-cogrouped Arrow probe (the byte-parity fallback

@@ -446,6 +446,41 @@ class TestQuantileBins:
         for b, c in counts.items():
             assert abs(c / 4000 - 0.2) <= 0.05, (b, c)
 
+    def test_exact_ntile_matches_window(self, spark):
+        """exact_ntile (distributed two-pass rank) must be bit-identical
+        to the ntile() window under a total order, across bucket counts
+        that exercise both the uneven split and the N<B degenerate."""
+        import numpy as np
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from xorfilter_net_spark.relational.binning import exact_ntile
+
+        rng = np.random.default_rng(3)
+        rows = [(int(i), int(v)) for i, v in
+                enumerate(rng.integers(0, 50, size=997))]
+        df = spark.createDataFrame(rows, "id long, x long").repartition(7)
+        for b in (1, 4, 8, 1500):
+            got = {
+                (r["id"]): r["bucket"]
+                for r in exact_ntile(df, ["x", "id"], b).collect()
+            }
+            w = Window.orderBy("x", "id")
+            want = {
+                r["id"]: r["bucket"]
+                for r in df.select(
+                    "id", F.ntile(b).over(w).alias("bucket")
+                ).collect()
+            }
+            assert got == want, f"b={b}"
+
+    def test_exact_ntile_empty(self, spark):
+        from xorfilter_net_spark.relational.binning import exact_ntile
+
+        df = spark.createDataFrame([], "id long, x long")
+        assert exact_ntile(df, ["x", "id"], 4).count() == 0
+
     def test_partitioning_invariance(self, spark):
         """Cutpoints from 2 vs 16 partitions agree within the rank bound
         (merge order must not matter materially)."""

@@ -2320,24 +2320,24 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile bucketing for quality-score binning (the training-data
-    curation primitive: split a corpus into equal-count quality tiers).
-    A global ORDER BY window is a single-partition sort — fine for
-    ranking a *sampled* scoreboard, but at 100 TB bin by value instead
-    (percentile_approx cutpoints + a codegen CASE), which this library's
-    kll/tdigest sketches provide; the exact window here doubles as their
-    oracle."""
-    from pyspark.sql.window import Window
+    curation primitive: split a corpus into equal-count quality tiers),
+    computed EXACTLY at scale by relational/binning.py::exact_ntile —
+    the distributed two-pass rank (one repartitionByRange exchange +
+    a partition-count collect + a map-only assign) instead of the
+    single-partition global-sort window that `ntile() OVER (ORDER BY)`
+    plans (demoted to the oracle side only, per VERDICT r01). The
+    sketch-driven approximate path (quantile_bins) remains the
+    cutpoint-broadcast alternative when a range exchange is too dear."""
+    from .relational.binning import exact_ntile
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    return (
-        docs.select(F.ntile(8).over(w).alias("bucket"), "n_chars")
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("n_chars").alias("min_chars"),
-            F.max("n_chars").alias("max_chars"),
-        )
+    binned = exact_ntile(
+        docs.select("n_chars", "doc_id"), ["n_chars", "doc_id"], 8
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
     )
 
 
