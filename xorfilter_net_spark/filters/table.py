@@ -270,11 +270,15 @@ class XorFilterTable:
             slots_df = (
                 self.shards_df()
                 .select("shard", "slots")
+                # spread the (tiny) shard blob rows BEFORE decoding:
+                # parallelizes the decode across cores and leaves the
+                # decoded table already partitioned — repartitioning the
+                # 10^7-row decoded output instead cost a full extra
+                # shuffle on the cold path
+                .repartition(max(4, min(len(metas) or 1, 64)))
                 .mapInPandas(decode, schema="sidx long, sval long")
                 # persist the decoded table: three joins (and every probe
-                # action) reuse one decode pass; partition count sized to
-                # ~2M slots each
-                .repartition(max(4, off // 2_000_000))
+                # action) reuse one decode pass
                 .persist()
             )
             if not metas:
