@@ -45,13 +45,11 @@ def test_rows_only_queries_are_the_documented_iterative_set(registry):
         "unigram_encode_stats",
         "bpe_merges_documents",
         "bpe_encode_token_stats",
-        # (pagerank_tools / hits_tools moved OFF this list in r2: their
-        # fixed-iteration all-integer recurrences unroll into chained-CTE
-        # DuckDB oracles — see _pagerank_tools_oracle/_hits_tools_oracle)
-        # iterative deletion is non-monotone: no recursive-CTE oracle;
-        # exactness = the Python peel differential in
-        # tests/test_profile_assoc_kcore.py
-        "q_kcore_copurchase",
+        # (pagerank_tools / hits_tools / q_kcore_copurchase moved OFF
+        # this list in r2: fixed-iteration integer recurrences and the
+        # fixpoint-idempotent peel unroll into chained materialized-CTE
+        # DuckDB oracles — see _pagerank_tools_oracle/_hits_tools_oracle/
+        # _kcore_oracle)
         # Lloyd iterations -> rows-only; exactness = the bit-identical
         # NumPy replay differential in tests/test_kmeans.py
         "kmeans_cell_profile_embeddings",

@@ -7445,14 +7445,49 @@ def q_hash_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_kcore_copurchase", None)
+def _kcore_oracle(k: int = 60, rounds: int = 6) -> str:
+    """Value-exact DuckDB oracle for the k-core peel: iterative deletion
+    is non-monotone (no recursive CTE), but the peel is IDEMPOTENT at
+    its fixpoint, so unrolling ``rounds`` >= convergence-depth rounds of
+    materialized CTEs replays it exactly (sf0.01 converges in 1 round —
+    measured; 6 gives margin). Third rows-only -> value-exact promotion
+    of the iterative set (after pagerank/hits)."""
+    parts = [
+        "with items as materialized (select distinct l_orderkey as g, "
+        "l_partkey as i from lineitem)",
+        "e0 as materialized (select distinct a.i as a, b.i as b "
+        "from items a join items b using (g) where a.i < b.i)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"deg{i} as materialized (select node, count(*) as d from ("
+            f"select a as node from e{p} union all select b as node "
+            f"from e{p}) t group by node)"
+        )
+        parts.append(
+            f"e{i} as materialized (select a, b from e{p} "
+            f"where a in (select node from deg{i} where d >= {k}) "
+            f"and b in (select node from deg{i} where d >= {k}))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect node, count(*) as core_deg from ("
+        f"select a as node from e{rounds} union all "
+        f"select b as node from e{rounds}) t group by node"
+    )
+
+
+@query("q_kcore_copurchase", _kcore_oracle())
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal k-core of the part co-purchase graph (relational/
     graph.py::kcore_subgraph) — iterative degree-<k peel to fixpoint,
     the graph twin of the filter family's hypergraph peel. Iterative
-    deletion is non-monotone (no recursive-CTE oracle) -> rows-only
-    driver gate; exactness is the pure-Python peel differential in
-    tests/test_graph.py."""
+    deletion is non-monotone (no recursive-CTE oracle), but the peel is
+    idempotent at fixpoint, so a bounded UNROLL of materialized CTE
+    rounds (>= measured convergence depth) is a value-exact replay
+    (_kcore_oracle); the pure-Python peel differential in
+    tests/test_graph.py pins exactness at arbitrary depth."""
     from .relational.graph import cooccurrence_edges, kcore_subgraph
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -278,9 +278,11 @@ def kcore_subgraph(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame
     per round. Only the per-round edge count crosses to the driver.
 
     Iterative-deletion semantics are not monotone, so no recursive-CTE
-    oracle exists — exactness is pinned by the pure-Python peel
-    differential in tests/test_graph.py instead (same convention as
-    pagerank).
+    oracle exists; the peel IS idempotent at its fixpoint, though, so a
+    bounded unroll of >= convergence-depth rounds replays it exactly
+    (the driver oracle, entrypoints._kcore_oracle). Exactness at
+    arbitrary depth is pinned by the pure-Python peel differential in
+    tests/test_graph.py (same convention as pagerank).
 
     No reference counterpart (beyond-reference graph-analytics family).
     """
