@@ -283,46 +283,44 @@ def bench_filter_throughput(
 
         if include_cogroup and tag == "main" and "probe_cogroup_keys_per_sec" not in extras:
             # beyond-broadcast probe paths (the filter never loads on the
-            # driver and never broadcasts). Fresh plans each — their
-            # shuffles cannot be skip-reused, so single passes are honest.
+            # driver and never broadcasts). Each pass builds a fresh plan
+            # (shuffles cannot be skip-reused); min-of-2 per strategy —
+            # this VM's hypervisor steal makes single shots noisy by 3x
+            # (see BASELINE.md probe-crossover section).
+            def _timed_min(fn, reps=2):
+                best = None
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    n = fn()
+                    dt = time.perf_counter() - t0
+                    assert n == n_probe, f"false negatives: {n_probe - n}"
+                    best = dt if best is None else min(best, dt)
+                return best
+
+            def _count(df):
+                return (
+                    df.agg(
+                        F.sum(F.col("is_member").cast("long")).alias("n")
+                    ).collect()[0]["n"]
+                )
+
             # (a) zero-Python shuffled-hash-join probe over the persisted
-            #     distributed artifact (three JVM joins, no Arrow on the
-            #     probe corpus)
-            t0 = time.perf_counter()
-            n = (
-                tab.probe_sql(probe_df, "key")
-                .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
-                .collect()[0]["n"]
+            #     distributed artifact. The first pass pays the one-time
+            #     artifact decode + persist of the flattened slot table —
+            #     reported as the cold cost; steady state is what a
+            #     deployment amortizes to (the decoded table is reused
+            #     for the artifact's lifetime)
+            dt = _timed_min(
+                lambda: _count(tab.probe_sql(probe_df, "key")), reps=1
             )
-            dt = time.perf_counter() - t0
-            assert n == n_probe, f"table-sql false negatives: {n_probe - n}"
-            # first pass pays the one-time artifact decode + persist of
-            # the flattened slot table; report it as the cold cost and a
-            # second pass as the per-probe steady state a deployment
-            # actually amortizes to (the decoded table is reused for the
-            # artifact's lifetime)
             extras["probe_table_sql_cold_sec"] = round(dt, 3)
             extras["probe_table_sql_cold_keys_per_sec"] = int(n_probe / dt)
-            t0 = time.perf_counter()
-            n = (
-                tab.probe_sql(probe_df, "key")
-                .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
-                .collect()[0]["n"]
-            )
-            dt = time.perf_counter() - t0
-            assert n == n_probe, f"table-sql false negatives: {n_probe - n}"
+            dt = _timed_min(lambda: _count(tab.probe_sql(probe_df, "key")))
             extras["probe_table_sql_sec"] = round(dt, 3)
             extras["probe_table_sql_keys_per_sec"] = int(n_probe / dt)
             # (b) shard-cogrouped Arrow probe (the byte-parity fallback
             #     for murmur-digest filters)
-            t0 = time.perf_counter()
-            n = (
-                tab.probe(probe_df, "key")
-                .agg(F.sum(F.col("is_member").cast("long")).alias("n"))
-                .collect()[0]["n"]
-            )
-            dt = time.perf_counter() - t0
-            assert n == n_probe, f"cogroup false negatives: {n_probe - n}"
+            dt = _timed_min(lambda: _count(tab.probe(probe_df, "key")))
             extras["probe_cogroup_sec"] = round(dt, 3)
             extras["probe_cogroup_keys_per_sec"] = int(n_probe / dt)
 
