@@ -41,9 +41,15 @@ def _already_green() -> set[str]:
         for name, row in rounds.items():
             if not isinstance(row, dict) or row.get("err"):
                 continue
-            if row.get("rows_match", True) and row.get(
-                "schema_match", True
-            ) and row.get("hash_match") in (True, None):
+            rows_only = name not in entrypoints.ORACLES
+            if (
+                row.get("rows_match", True) is not False
+                and row.get("schema_match", True) is not False
+                # rows-only queries have no value hash to match — don't
+                # let a recorded hash_match=false pin them to the front
+                # of the rotation forever
+                and (row.get("hash_match") in (True, None) or rows_only)
+            ):
                 green.add(name)
     return green
 
