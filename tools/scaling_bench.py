@@ -245,11 +245,18 @@ def main() -> None:
         "cluster this plan scales with machines trivially: there is no "
         "cross-executor dependency at all.\n"
     )
-    content = re.sub(
-        r"\n## Measured scaling \(this sandbox\)\n.*", "", content, flags=re.S
-    )
+    # replace ONLY this tool's own section (up to the next '## ' heading),
+    # preserving every other appended section — the old to-EOF regex once
+    # clobbered the training-data/graph/k-means scaling evidence
+    pattern = r"\n## Measured scaling \(this sandbox\)\n.*?(?=\n## |\Z)"
+    if re.search(pattern, content, flags=re.S):
+        content = re.sub(
+            pattern, lambda m: section, content, count=1, flags=re.S
+        )
+    else:
+        content = content + section
     with open(md, "w") as f:
-        f.write(content + section)
+        f.write(content)
 
 
 if __name__ == "__main__":
