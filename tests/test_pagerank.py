@@ -148,6 +148,27 @@ def test_hits_partitioning_invariant(spark, edges_df):
     assert a == b
 
 
+def test_hits_heavy_weights_no_int64_wrap(spark):
+    """Regression for the r1 ADVICE finding: per-edge products that each
+    fit int64 can still SUM past 2^63 on one dominant dst (5 hubs at
+    ~1.67e11 initial score x w=5e7 -> per-edge ~8.3e18 < 2^63, dst sum
+    ~4.2e19 > 2^63). The decimal(38,0) sum path must match the
+    arbitrary-precision Python replay exactly; the old bigint sum
+    silently wrapped negative here."""
+    from xorfilter_net_spark.relational.pagerank import hits
+
+    w = 50_000_000
+    edges = [(f"h{i}", "a", w) for i in range(5)] + [("a", "h0", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["node"]: (r["auth_e12"], r["hub_e12"])
+        for r in hits(df, iters=3).collect()
+    }
+    auth, hub = py_hits(edges, iters=3)
+    assert got == {v: (auth[v], hub[v]) for v in auth}
+    assert all(a >= 0 and h >= 0 for a, h in got.values())
+
+
 def test_hits_semantics(spark, edges_df):
     from xorfilter_net_spark.relational.pagerank import hits
 
