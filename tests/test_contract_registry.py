@@ -71,6 +71,31 @@ def test_all_oracles_bind_in_duckdb(registry, duck):
     assert not bad, bad
 
 
+def test_no_hugeint_oracle_output_columns(registry, duck):
+    """DuckDB widens sum(BIGINT) to HUGEINT (int128); the driver's
+    comparison frame then lands float64 while Spark stays int64, so the
+    value-hash mismatches even when every value is identical (the r02
+    hash-red class). Every oracle must therefore cast integer sums back
+    to BIGINT — DESCRIBE (planning only) over all oracles must show
+    zero HUGEINT/UHUGEINT output columns."""
+    _, oracles = registry
+    bad = {}
+    for name, sql in oracles.items():
+        try:
+            desc = duck.sql("describe " + sql).fetchall()
+        except Exception as exc:  # noqa: BLE001 — binding covered above
+            bad[name] = str(exc).splitlines()[0]
+            continue
+        huge = [
+            f"{col}:{typ}"
+            for col, typ, *_ in desc
+            if "HUGEINT" in typ.upper()
+        ]
+        if huge:
+            bad[name] = huge
+    assert not bad, bad
+
+
 def test_bench_queries_are_registered(registry):
     import bench
 

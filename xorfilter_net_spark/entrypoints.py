@@ -2530,7 +2530,8 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_variant_props_stats",
     "select cast(json_extract_string(props, '$.k') as bigint) % 7 "
     "as k_mod, count(*) as n, "
-    "sum(cast(json_extract_string(props, '$.k') as bigint)) as sum_k "
+    "cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) "
+    "as sum_k "
     "from events group by 1",
 )
 def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3137,7 +3138,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_salted_skew_join",
     "with dim as (select user_id, count(*) as user_n from events group by user_id) "
-    "select event_type, count(*) as n, sum(user_n) as total_user_n "
+    "select event_type, count(*) as n, sum(user_n)::bigint as total_user_n "
     "from events join dim using (user_id) group by event_type",
 )
 def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3250,7 +3251,8 @@ def _split_sql() -> str:
 @query(
     "q_hash_split_documents",
     f"select case when {_split_sql()} then 'val' else 'train' end as split, "
-    "count(*) as n, sum(n_chars) as total_chars from documents group by 1",
+    "count(*) as n, sum(n_chars)::bigint as total_chars "
+    "from documents group by 1",
 )
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash train/val split
@@ -3400,7 +3402,7 @@ def q_token_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_explode_token_counts",
-    "select token, count(*) as n, sum(length(token)) as total_len "
+    "select token, count(*) as n, sum(length(token))::bigint as total_len "
     "from (select unnest(string_split(text, ' ')) as token from documents) t "
     "where token <> '' group by token having count(*) >= 20",
 )
@@ -4091,7 +4093,7 @@ def _repetition_oracle() -> str:
         "bg as (select doc_id, max(cnt) as top_bigram_count, "
         "  sum(cnt) as n_bigrams from pg group by 1) "
         "select l.doc_id, l.n_lines, l.dup_line_frac_e6, l.dup_line_char_frac_e6, "
-        "coalesce(bg.n_bigrams, 0) as n_bigrams, "
+        "coalesce(bg.n_bigrams, 0)::bigint as n_bigrams, "
         "coalesce(bg.top_bigram_count, 0) as top_bigram_count, "
         "cast(floor(1000000.0 * coalesce(bg.top_bigram_count, 0) / "
         "nullif(coalesce(bg.n_bigrams, 0), 0)) as bigint) as top_bigram_frac_e6 "
@@ -4160,8 +4162,8 @@ def _media_oracle() -> str:
     return (
         f"with media as ({media_select('duckdb')}) "
         "select media_type, count(*) as n, "
-        "sum(octet_length(payload)) as total_bytes, "
-        "sum(cast(width as bigint) * height) as total_pixels "
+        "sum(octet_length(payload))::bigint as total_bytes, "
+        "sum(cast(width as bigint) * height)::bigint as total_pixels "
         "from media group by media_type"
     )
 
@@ -4213,7 +4215,7 @@ def _media_frames_oracle() -> str:
         "sized as (select media_id, fi, greatest(L // n_frames, 1) as flen, L "
         " from fr) "
         "select media_id, count(*) as n_sampled, "
-        "sum(greatest(least(L - fi * flen, flen), 0)) as sampled_bytes "
+        "sum(greatest(least(L - fi * flen, flen), 0))::bigint as sampled_bytes "
         "from sized group by media_id"
     )
 

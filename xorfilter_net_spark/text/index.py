@@ -97,7 +97,7 @@ def postings_sql(
         f"td as (select term, doc, count(*) as tf from tok "
         f"where term != '' group by term, doc) "
         f"select term, doc % {n_shards} as shard, "
-        f"count(*) as df_docs, sum(tf) as tf_total, "
+        f"count(*) as df_docs, sum(tf)::bigint as tf_total, "
         f"string_agg(doc || ':' || tf, ',' order by doc) as postings "
         f"from td {having}"
         f"group by term, doc % {n_shards}"
