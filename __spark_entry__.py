@@ -45,10 +45,13 @@ def _already_green() -> set[str]:
             if (
                 row.get("rows_match", True) is not False
                 and row.get("schema_match", True) is not False
-                # rows-only queries have no value hash to match — don't
-                # let a recorded hash_match=false pin them to the front
-                # of the rotation forever
-                and (row.get("hash_match") in (True, None) or rows_only)
+                # rows-only queries have no value hash to match, so a
+                # missing/None hash field still counts as verified for
+                # them; value-checkable queries need hash_match=True —
+                # a row written before the oracle existed (or by a
+                # format without the hash field) must NOT deprioritize
+                # an unverified query in the rotation
+                and (row.get("hash_match") is True or rows_only)
             ):
                 green.add(name)
     return green

@@ -105,6 +105,30 @@ def test_bench_queries_are_registered(registry):
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
 
 
+def test_kcore_oracle_sentinel_fires_on_non_convergence():
+    """The k-core oracle is a bounded unroll of an idempotent peel; it
+    is only a valid replay if the fixpoint is reached within the unroll
+    depth. On a 7-node path with k=2 the peel needs 3 rounds, so a
+    rounds=1 unroll must emit the loud (-1, -1) sentinel row instead of
+    silently replaying a non-converged state — while a deep-enough
+    unroll must converge to the (empty) core with no sentinel."""
+    from xorfilter_net_spark.entrypoints import _kcore_oracle
+
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"({100 + i}, {i + 1}), ({100 + i}, {i + 2})" for i in range(6)
+    )
+    con.sql(
+        "create view lineitem as select * from (values "
+        + rows
+        + ") t(l_orderkey, l_partkey)"
+    )
+    short = con.sql(_kcore_oracle(k=2, rounds=1)).fetchall()
+    assert (-1, -1) in short
+    deep = con.sql(_kcore_oracle(k=2, rounds=6)).fetchall()
+    assert deep == []  # a path has no 2-core; converged, no sentinel
+
+
 def test_package_exports_resolve():
     """Every lazily-exported name must import and resolve (a moved
     function would otherwise only fail at first user touch)."""

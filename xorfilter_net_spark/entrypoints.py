@@ -7477,6 +7477,16 @@ def _kcore_oracle(k: int = 60, rounds: int = 6) -> str:
         + f"\nselect node, count(*) as core_deg from ("
         f"select a as node from e{rounds} union all "
         f"select b as node from e{rounds}) t group by node"
+        # Non-convergence sentinel: the unroll is only a valid replay if
+        # the peel reached its fixpoint within `rounds`. If the last two
+        # edge sets still differ, emit an impossible (-1, -1) row so the
+        # driver comparison goes LOUDLY red (rows+hash) instead of
+        # silently replaying a non-converged peel against Spark's true
+        # fixpoint.
+        + f"\nunion all select -1 as node, -1 as core_deg "
+        f"from (select (select count(*) from e{rounds}) as c_n, "
+        f"(select count(*) from e{rounds - 1}) as c_p) s "
+        f"where c_n <> c_p"
     )
 
 

@@ -73,87 +73,149 @@ def quantile_bins(
     return assign_bins(df, col, cuts, out_col=out_col), cuts
 
 
+def _range_bucket_expr(key, bounds) -> "F.Column":
+    """Binary-search CASE tree mapping a struct key onto the bucket id
+    in ``[0, len(bounds)]`` defined by the sorted boundary literals:
+    O(log p) comparisons per row, pure codegen."""
+
+    def build(lo: int, hi: int):
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(key <= bounds[mid], build(lo, mid)).otherwise(
+            build(mid + 1, hi)
+        )
+
+    return build(0, len(bounds)) if bounds else F.lit(0)
+
+
 def exact_ntile(
     df: DataFrame,
     order_cols: list[str],
     n_buckets: int,
     out_col: str = "bucket",
     num_partitions: int | None = None,
+    sample_per_partition: int = 100,
 ) -> DataFrame:
     """EXACT ``ntile(n) OVER (ORDER BY order_cols)`` without the
-    single-partition global sort — the distributed two-pass rank idiom:
+    single-partition global sort — the distributed two-pass rank idiom,
+    with all driver-collected state embedded as plan LITERALS so the
+    result is a pure deterministic function of the input (no persist or
+    checkpoint needed for correctness; every stage replays on executor
+    loss):
 
-    1. ``repartitionByRange`` + in-partition sort puts the corpus in
-       global order across partitions (one range shuffle; the input is
-       persisted so both passes see the same partitioning);
-    2. a P-row count-per-partition collect gives each partition its
-       global rank offset (the only driver data: one long per
-       partition);
-    3. a map-only pass adds local position to the offset and applies
-       the exact ntile split (first ``N mod B`` buckets get
-       ``ceil(N/B)`` rows).
+    1. a seeded, column-pruned sample collect picks ``p - 1`` range
+       boundary literals over the order key (bounded: ~100 rows per
+       target partition on the driver, never the corpus);
+    2. a map-only O(log p) binary-search CASE assigns each row its
+       range bucket; one light aggregate (p rows) gives each bucket its
+       global rank offset — valid under ANY recomputation because the
+       bucket is a function of the row, not of a physical partition id;
+    3. the single corpus shuffle hash-partitions on the bucket id; an
+       in-partition sort + map-only pandas pass adds per-bucket local
+       position to the broadcast offsets and applies the exact ntile
+       split (first ``N mod B`` buckets get ``ceil(N/B)`` rows).
 
     Output = input columns + ``out_col``. Bit-identical to the window
-    ``ntile`` whenever ``order_cols`` is a total order (add a unique
-    tiebreaker column, as ``ntile``'s peer-row nondeterminism does
-    otherwise). Scale: the range exchange is the only corpus shuffle;
-    no stage ever sees more than one partition of rows.
+    ``ntile`` whenever ``order_cols`` is a total order over non-null
+    keys (add a unique tiebreaker column, as ``ntile``'s peer-row
+    nondeterminism does otherwise). Scale: one corpus shuffle, two
+    extra column-pruned scans (sample + offsets), O(p) driver state.
     """
-    import pandas as pd
-
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     cols = list(df.columns)
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    rp = (
-        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    dts = {c: df.schema[c].dataType for c in order_cols}
+    fields = [f"_k{i}" for i in range(len(order_cols))]
+
+    def key_of(mk):
+        return F.struct(
+            *[mk(c).cast(dts[c]).alias(f) for c, f in zip(order_cols, fields)]
+        )
+
+    key = key_of(F.col)
+
+    # 1. boundary literals from a seeded sample (deterministic once
+    # collected — they live in the plan as literals from here on)
+    n = df.count()
+    if n == 0:
+        return df.select(
+            *cols, F.lit(None).cast("integer").alias(out_col)
+        )
+    frac = min(1.0, (sample_per_partition * p) / n)
+    sample = sorted(
+        tuple(row) for row in (
+            df.select(*order_cols).sample(fraction=frac, seed=42)
+            if frac < 1.0
+            else df.select(*order_cols)
+        ).collect()
     )
-    try:
-        counts = {
-            int(r["__pid"]): int(r["n"])
-            for r in rp.groupBy("__pid")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        total = sum(counts.values())
-        offsets, off = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = off
-            off += counts[pid]
-        q, r = divmod(total, n_buckets)
+    bounds = []
+    for i in range(1, p):
+        cand = sample[(i * len(sample)) // p] if sample else None
+        if cand is not None and (not bounds or cand != bounds[-1]):
+            bounds.append(cand)
+    bound_lits = [
+        key_of(lambda c, row=row: F.lit(row[order_cols.index(c)]))
+        for row in bounds
+    ]
+    bkt = _range_bucket_expr(key, bound_lits)
+    df2 = df.withColumn("__bkt", bkt.cast("int"))
 
-        def assign(batches):
-            local = 0
-            pid_off = None
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                if pid_off is None:
-                    pid_off = offsets[int(pdf["__pid"].iloc[0])]
-                import numpy as np
+    # 2. per-bucket counts -> global rank offsets (p-row collect)
+    counts = {
+        int(r["__bkt"]): int(r["n"])
+        for r in df2.groupBy("__bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    offsets, off = {}, 0
+    for b in sorted(counts):
+        offsets[b] = off
+        off += counts[b]
+    q, r = divmod(total, n_buckets)
 
-                rank = pid_off + local + np.arange(len(pdf), dtype=np.int64)
-                local += len(pdf)
-                if q == 0:
-                    bucket = rank + 1  # more buckets than rows
-                else:
-                    head = r * (q + 1)
-                    bucket = np.where(
-                        rank < head,
-                        rank // (q + 1) + 1,
-                        (rank - head) // q + r + 1,
-                    )
-                out = pdf[cols].copy()
-                out[out_col] = bucket.astype(np.int32)
-                yield out
+    def assign(batches):
+        import numpy as np
 
-        schema = rp.drop("__pid").schema.add(out_col, "integer")
-        result = rp.mapInPandas(assign, schema=schema)
-        # materialize before unpersist so the offsets stay valid
-        result = result.localCheckpoint(eager=True)
-        return result
-    finally:
-        rp.unpersist()
+        local: dict[int, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bkts = pdf["__bkt"].to_numpy()
+            pos = np.empty(len(pdf), dtype=np.int64)
+            start = 0
+            while start < len(bkts):
+                b = int(bkts[start])
+                end = start
+                while end < len(bkts) and bkts[end] == b:
+                    end += 1
+                base = local.get(b, 0)
+                pos[start:end] = offsets[b] + base + np.arange(end - start)
+                local[b] = base + (end - start)
+                start = end
+            if q == 0:
+                bucket = pos + 1  # more buckets than rows
+            else:
+                head = r * (q + 1)
+                bucket = np.where(
+                    pos < head,
+                    pos // (q + 1) + 1,
+                    (pos - head) // q + r + 1,
+                )
+            out = pdf[cols].copy()
+            out[out_col] = bucket.astype(np.int32)
+            yield out
+
+    # fresh StructType — StructType.add mutates in place, and df.schema
+    # is the DataFrame's cached instance
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    )
+    return (
+        df2.repartition(p, "__bkt")
+        .sortWithinPartitions("__bkt", *order_cols)
+        .mapInPandas(assign, schema=schema)
+    )
