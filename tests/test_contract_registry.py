@@ -50,9 +50,10 @@ def test_rows_only_queries_are_the_documented_iterative_set(registry):
         # fixpoint-idempotent peel unroll into chained materialized-CTE
         # DuckDB oracles — see _pagerank_tools_oracle/_hits_tools_oracle/
         # _kcore_oracle)
-        # Lloyd iterations -> rows-only; exactness = the bit-identical
-        # NumPy replay differential in tests/test_kmeans.py
-        "kmeans_cell_profile_embeddings",
+        # (kmeans_cell_profile_embeddings moved OFF this list in r3:
+        # the fixed-iteration Lloyd recurrence unrolls into chained
+        # materialized CTEs — integer update sums are order-free and
+        # the float steps are single-IEEE-op chains — _kmeans_oracle)
         # WordPiece training/encode is iterative like BPE/unigram;
         # differential + greedy-property checks in tests/test_wordpiece.py
         "wordpiece_pieces_documents",

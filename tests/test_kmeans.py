@@ -20,7 +20,6 @@ from xorfilter_net_spark.ann.kmeans import (
     kmeans_cell_profile,
     kmeans_fit,
 )
-from xorfilter_net_spark.kernels.hashes import spark_xxhash64_longs
 from xorfilter_net_spark.sources.session import load_table
 
 
@@ -39,9 +38,12 @@ def _normalize(mat):
 
 def _replay(ids, x, k, iters, seed):
     """Single-machine replay of the exact distributed algorithm."""
-    h = spark_xxhash64_longs([ids, np.full(len(ids), seed, dtype=np.int64)])
-    # Spark's xxhash64 yields SIGNED longs and orderBy sorts them signed
-    order = np.lexsort((ids, h.view(np.int64)))
+    import hashlib
+
+    hexes = [
+        hashlib.md5(f"{i}:{seed}".encode()).hexdigest() for i in ids
+    ]
+    order = sorted(range(len(ids)), key=lambda j: (hexes[j], ids[j]))
     cent = _normalize(x[order[:k]])
     keff = cent.shape[0]
     inertia = []

@@ -20,7 +20,8 @@ Spark shape, 100 TB-minded (per iteration):
   accumulates in the same pass as exact int64, so the objective history
   is partitioning-invariant.
 
-Determinism: init picks the k hash-smallest ids (``xxhash64`` order — a
+Determinism: init picks the k hash-smallest ids (``md5(id + ':' +
+seed)`` order — engine-portable, so the DuckDB oracle replays it; a
 bottom-k sample, only k rows cross to the driver); assignment, update
 sums, and inertia are pure functions of (centroids, batch) with integer
 accumulation, so the whole fit is bit-identical across runs,
@@ -53,12 +54,19 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 def _init_centroids(
     emb: DataFrame, id_col: str, vec_col: str, k: int, seed: int
 ) -> np.ndarray:
-    """k hash-smallest rows (deterministic bottom-k; only k rows collect)."""
+    """k hash-smallest rows (deterministic bottom-k; only k rows collect).
+
+    The hash order is ``md5(str(id) + ':' + str(seed))`` — the repo's
+    engine-portable hash idiom (same convention as the sampling/split
+    family), chosen over xxhash64 so the DuckDB oracle can replay the
+    init ordering byte-identically (``md5(id::varchar || ':seed')``).
+    """
     rows = (
         emb.select(F.col(id_col).cast("long").alias("id"), vec_col)
-        # the seed literal must be LongType: xxhash64 dispatches per input
-        # type, and the NumPy replay (tests) hashes int64 lanes
-        .orderBy(F.xxhash64(F.col("id"), F.lit(seed).cast("long")), F.col("id"))
+        .orderBy(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{seed}"))),
+            F.col("id"),
+        )
         .limit(k)
         .collect()
     )

@@ -7782,21 +7782,208 @@ def q_streaming_topk_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_df(spark, acc)
 
 
-@query("kmeans_cell_profile_embeddings", None)
+def _kmeans_oracle(k: int = 8, iters: int = 6, seed: int = 11) -> str:
+    """Value-exact DuckDB replay of the fixed-iteration Lloyd fit
+    (fourth rows-only -> value-exact promotion, after pagerank/hits/
+    kcore): the integer per-cell update sums are order-free (exact under
+    any partitioning AND any engine), the md5 bottom-k init is the
+    engine-portable hash idiom, and every float step is a short chain of
+    single IEEE ops (``list_dot_product`` + one divide + floor) that
+    DuckDB reproduces; verified value-identical to the Spark fit at
+    sf0.001 and sf0.01."""
+    parts = [
+        "with emb as materialized (select vec_id as id, "
+        "embedding::double[] as e from embeddings)",
+        "ptn as materialized (select id, e, "
+        "sqrt(list_dot_product(e, e)) as nn from emb)",
+        "ptl as materialized (select id, case when nn > 0 then "
+        "list_transform(e, v -> v / nn) else "
+        "list_transform(e, v -> 0.0) end as xl from ptn)",
+        "xq as materialized (select id, i, "
+        "cast(floor(e[i+1] * 1000000.0) as bigint) as q "
+        "from emb, unnest(range(0, len(e))) as u(i))",
+        f"init as materialized (select id, row_number() over "
+        f"(order by md5(id::varchar || ':{seed}'), id) as rk from emb)",
+        f"c0 as materialized (select rk - 1 as cell, i as pos, "
+        f"case when p.nn > 0 then p.e[i+1] / p.nn else 0.0 end as v "
+        f"from init join ptn p using (id), "
+        f"unnest(range(0, len(p.e))) as u(i) where rk <= {k})",
+        "ntot as materialized (select count(*) as n from emb)",
+    ]
+    for t in range(iters):
+        parts += [
+            f"cl{t} as materialized (select cell, "
+            f"list(v order by pos) as cl from c{t} group by cell)",
+            f"asg{t} as materialized (select id, cell, dot from ("
+            f"select p.id, c.cell, list_dot_product(p.xl, c.cl) as dot, "
+            f"row_number() over (partition by p.id order by "
+            f"list_dot_product(p.xl, c.cl) desc, c.cell) as rn "
+            f"from ptl p cross join cl{t} c) s where rn = 1)",
+            f"inrt{t} as materialized (select sum(1000000 - "
+            f"cast(floor(dot * 1000000.0) as bigint)) as v from asg{t})",
+            f"upd{t} as materialized (select a.cell, x.i as pos, "
+            f"count(*) as n, sum(x.q)::bigint as s "
+            f"from asg{t} a join xq x using (id) group by 1, 2)",
+            f"craw{t + 1} as materialized (select c.cell, c.pos, "
+            f"case when u.n > 0 then u.s / 1000000.0 / u.n else c.v end "
+            f"as v from c{t} c left join upd{t} u using (cell, pos))",
+            f"crn{t + 1} as materialized (select cell, "
+            f"sqrt(list_dot_product(cl, cl)) as nn from "
+            f"(select cell, list(v order by pos) as cl from craw{t + 1} "
+            f"group by cell) s)",
+            f"c{t + 1} as materialized (select r.cell, r.pos, "
+            f"case when n.nn > 0 then r.v / n.nn else 0.0 end as v "
+            f"from craw{t + 1} r join crn{t + 1} n using (cell))",
+        ]
+    mono = (
+        " and ".join(
+            f"(select v from inrt{t + 1}) <= (select v from inrt{t}) + "
+            f"(select n from ntot)"
+            for t in range(iters - 1)
+        )
+        or "true"
+    )
+    parts += [
+        f"clF as materialized (select cell, list(v order by pos) as cl "
+        f"from c{iters} group by cell)",
+        "asgF as materialized (select id, cell, cos_e6 from ("
+        "select p.id, c.cell, "
+        "cast(floor(list_dot_product(p.xl, c.cl) * 1000000.0) as bigint) "
+        "as cos_e6, row_number() over (partition by p.id order by "
+        "list_dot_product(p.xl, c.cl) desc, c.cell) as rn "
+        "from ptl p cross join clF c) s where rn = 1)",
+    ]
+    return (
+        ",\n".join(parts)
+        + f"\nselect cell, count(*) as n_members, "
+        f"min(cos_e6) as min_cos_e6, sum(cos_e6)::bigint as sum_cos_e6, "
+        f"({mono}) as inertia_monotone from asgF group by cell"
+    )
+
+
+@query("kmeans_cell_profile_embeddings", _kmeans_oracle())
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully distributed Lloyd k-means (ann/kmeans.py): every iteration
     is one mapInPandas pass whose per-batch output is the k x d table of
     quantized per-cell sums (map-side combine — points never shuffle,
     vectors never reach the driver), reduced by a k x d-bounded hash
-    aggregate. Iterative -> rows-only driver gate (same convention as
-    pagerank/BPE); exactness = the bit-identical pure-NumPy replay in
-    tests/test_kmeans.py. inertia_monotone carries the Lloyd descent
+    aggregate. VALUE-EXACT oracle (_kmeans_oracle): the fixed-iteration
+    Lloyd recurrence unrolls into chained materialized CTEs because the
+    cross-boundary state is integer (order-free) and the float steps are
+    single-IEEE-op chains both engines reproduce; the bit-identical
+    pure-NumPy replay in tests/test_kmeans.py pins the distributed
+    execution independently. inertia_monotone carries the Lloyd descent
     property in-query."""
     from .ann.kmeans import kmeans_cell_profile
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_cell_profile(
         emb, "vec_id", "embedding", k=8, iters=6, seed=11
+    )
+
+
+@query(
+    "checkpoint_resume_ok",
+    "select true as build_resumed_identical, "
+    "true as build_stages_resumed, "
+    "true as build_partial_resume_identical, "
+    "true as build_fresh_identical, "
+    "true as sketch_resumed_identical",
+)
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume family gate (pipeline/checkpoint.py +
+    sketches/base.py::aggregate_checkpointed), exercised end-to-end
+    inside one query — the two-run resume semantics no single-run SQL
+    oracle can express, so the query computes its own targets and
+    returns pass booleans:
+
+    - a completed run_dir re-run must SKIP every stage (manifests carry
+      the fingerprint chain) and reload a byte-identical filter;
+    - a run interrupted before the final stage commit (its manifest
+      deleted) must resume the finished stages and recompute only the
+      tail, again byte-identical;
+    - an independent fresh run_dir must produce a byte-identical
+      artifact (the reference's determinism contract, SURVEY.md §3.3);
+    - a resumed sketch aggregation must reload the identical merged
+      HLL state.
+    """
+    import json
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from .pipeline.checkpoint import build_xor_filter_checkpointed
+    from .sketches.base import aggregate_checkpointed
+    from .sketches.hll import HllSketch
+
+    def artifact_bytes(sxf) -> str:
+        """Canonical artifact serialization MINUS wall-clock metrics
+        (build_sec is a measurement, not part of the filter)."""
+        d = json.loads(json.dumps(sxf.to_dict(), sort_keys=True))
+        for shard in d.get("shards", {}).values():
+            if isinstance(shard, dict):
+                shard.get("metrics", {}).pop("build_sec", None)
+        return json.dumps(d, sort_keys=True)
+
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    kw = dict(num_shards=8, width=16, seed=7, input_token=sf_dir)
+    base = tempfile.mkdtemp(prefix="ckpt_gate_")
+    try:
+        r1, r2 = f"{base}/run", f"{base}/fresh"
+        f1, m1 = build_xor_filter_checkpointed(t, "key", r1, **kw)
+        a1 = artifact_bytes(f1)
+        f2, m2 = build_xor_filter_checkpointed(t, "key", r2, **kw)
+        fresh_ok = a1 == artifact_bytes(f2)
+
+        f3, m3 = build_xor_filter_checkpointed(t, "key", r1, **kw)
+        resumed_ok = a1 == artifact_bytes(f3)
+        stages_ok = all(v["resumed"] for v in m3.values()) and not any(
+            v["resumed"] for v in m1.values()
+        )
+
+        # crash before the last stage's commit: manifests are written
+        # atomically LAST, so the interrupted state is "artifact files
+        # maybe present, manifest absent" — resume recomputes only it
+        import os
+
+        os.remove(f"{r1}/filter.manifest.json")
+        f4, m4 = build_xor_filter_checkpointed(t, "key", r1, **kw)
+        partial_ok = (
+            a1 == artifact_bytes(f4)
+            and m4["digests"]["resumed"]
+            and m4["shards"]["resumed"]
+            and not m4["filter"]["resumed"]
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        sk = HllSketch(p=12, key_col="user_id")
+        st1, sm1 = aggregate_checkpointed(
+            ev, ["user_id"], sk, f"{base}/hll", params={"p": 12}
+        )
+        st2, sm2 = aggregate_checkpointed(
+            ev, ["user_id"], sk, f"{base}/hll", params={"p": 12}
+        )
+        sketch_ok = (
+            np.array_equal(st1, st2)
+            and sm2["partials"]["resumed"]
+            and sm2["merged"]["resumed"]
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                bool(resumed_ok),
+                bool(stages_ok),
+                bool(partial_ok),
+                bool(fresh_ok),
+                bool(sketch_ok),
+            )
+        ],
+        "build_resumed_identical boolean, build_stages_resumed boolean, "
+        "build_partial_resume_identical boolean, "
+        "build_fresh_identical boolean, sketch_resumed_identical boolean",
     )
 
 
