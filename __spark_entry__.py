@@ -77,6 +77,10 @@ _FRONT = [
     "hits_tools",
     "q_kcore_copurchase",
     "kmeans_cell_profile_embeddings",
+    "bpe_merges_documents",
+    "bpe_encode_token_stats",
+    "wordpiece_pieces_documents",
+    "wordpiece_encode_stats",
     "checkpoint_resume_ok",
     "q_ntile_doc_length_buckets",
     # the operators a training-data user runs first

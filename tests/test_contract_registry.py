@@ -40,24 +40,18 @@ def test_every_oracle_names_a_query(registry):
 def test_rows_only_queries_are_the_documented_iterative_set(registry):
     queries, oracles = registry
     rows_only = set(queries) - set(oracles)
+    # The surviving rows-only pair is the unigram-LM tokenizer: its
+    # training is EM (forward-backward lattice sums of float log-probs
+    # whose VALUES depend on float addition order) and its encode is a
+    # Viterbi argmax over those trained log-probs — there is no
+    # integer-state formulation to replay, unlike every other iterative
+    # operator here (pagerank/hits/kcore/kmeans/bpe/wordpiece all moved
+    # off this list in r2-r3 via chained materialized-CTE unrolls of
+    # integer or single-IEEE-op recurrences). Strong check: the
+    # single-machine replay differential in tests/test_unigram_lm.py.
     assert rows_only == {
         "unigram_pieces_documents",
         "unigram_encode_stats",
-        "bpe_merges_documents",
-        "bpe_encode_token_stats",
-        # (pagerank_tools / hits_tools / q_kcore_copurchase moved OFF
-        # this list in r2: fixed-iteration integer recurrences and the
-        # fixpoint-idempotent peel unroll into chained materialized-CTE
-        # DuckDB oracles — see _pagerank_tools_oracle/_hits_tools_oracle/
-        # _kcore_oracle)
-        # (kmeans_cell_profile_embeddings moved OFF this list in r3:
-        # the fixed-iteration Lloyd recurrence unrolls into chained
-        # materialized CTEs — integer update sums are order-free and
-        # the float steps are single-IEEE-op chains — _kmeans_oracle)
-        # WordPiece training/encode is iterative like BPE/unigram;
-        # differential + greedy-property checks in tests/test_wordpiece.py
-        "wordpiece_pieces_documents",
-        "wordpiece_encode_stats",
     }
 
 

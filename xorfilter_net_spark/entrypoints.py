@@ -5959,33 +5959,238 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
     return _BPE_CACHE[sf_dir]
 
 
-@query("bpe_merges_documents", None)
+def _bpe_chain_ctes(num_merges: int = 10) -> str:
+    """Shared CTE chain replaying the BPE training recurrence exactly
+    (fifth/sixth rows-only -> value-exact promotions): the word-count
+    vocabulary is one exact aggregate; each merge round is (pair count
+    -> total-order argmax -> greedy left-to-right fold), and the fold —
+    Spark's codegen ``aggregate`` in text/bpe.py::merge_fold — is
+    replayed symbol-for-symbol by a DuckDB ``list_reduce`` over a
+    chr(1)-joined accumulator string (same last-symbol test, same
+    non-overlapping greedy semantics). All state is integer counts and
+    symbol strings — no floats anywhere, so the replay is value-exact,
+    not approximately so."""
+    parts = [
+        "v0 as materialized (select word, cnt, "
+        "string_split(word, '') || ['</w>'] as sym from ("
+        "select word, count(*)::bigint as cnt from ("
+        "select unnest(string_split(coalesce(text, ''), ' ')) as word "
+        "from documents) t where word != '' group by word) w)",
+    ]
+    for t in range(num_merges):
+        parts += [
+            f"p{t} as materialized (select sym[i] as l, sym[i+1] as r, "
+            f"sum(cnt)::bigint as c from v{t}, "
+            f"unnest(range(1, len(sym))) as u(i) "
+            f"where len(sym) >= 2 group by 1, 2)",
+            f"m{t} as materialized (select l, r, c from p{t} "
+            f"order by c desc, l, r limit 1)",
+            f"v{t + 1} as materialized (select word, cnt, "
+            f"string_split(list_reduce(sym, (acc, s) -> case when "
+            f"list_extract(string_split(acc, chr(1)), -1) = m.l "
+            f"and s = m.r then substr(acc, 1, len(acc) - len(m.l)) "
+            f"|| m.l || m.r else acc || chr(1) || s end), chr(1)) as sym "
+            # on-true left join: an exhausted pair table (early stop)
+            # freezes the vocabulary instead of emptying it
+            f"from v{t} left join m{t} m on true)",
+        ]
+    parts.append(
+        "mall as materialized ("
+        + " union all ".join(
+            f"select {t} as mrank, l, r, c from m{t}"
+            for t in range(num_merges)
+        )
+        + ")"
+    )
+    return ",\n".join(parts)
+
+
+def _bpe_merges_oracle(num_merges: int = 10, min_count: int = 2) -> str:
+    # counts can never rebound above a sub-threshold round's count (a
+    # merged pair of count c creates new adjacencies of count <= c), so
+    # the cumulative-min qualify replays train_bpe's early-stop exactly
+    return (
+        "with " + _bpe_chain_ctes(num_merges) + "\n"
+        'select cast(mrank as int) as "rank", l as "left", r as "right", '
+        "c as pair_count from mall "
+        f"qualify min(c) over (order by mrank) >= {min_count}"
+    )
+
+
+def _bpe_encode_oracle(num_merges: int = 10, min_count: int = 2) -> str:
+    # per-doc token count = sum over word OCCURRENCES of the trained
+    # segmentation length (encode re-derives exactly the training fold);
+    # loud sentinel if the unroll and train_bpe's early-stop diverge
+    return (
+        "with " + _bpe_chain_ctes(num_merges) + ",\n"
+        "dw as materialized (select doc_id, word from ("
+        "select doc_id, unnest(string_split(coalesce(text, ''), ' ')) "
+        "as word from documents) t where word != ''),\n"
+        f"seg as materialized (select word, len(sym)::bigint as n "
+        f"from v{num_merges})\n"
+        "select d.doc_id, coalesce(sum(s.n), 0)::bigint as n_bpe_tokens "
+        "from (select doc_id from documents) d "
+        "left join (select dw.doc_id, s.n from dw "
+        "join seg s using (word)) s using (doc_id) group by d.doc_id "
+        "union all select -1 as doc_id, -1 as n_bpe_tokens "
+        f"from (select min(c) as mc from mall) q where mc < {min_count}"
+    )
+
+
+@query("bpe_merges_documents", _bpe_merges_oracle())
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (text/bpe.py, Sennrich ACL'16):
     10 merges learned over the documents corpus. One corpus-sized shuffle
     (word counts), then vocab-sized iterations with codegen fold merges.
-    Inherently iterative -> rows-only driver gate; the value-exact check
-    is the pure-Python textbook differential in tests/test_bpe.py."""
+    VALUE-EXACT oracle (_bpe_merges_oracle): the recurrence state is all
+    integer counts + symbol strings, and the greedy merge fold replays
+    in DuckDB's list_reduce — see _bpe_chain_ctes; the pure-Python
+    textbook differential in tests/test_bpe.py pins the distributed
+    execution independently."""
     from .text.bpe import merges_df
 
     return merges_df(spark, _bpe_merges(spark, sf_dir))
 
 
-@query("bpe_encode_token_stats", None)
+@query("bpe_encode_token_stats", _bpe_encode_oracle())
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encode with the learned merge table, entirely in codegen
     (nested aggregate folds inside a transform over the word array):
-    per-doc BPE token counts. Iterative upstream -> rows-only gate;
-    segmentation exactness is pinned by tests/test_bpe.py."""
+    per-doc BPE token counts. VALUE-EXACT oracle: the encode fold is
+    the training fold, so each word's token count equals its trained
+    segmentation length — the oracle joins the replayed final vocab back
+    to the doc word stream (_bpe_encode_oracle); segmentation exactness
+    is pinned by tests/test_bpe.py."""
     from .text.bpe import encode_with_merges
 
     docs = load_table(spark, sf_dir, "documents")
     return encode_with_merges(docs, _bpe_merges(spark, sf_dir)).select(
-        "doc_id", F.size("bpe_tokens").alias("n_bpe_tokens")
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
     )
 
 
-@query("wordpiece_pieces_documents", None)
+def _wp_chain_ctes(num_merges: int = 10, min_count: int = 2) -> str:
+    """Shared CTE chain replaying WordPiece training exactly (seventh/
+    eighth rows-only -> value-exact promotions): same integer-state
+    recurrence as BPE (_bpe_chain_ctes) but the per-round argmax
+    maximizes the likelihood ratio count(lr)/(count(l)*count(r)) — made
+    EXACT via HUGEINT cross-multiplication in a NOT-EXISTS comparator
+    (no float ever orders candidates, mirroring the Spark side's
+    band-then-Fraction re-compare). An empty candidate round (early
+    stop) leaves the vocabulary frozen via the on-true left join, like
+    train_wordpiece's break."""
+    beats = (
+        "(q.c::hugeint * (p.lc::hugeint * p.rc::hugeint) > "
+        "p.c::hugeint * (q.lc::hugeint * q.rc::hugeint) or "
+        "(q.c::hugeint * (p.lc::hugeint * p.rc::hugeint) = "
+        "p.c::hugeint * (q.lc::hugeint * q.rc::hugeint) and "
+        "(q.c > p.c or (q.c = p.c and (q.l < p.l or "
+        "(q.l = p.l and q.r < p.r))))))"
+    )
+    parts = [
+        "v0 as materialized (select word, cnt, string_split(word, '') "
+        "as sym from (select word, count(*)::bigint as cnt from ("
+        "select unnest(string_split(coalesce(text, ''), ' ')) as word "
+        "from documents) t where word != '' group by word) w)",
+    ]
+    for t in range(num_merges):
+        parts += [
+            f"sc{t} as materialized (select s as sym_s, "
+            f"sum(cnt)::bigint as scnt from v{t}, unnest(sym) as u(s) "
+            f"group by s)",
+            f"p{t} as materialized (select sym[i] as l, sym[i+1] as r, "
+            f"sum(cnt)::bigint as c from v{t}, "
+            f"unnest(range(1, len(sym))) as u(i) "
+            f"where len(sym) >= 2 group by 1, 2)",
+            f"cand{t} as materialized (select p.l, p.r, p.c, "
+            f"sl.scnt as lc, sr.scnt as rc from p{t} p "
+            f"join sc{t} sl on p.l = sl.sym_s "
+            f"join sc{t} sr on p.r = sr.sym_s "
+            f"where p.c >= {min_count})",
+            f"m{t} as materialized (select l, r, c from cand{t} p "
+            f"where not exists (select 1 from cand{t} q "
+            f"where (q.l != p.l or q.r != p.r) and {beats}))",
+            f"v{t + 1} as materialized (select word, cnt, "
+            f"string_split(list_reduce(sym, (acc, s) -> case when "
+            f"list_extract(string_split(acc, chr(1)), -1) = m.l "
+            f"and s = m.r then substr(acc, 1, len(acc) - len(m.l)) "
+            f"|| m.l || m.r else acc || chr(1) || s end), chr(1)) as sym "
+            f"from v{t} left join m{t} m on true)",
+        ]
+    return ",\n".join(parts)
+
+
+def _wp_pieces_oracle(num_merges: int = 10) -> str:
+    return (
+        "with " + _wp_chain_ctes(num_merges) + "\n"
+        "select piece, count(*) as n_words, sum(cnt)::bigint as total_cnt "
+        f"from (select cnt, unnest(list_transform(sym, (s, i) -> "
+        f"case when i = 1 then s else '##' || s end)) as piece "
+        f"from v{num_merges}) t group by piece"
+    )
+
+
+def _wp_encode_oracle(
+    num_merges: int = 10, steps: int = 12, max_word_len: int = 200
+) -> str:
+    """Greedy longest-match-first encode replay: the per-word matching
+    loop unrolls by TOKEN POSITION (``steps`` >= the longest word's
+    token count — loud sentinel otherwise); each step picks the longest
+    vocabulary piece matching at the current offset, whole word ->
+    [UNK] on any dead end (the BERT semantics)."""
+    parts = [
+        _wp_chain_ctes(num_merges),
+        f"pieces as materialized (select distinct "
+        f"unnest(list_transform(sym, (s, i) -> case when i = 1 then s "
+        f"else '##' || s end)) as piece from v{num_merges})",
+        "dw as materialized (select doc_id, word from (select doc_id, "
+        "unnest(string_split(coalesce(text, ''), ' ')) as word "
+        "from documents) t where word != '')",
+        f"w0 as materialized (select word, "
+        f"case when len(word) > {max_word_len} then len(word) else 0 end "
+        f"as pos, case when len(word) > {max_word_len} then 1 else 0 end "
+        f"as nt, case when len(word) > {max_word_len} then 1 else 0 end "
+        f"as unk from (select distinct word from dw) t)",
+    ]
+    for s in range(steps):
+        parts += [
+            f"a{s} as materialized (select w.word, w.pos, max(u.i) as bl "
+            f"from w{s} w, unnest(range(1, len(w.word) - w.pos + 1)) "
+            f"as u(i) where w.pos < len(w.word) and "
+            f"(case when w.pos = 0 then substr(w.word, 1, u.i) "
+            f"else '##' || substr(w.word, w.pos + 1, u.i) end) "
+            f"in (select piece from pieces) group by 1, 2)",
+            f"w{s + 1} as materialized (select w.word, "
+            f"case when w.pos >= len(w.word) then w.pos "
+            f"when a.bl is null then len(w.word) "
+            f"else w.pos + a.bl end as pos, "
+            f"case when w.pos >= len(w.word) then w.nt "
+            f"when a.bl is null then 1 else w.nt + 1 end as nt, "
+            f"case when w.pos >= len(w.word) then w.unk "
+            f"when a.bl is null then 1 else w.unk end as unk "
+            f"from w{s} w left join a{s} a using (word, pos))",
+        ]
+    return (
+        "with " + ",\n".join(parts) + "\n"
+        "select d.doc_id, coalesce(sum(t.nt), 0)::bigint as n_wp_tokens, "
+        "coalesce(sum(t.unk), 0)::bigint as n_unk "
+        "from (select doc_id from documents) d left join ("
+        f"select dw.doc_id, f.nt, f.unk from dw join w{steps} f "
+        f"using (word)) t using (doc_id) group by d.doc_id "
+        # loud sentinels: a word still unfinished after the unroll, or a
+        # literal '[UNK]' piece in the vocabulary (would make the token
+        # count and the unk flag diverge from Spark's string filter)
+        f"union all select -1 as doc_id, -1 as n_wp_tokens, -1 as n_unk "
+        f"from (select count(*) as bad from w{steps} "
+        f"where pos < len(word)) q where bad > 0 "
+        f"union all select -2 as doc_id, -2 as n_wp_tokens, -2 as n_unk "
+        f"from (select count(*) as bad from pieces "
+        f"where piece = '[UNK]') q where bad > 0"
+    )
+
+
+@query("wordpiece_pieces_documents", _wp_pieces_oracle())
 def q_wordpiece_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed WordPiece training (text/wordpiece.py, Schuster &
     Nakajima ICASSP'12 — the BERT tokenizer): 10 likelihood-scored
@@ -5993,8 +6198,10 @@ def q_wordpiece_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word-initial + ##-continuation pieces). Same scale shape as BPE
     (one corpus shuffle, vocab-sized iterations); the ratio argmax is
     EXACT via float64 band pre-rank + driver Fraction re-compare.
-    Iterative -> rows-only; the strong check is the pure-Python
-    textbook differential in tests/test_wordpiece.py."""
+    VALUE-EXACT oracle (_wp_pieces_oracle): integer-state recurrence
+    with a HUGEINT cross-multiplication argmax — see _wp_chain_ctes;
+    the pure-Python textbook differential in tests/test_wordpiece.py
+    pins the distributed execution independently."""
     from .text.wordpiece import train_wordpiece, vocab_pieces
 
     docs = load_table(spark, sf_dir, "documents")
@@ -6004,13 +6211,15 @@ def q_wordpiece_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("wordpiece_encode_stats", None)
+@query("wordpiece_encode_stats", _wp_encode_oracle())
 def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BERT-style greedy longest-match-first WordPiece encode against
     the trained surface vocabulary — Arrow kernel over DISTINCT words +
     word-keyed join-back (the production word-table shape). Per-doc
-    token and [UNK] counts. Iterative upstream -> rows-only; the greedy
-    property is verified piece-by-piece in tests/test_wordpiece.py."""
+    token and [UNK] counts. VALUE-EXACT oracle (_wp_encode_oracle): the
+    greedy matching loop unrolls by token position over the replayed
+    vocabulary; the greedy property is also verified piece-by-piece in
+    tests/test_wordpiece.py."""
     from .text.wordpiece import (
         UNK,
         encode_wordpiece,
@@ -6025,10 +6234,10 @@ def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = encode_wordpiece(docs, pieces, "doc_id", "text")
     return enc.select(
         "doc_id",
-        F.size("wp_tokens").alias("n_wp_tokens"),
-        F.expr(
-            f"size(filter(wp_tokens, t -> t = '{UNK}'))"
-        ).alias("n_unk"),
+        F.size("wp_tokens").cast("long").alias("n_wp_tokens"),
+        F.expr(f"size(filter(wp_tokens, t -> t = '{UNK}'))")
+        .cast("long")
+        .alias("n_unk"),
     )
 
 
