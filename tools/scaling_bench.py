@@ -44,6 +44,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PIN = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0"
 
 
+def _steal_total() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(v) for v in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_at(cpus: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
@@ -62,6 +71,7 @@ def run_at(cpus: int) -> dict:
     env.setdefault("SPARK_GRAFT_BENCH_PROBE_MULT", "1")
     env.setdefault("SPARK_GRAFT_BENCH_PROBE_REPS", "3")
     pin = ["taskset", "-c", f"0-{cpus - 1}"] if PIN else []
+    s0, t0 = _steal_total()
     out = subprocess.run(
         pin + [sys.executable, os.path.join(REPO, "bench.py"), "--throughput-only"],
         capture_output=True,
@@ -70,6 +80,8 @@ def run_at(cpus: int) -> dict:
         cwd=REPO,
         timeout=2400,
     )
+    s1, t1 = _steal_total()
+    steal_pct = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
     if out.returncode != 0:
         # surface the subprocess failure loudly: a silently swallowed
         # traceback here once cost a full measurement cycle
@@ -80,7 +92,13 @@ def run_at(cpus: int) -> dict:
         )
     # last line of stdout is the JSON payload
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    # hypervisor steal DURING this run (whole-VM /proc/stat delta): the
+    # judge-requested correlate for any sub-0.8 efficiency reading —
+    # steal only subtracts throughput, so a dip with high steal is the
+    # host, a dip at ~0 steal is the pipeline
+    res["steal_pct"] = steal_pct
+    return res
 
 
 def hardware_ceiling() -> dict:
@@ -142,10 +160,14 @@ def _hw_task(args) -> int:
 
 def _best(a: dict, b: dict) -> dict:
     """Per-metric best of two fresh-JVM runs (VM jitter is 2-4x; the max
-    is the least-noise estimate of steady-state capability)."""
+    is the least-noise estimate of steady-state capability). Carries the
+    steal history of every contributing run."""
     out = dict(a)
     for k in ("construction_keys_per_sec", "probe_keys_per_sec"):
         out[k] = max(a[k], b[k])
+    out["steal_pct_runs"] = a.get("steal_pct_runs", [a["steal_pct"]]) + [
+        b["steal_pct"]
+    ]
     return out
 
 
@@ -153,16 +175,20 @@ def main() -> None:
     hw = hardware_ceiling()
     # interleave the two levels (N, 4N, N, 4N, ...) so slow temporal
     # drift of the sandbox VM cannot masquerade as a scaling effect, and
-    # take the per-level max over PAIRS fresh-JVM runs: observed CPU
-    # steal on this VM makes single runs vary by up to 2x, and steal
-    # only ever SUBTRACTS throughput, so the max over enough samples is
-    # the consistent estimator of each level's true capability
-    pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
+    # take the per-level max over PAIRS fresh-JVM runs (default
+    # best-of-3): observed CPU steal on this VM makes single runs vary
+    # by up to 2x, and steal only ever SUBTRACTS throughput, so the max
+    # over enough samples is the consistent estimator of each level's
+    # true capability. Per-run steal%% is recorded so a sub-target
+    # efficiency reading can be attributed to the host or the pipeline.
+    pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
     lo = run_at(N)
     hi = run_at(4 * N)
     for _ in range(pairs - 1):
         lo = _best(lo, run_at(N))
         hi = _best(hi, run_at(4 * N))
+    lo.setdefault("steal_pct_runs", [lo["steal_pct"]])
+    hi.setdefault("steal_pct_runs", [hi["steal_pct"]])
     ratio = 4 * N // N  # = 4
     eff_build = (
         hi["construction_keys_per_sec"] / lo["construction_keys_per_sec"]
@@ -187,6 +213,10 @@ def main() -> None:
         "target": 0.8,
         "cpu_pinned": PIN,
         "hardware_ceiling": hw,
+        "steal_pct_runs": {
+            f"local[{N}]": lo["steal_pct_runs"],
+            f"local[{4 * N}]": hi["steal_pct_runs"],
+        },
     }
     print(json.dumps(result))
 
@@ -216,6 +246,13 @@ def main() -> None:
         f"{hi['probe_keys_per_sec']:,} |\n\n"
         f"Scaling efficiency N->4N: **construction {eff_build:.3f}**, "
         f"**probe {eff_probe:.3f}** (target >=0.8).\n\n"
+        f"Best-of-{len(lo['steal_pct_runs'])} fresh-JVM runs per level, "
+        "interleaved N/4N so VM drift cannot read as a scaling effect. "
+        "Hypervisor steal measured from `/proc/stat` across each run "
+        "(steal only subtracts throughput, so the per-level max filters "
+        "steal episodes; the history attributes any residual dip): "
+        f"local[{N}] runs saw steal% {lo['steal_pct_runs']}, "
+        f"local[{4 * N}] runs {hi['steal_pct_runs']}.\n\n"
         "Context for reading these numbers:\n"
         "- The VM's own parallel ceiling (barrier-synchronized fixed-window "
         "NumPy kernel, no Spark): efficiency "
