@@ -448,8 +448,27 @@ def bench_filter_throughput(
     }
 
 
+def _steal_total() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — host-contention context
+    published with every bench run (steal only adds wall time, so a slow
+    run with high steal is the hypervisor, not the engine). Note steal
+    captures involuntary preemption only: on this VM the 32 advertised
+    vCPUs oversubscribe physical cores, so wall time at local[32] also
+    moves with host neighbors that steal%% cannot see — which is why the
+    raw-CPU ceiling is published alongside (see tools/scaling_bench.py
+    hardware_ceiling and BASELINE.md's run-history section)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 1
+
+
 def main() -> None:
     throughput_only = "--throughput-only" in sys.argv
+    _s0, _t0 = _steal_total()
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     from xorfilter_net_spark import entrypoints
@@ -478,6 +497,7 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    _s1, _t1 = _steal_total()
     out = {
         "metric": "xor-filter construction+probe keys/sec on replicated "
         "transcript corpus; headline-query wall time",
@@ -487,6 +507,7 @@ def main() -> None:
         "sf": sf_val,
         "cpus": CPUS,
         "replicas": REPLICAS,
+        "steal_pct": round(100.0 * (_s1 - _s0) / max(_t1 - _t0, 1), 2),
         **tp,
     }
     print(json.dumps(out))
