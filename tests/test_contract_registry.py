@@ -124,6 +124,63 @@ def test_kcore_oracle_sentinel_fires_on_non_convergence():
     assert deep == []  # a path has no 2-core; converged, no sentinel
 
 
+def test_bpe_oracle_fold_matches_textbook_greedy():
+    """The tokenizer oracles replay Spark's greedy left-to-right merge
+    fold with a DuckDB list_reduce over a chr(1)-joined accumulator.
+    Pin that replay against the textbook Python fold on adversarial
+    symbol streams — self-overlapping runs (aaaa...), interleaved pairs,
+    merged-spelling collisions (an existing 'ab' symbol next to an
+    a+b merge product) — for single merges and chained merge pairs."""
+
+    def py_apply(seg, a, b):
+        out = []
+        for x in seg:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    con = duckdb.connect()
+
+    def duck_apply(seg, a, b):
+        return con.execute(
+            "select string_split(list_reduce($seg::varchar[], "
+            "(acc, s) -> case when "
+            "list_extract(string_split(acc, chr(1)), -1) = $a "
+            "and s = $b then substr(acc, 1, len(acc) - len($a)) "
+            "|| $a || $b else acc || chr(1) || s end), chr(1))",
+            {"seg": seg, "a": a, "b": b},
+        ).fetchone()[0]
+
+    cases = [
+        (list("aaaa"), ("a", "a")),
+        (list("aaaaa"), ("a", "a")),
+        (list("ababab"), ("a", "b")),
+        (list("abab") + ["ab"], ("a", "b")),  # spelling collision
+        (["ab", "a", "b"], ("a", "b")),
+        (list("xaybzab"), ("a", "b")),
+        (list("ba"), ("a", "b")),
+        (["a"], ("a", "a")),
+    ]
+    import random
+
+    rng = random.Random(7)
+    for _ in range(40):
+        seg = [rng.choice("ab c") for _ in range(rng.randrange(1, 12))]
+        cases.append((seg, (rng.choice("abc"), rng.choice("abc"))))
+    for seg, (a, b) in cases:
+        assert duck_apply(seg, a, b) == py_apply(seg, a, b), (seg, a, b)
+    # chained merges, including a second merge consuming the first's
+    # product (the spelling-collision regime the oracles rely on)
+    for seg in (list("aabbaabb"), list("abcabcab"), ["ab"] + list("abc")):
+        got, want = seg, seg
+        for a, b in (("a", "b"), ("ab", "c"), ("ab", "ab")):
+            got = duck_apply(got, a, b)
+            want = py_apply(want, a, b)
+            assert got == want, (seg, a, b, got, want)
+
+
 def test_package_exports_resolve():
     """Every lazily-exported name must import and resolve (a moved
     function would otherwise only fail at first user touch)."""

@@ -6002,6 +6002,13 @@ def _bpe_chain_ctes(num_merges: int = 10) -> str:
         )
         + ")"
     )
+    # the fold accumulator joins symbols on chr(1); a corpus word
+    # containing that byte would silently corrupt the replay — guard CTE
+    # lets each final select go loudly red instead
+    parts.append(
+        "sepguard as materialized (select count(*) as bad from v0 "
+        "where word like '%' || chr(1) || '%')"
+    )
     return ",\n".join(parts)
 
 
@@ -6013,7 +6020,9 @@ def _bpe_merges_oracle(num_merges: int = 10, min_count: int = 2) -> str:
         "with " + _bpe_chain_ctes(num_merges) + "\n"
         'select cast(mrank as int) as "rank", l as "left", r as "right", '
         "c as pair_count from mall "
-        f"qualify min(c) over (order by mrank) >= {min_count}"
+        f"qualify min(c) over (order by mrank) >= {min_count} "
+        'union all select -1 as "rank", \'\' as "left", \'\' as "right", '
+        "-1 as pair_count from sepguard where bad > 0"
     )
 
 
@@ -6033,7 +6042,9 @@ def _bpe_encode_oracle(num_merges: int = 10, min_count: int = 2) -> str:
         "left join (select dw.doc_id, s.n from dw "
         "join seg s using (word)) s using (doc_id) group by d.doc_id "
         "union all select -1 as doc_id, -1 as n_bpe_tokens "
-        f"from (select min(c) as mc from mall) q where mc < {min_count}"
+        f"from (select min(c) as mc from mall) q where mc < {min_count} "
+        "union all select -2 as doc_id, -2 as n_bpe_tokens "
+        "from sepguard where bad > 0"
     )
 
 
@@ -6118,6 +6129,11 @@ def _wp_chain_ctes(num_merges: int = 10, min_count: int = 2) -> str:
             f"|| m.l || m.r else acc || chr(1) || s end), chr(1)) as sym "
             f"from v{t} left join m{t} m on true)",
         ]
+    # same chr(1)-separator guard as _bpe_chain_ctes
+    parts.append(
+        "sepguard as materialized (select count(*) as bad from v0 "
+        "where word like '%' || chr(1) || '%')"
+    )
     return ",\n".join(parts)
 
 
@@ -6127,7 +6143,9 @@ def _wp_pieces_oracle(num_merges: int = 10) -> str:
         "select piece, count(*) as n_words, sum(cnt)::bigint as total_cnt "
         f"from (select cnt, unnest(list_transform(sym, (s, i) -> "
         f"case when i = 1 then s else '##' || s end)) as piece "
-        f"from v{num_merges}) t group by piece"
+        f"from v{num_merges}) t group by piece "
+        "union all select '' as piece, -1 as n_words, -1 as total_cnt "
+        "from sepguard where bad > 0"
     )
 
 
@@ -6186,7 +6204,9 @@ def _wp_encode_oracle(
         f"where pos < len(word)) q where bad > 0 "
         f"union all select -2 as doc_id, -2 as n_wp_tokens, -2 as n_unk "
         f"from (select count(*) as bad from pieces "
-        f"where piece = '[UNK]') q where bad > 0"
+        f"where piece = '[UNK]') q where bad > 0 "
+        "union all select -3 as doc_id, -3 as n_wp_tokens, -3 as n_unk "
+        "from sepguard where bad > 0"
     )
 
 
