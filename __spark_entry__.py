@@ -82,6 +82,7 @@ _FRONT = [
     "wordpiece_pieces_documents",
     "wordpiece_encode_stats",
     "checkpoint_resume_ok",
+    "media_png_codec_ok",
     "q_ntile_doc_length_buckets",
     # the operators a training-data user runs first
     "exact_dedup_survivors",

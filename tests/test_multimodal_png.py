@@ -1,0 +1,270 @@
+"""Pure-stdlib PNG codec (multimodal/png.py) — the real decode path
+that actually EXECUTES in this sandbox (no Pillow needed).
+
+Coverage: encoder round-trip, every scanline filter type (the test
+forward-filters known images itself, so the decoder is exercised on
+Sub/Up/Average/Paeth, not just the encoder's filter-0 output), every
+supported color type, sub-byte depths, error paths, PIL byte-parity
+(skipif-gated), and the Spark-side kernels running codec='png' on real
+PNG payloads end to end.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from xorfilter_net_spark.multimodal.media import decode_media, pil_available
+from xorfilter_net_spark.multimodal.png import (
+    png_decode,
+    png_encode_gray,
+    png_encode_rgb,
+)
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+def _luma_ref(r, g, b):
+    return (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png(w, h, depth, ctype, raw, plte=b"", interlace=0) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def _forward_filter(px: np.ndarray, ftype: int, bpp: int = 1) -> bytes:
+    """Forward-apply one PNG filter to every row of an 8-bit image so
+    the DECODER's un-filter path is what the test exercises."""
+    h, stride = px.shape[0], px.shape[0] and px.reshape(px.shape[0], -1).shape[1]
+    body = px.reshape(h, stride).astype(np.int64)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        line = body[y]
+        filt = np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left
+                    if pa <= pb and pa <= pc
+                    else (up if pb <= pc else ul)
+                )
+            filt[i] = (line[i] - pred) & 0xFF
+        out.append(ftype)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+    return bytes(out)
+
+
+class TestCodecCore:
+    def test_gray_roundtrip(self):
+        px = _rng(1).integers(0, 256, size=(13, 17), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode_gray(px)), px)
+
+    def test_rgb_luma(self):
+        px = _rng(2).integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+        got = png_decode(png_encode_rgb(px))
+        want = _luma_ref(
+            px[..., 0].astype(np.int64),
+            px[..., 1].astype(np.int64),
+            px[..., 2].astype(np.int64),
+        )
+        assert np.array_equal(got, want.astype(np.uint8))
+
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    def test_every_filter_type_gray(self, ftype):
+        px = _rng(3 + ftype).integers(0, 256, size=(9, 11), dtype=np.uint8)
+        raw = _forward_filter(px, ftype, bpp=1)
+        assert np.array_equal(png_decode(_png(11, 9, 8, 0, raw)), px)
+
+    @pytest.mark.parametrize("ftype", [1, 3, 4])
+    def test_every_filter_type_rgb(self, ftype):
+        px = _rng(13 + ftype).integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+        raw = _forward_filter(px, ftype, bpp=3)
+        want = _luma_ref(
+            px[..., 0].astype(np.int64),
+            px[..., 1].astype(np.int64),
+            px[..., 2].astype(np.int64),
+        ).astype(np.uint8)
+        assert np.array_equal(png_decode(_png(4, 6, 8, 2, raw)), want)
+
+    def test_mixed_filters_across_rows(self):
+        """Each row filtered with a different type (the realistic
+        encoder output shape): filter row y with type y against its
+        true predecessor row, concatenate, decode."""
+        px = _rng(4).integers(0, 256, size=(5, 8), dtype=np.uint8)
+        out = bytearray()
+        stride = 8
+        for y, f in enumerate([0, 1, 2, 3, 4]):
+            ctx = px[max(0, y - 1) : y + 1]  # (prev?, current)
+            raw2 = _forward_filter(ctx, f, 1)
+            out.extend(raw2[-(1 + stride) :])  # current row's bytes
+        assert np.array_equal(png_decode(_png(8, 5, 8, 0, bytes(out))), px)
+
+    def test_palette(self):
+        plte = bytes(
+            v for rgb in [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+            for v in rgb
+        )
+        idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+        got = png_decode(_png(4, 2, 8, 3, raw, plte=plte))
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        want = _luma_ref(pal[idx][..., 0], pal[idx][..., 1], pal[idx][..., 2])
+        assert np.array_equal(got, want.astype(np.uint8))
+
+    def test_gray_alpha_drops_alpha(self):
+        g = _rng(5).integers(0, 256, size=(3, 4), dtype=np.uint8)
+        a = _rng(6).integers(0, 256, size=(3, 4), dtype=np.uint8)
+        inter = np.stack([g, a], axis=-1)
+        raw = b"".join(
+            b"\x00" + inter[y].tobytes() for y in range(3)
+        )
+        assert np.array_equal(png_decode(_png(4, 3, 8, 4, raw)), g)
+
+    def test_rgba_drops_alpha(self):
+        px = _rng(7).integers(0, 256, size=(3, 5, 4), dtype=np.uint8)
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(3))
+        got = png_decode(_png(5, 3, 8, 6, raw))
+        want = _luma_ref(
+            px[..., 0].astype(np.int64),
+            px[..., 1].astype(np.int64),
+            px[..., 2].astype(np.int64),
+        ).astype(np.uint8)
+        assert np.array_equal(got, want)
+
+    def test_sub_byte_depth_gray(self):
+        # depth=1: 10 pixels/row -> 2 bytes/row; values scale to 0/255
+        bits = np.array(
+            [[1, 0, 1, 1, 0, 0, 1, 0, 1, 1], [0] * 10], dtype=np.uint8
+        )
+        packed = np.packbits(bits, axis=1)
+        raw = b"".join(b"\x00" + packed[y].tobytes() for y in range(2))
+        got = png_decode(_png(10, 2, 1, 0, raw))
+        assert np.array_equal(got, bits * 255)
+
+    def test_bad_crc_rejected(self):
+        payload = bytearray(png_encode_gray(np.zeros((2, 2), np.uint8)))
+        payload[-5] ^= 0xFF  # corrupt IEND CRC
+        with pytest.raises(ValueError, match="CRC"):
+            png_decode(bytes(payload))
+
+    def test_interlaced_raises_not_implemented(self):
+        raw = b"\x00\x00"
+        with pytest.raises(NotImplementedError, match="interlaced"):
+            png_decode(_png(1, 1, 8, 0, raw, interlace=1))
+
+    def test_not_a_png_rejected(self):
+        with pytest.raises(ValueError, match="signature"):
+            png_decode(b"JFIF not a png")
+
+    def test_decode_media_png_codec(self):
+        px = _rng(8).integers(0, 256, size=(6, 6), dtype=np.uint8)
+        got = decode_media(png_encode_gray(px), 999, 999, codec="png")
+        # container authoritative: metadata dims ignored
+        assert got.shape == (6, 6) and np.array_equal(got, px)
+
+
+@pytest.mark.skipif(
+    not pil_available(), reason="Pillow absent — stdlib-only parity "
+    "covered above; byte-parity vs PIL runs wherever Pillow exists"
+)
+class TestPilParity:
+    def test_gray_and_rgb_byte_parity(self):
+        from io import BytesIO
+
+        from PIL import Image
+
+        g = _rng(9).integers(0, 256, size=(12, 10), dtype=np.uint8)
+        rgb = _rng(10).integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+        for arr, mode in ((g, "L"), (rgb, "RGB")):
+            buf = BytesIO()
+            Image.fromarray(arr, mode).save(buf, format="PNG")
+            payload = buf.getvalue()
+            ours = png_decode(payload)
+            theirs = np.asarray(
+                Image.open(BytesIO(payload)).convert("L"), dtype=np.uint8
+            )
+            assert np.array_equal(ours, theirs)
+
+
+class TestSparkKernelsOnRealPng:
+    def test_features_resize_phash_on_png_payloads(self, spark):
+        """The multimodal Arrow kernels run the REAL codec end to end:
+        a near-duplicate PNG pair must pHash closer than an unrelated
+        image, and resize preserves the decoded (not metadata) grid."""
+        import pandas as pd
+
+        from xorfilter_net_spark.multimodal.media import (
+            extract_features,
+            resize_media,
+        )
+        from xorfilter_net_spark.multimodal.phash import perceptual_hashes
+
+        rng = _rng(11)
+        base = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+        near = base.copy()
+        near[0, 0] ^= 3  # tiny perturbation
+        far = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+        pdf = pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "media_type": ["image"] * 3,
+                "payload": [
+                    png_encode_gray(x) for x in (base, near, far)
+                ],
+                "width": [32, 32, 32],
+                "height": [32, 32, 32],
+                "n_frames": [1, 1, 1],
+            }
+        )
+        media = spark.createDataFrame(pdf)
+        feats = {
+            r["media_id"]: r["feat"]
+            for r in extract_features(media, codec="png").collect()
+        }
+        ref = base.astype(np.float64)
+        assert feats[1][0] == pytest.approx(ref.mean())
+        assert feats[1][3] == float(ref.max())
+
+        rs = resize_media(media, 8, 8, codec="png").collect()
+        assert {(r["out_h"], r["out_w"]) for r in rs} == {(8, 8)}
+
+        ph = {
+            r["media_id"]: int(r["phash"])
+            for r in perceptual_hashes(media, codec="png").collect()
+        }
+        d_near = bin(ph[1] ^ ph[2]).count("1")
+        d_far = bin(ph[1] ^ ph[3]).count("1")
+        assert d_near < d_far

@@ -8112,6 +8112,166 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_png_codec_ok",
+    "select true as decode_roundtrip_ok, true as luma_ok, "
+    "true as filters_ok, true as phash_separation_ok",
+)
+def q_media_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, executed in-sandbox: the pure-stdlib PNG codec
+    (multimodal/png.py — full spec decode path: chunk+CRC parse,
+    inflate, un-filter, sample expansion, PIL-parity luma) driven
+    through the SAME Arrow kernels the fake codecs exercise
+    (decode/resize/pHash with codec='png'). Deterministic seeded images
+    so the gate is stable; targets computed in-query:
+
+    - gray PNGs survive encode -> distributed decode+identity-resize
+      byte-exactly (container authoritative, metadata advisory);
+    - RGB PNGs decode to the exact ITU-R 601-2 integer luma;
+    - a payload re-encoded with every scanline filter type decodes to
+      the same grid as its filter-0 twin;
+    - pHash ranks a one-pixel-perturbed near-duplicate strictly closer
+      than an unrelated image, over real decodes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .kernels.hashes import splitmix64
+    from .multimodal.media import resize_media
+    from .multimodal.phash import perceptual_hashes
+    from .multimodal.png import png_decode, png_encode_gray, png_encode_rgb
+
+    def grid(seed: int, h: int = 24, w: int = 24, ch: int | None = None):
+        n = h * w * (ch or 1)
+        v = splitmix64(
+            np.arange(n, dtype=np.uint64) + np.uint64(seed * 1_000_003)
+        )
+        px = (v & np.uint64(0xFF)).astype(np.uint8)
+        return px.reshape((h, w, ch) if ch else (h, w))
+
+    grays = {i: grid(i) for i in range(8)}
+    rgbs = {100 + i: grid(100 + i, ch=3) for i in range(4)}
+    near = grays[0].copy()
+    near[0, 0] ^= 3
+    rows = (
+        [(i, png_encode_gray(g)) for i, g in grays.items()]
+        + [(i, png_encode_rgb(g)) for i, g in rgbs.items()]
+        + [(200, png_encode_gray(near))]
+    )
+    pdf = pd.DataFrame(
+        {
+            "media_id": [i for i, _ in rows],
+            "media_type": "image",
+            "payload": [p for _, p in rows],
+            # deliberately WRONG metadata dims: a real codec must trust
+            # the container, not the table
+            "width": 7,
+            "height": 9,
+            "n_frames": 1,
+        }
+    )
+    media = spark.createDataFrame(pdf)
+    rs = {
+        r["media_id"]: bytes(r["pixels"])
+        for r in resize_media(media, 24, 24, codec="png").collect()
+    }
+    roundtrip_ok = all(
+        rs[i] == g.tobytes() for i, g in grays.items()
+    )
+    luma = {
+        i: (
+            (
+                g[..., 0].astype(np.uint32) * 19595
+                + g[..., 1].astype(np.uint32) * 38470
+                + g[..., 2].astype(np.uint32) * 7471
+                + 0x8000
+            )
+            >> 16
+        ).astype(np.uint8)
+        for i, g in rgbs.items()
+    }
+    luma_ok = all(rs[i] == px.tobytes() for i, px in luma.items())
+    # every filter type decodes to the filter-0 grid (driver-side: the
+    # filter transcode is a codec property, not a Spark one)
+    filters_ok = all(
+        np.array_equal(
+            png_decode(_png_refilter(grays[1], f)), grays[1]
+        )
+        for f in (1, 2, 3, 4)
+    )
+    ph = {
+        r["media_id"]: int(r["phash"])
+        for r in perceptual_hashes(media, codec="png").collect()
+    }
+    d_near = bin(ph[0] ^ ph[200]).count("1")
+    d_far = bin(ph[0] ^ ph[1]).count("1")
+    return spark.createDataFrame(
+        [
+            (
+                bool(roundtrip_ok),
+                bool(luma_ok),
+                bool(filters_ok),
+                bool(d_near < d_far),
+            )
+        ],
+        "decode_roundtrip_ok boolean, luma_ok boolean, "
+        "filters_ok boolean, phash_separation_ok boolean",
+    )
+
+
+def _png_refilter(px, ftype: int) -> bytes:
+    """Re-encode a gray grid with every scanline carrying the given
+    filter type (exercises the decoder's Sub/Up/Average/Paeth paths on
+    a conformant stream our filter-0 encoder never emits)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape
+    out = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        line = px[y].astype(np.int64)
+        filt = np.zeros(w, dtype=np.int64)
+        for i in range(w):
+            left = int(line[i - 1]) if i else 0
+            up = int(prev[i])
+            ul = int(prev[i - 1]) if i else 0
+            if ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                )
+            filt[i] = (int(line[i]) - pred) & 0xFF
+        out.append(ftype)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@query(
     "checkpoint_resume_ok",
     "select true as build_resumed_identical, "
     "true as build_stages_resumed, "

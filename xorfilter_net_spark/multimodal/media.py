@@ -112,18 +112,28 @@ def decode_media(
         return _fake_pixels(payload, width, height)
     if codec == "fake_smooth":
         return _fake_pixels_smooth(payload, width, height)
+    if codec == "png":
+        # REAL decode, pure stdlib (multimodal/png.py): full PNG spec
+        # decode path — chunk+CRC parse, inflate, un-filter, sample
+        # expansion, PIL-parity luma. The container is authoritative
+        # (width/height metadata advisory), same contract as 'pil'.
+        from .png import png_decode
+
+        return png_decode(payload)
     if codec == "pil":
         if not pil_available():
             raise NotImplementedError(
                 "codec='pil' requires Pillow, which is not installed in "
-                "this environment; the deterministic fake codecs cover "
-                "the Spark-side plumbing in the meantime"
+                "this environment; codec='png' is the stdlib real-decode "
+                "path for PNG payloads, and the deterministic fake "
+                "codecs cover the Spark-side plumbing for the rest"
             )
         return _pil_pixels(payload)
     raise NotImplementedError(
         f"unknown codec {codec!r}: 'fake'/'fake_smooth' (deterministic "
-        "stand-ins) and 'pil' (real image decode, needs Pillow) are "
-        "supported; plug other codec libraries in here"
+        "stand-ins), 'png' (stdlib real PNG decode) and 'pil' (real "
+        "image decode via Pillow, any format) are supported; plug other "
+        "codec libraries in here"
     )
 
 
