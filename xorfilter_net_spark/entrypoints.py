@@ -8272,6 +8272,115 @@ def _png_refilter(px, ftype: int) -> bytes:
 
 
 @query(
+    "media_wav_codec_ok",
+    "select true as features_exact_ok, true as frame_coverage_ok, "
+    "true as depth_conversion_ok",
+)
+def q_media_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, executed in-sandbox (multimodal/audio.py —
+    pure-stdlib RIFF/WAVE parser: chunk walk, PCM 8/16/32-bit + IEEE
+    float depths, word-aligned skippable chunks) driven through the
+    distributed Arrow kernels. Deterministic seeded PCM; targets
+    computed in-query:
+
+    - per-clip features (n_samples/duration/peak/rms/zero-crossings,
+      integer-quantized) from the distributed decode equal the exact
+      NumPy reference on the driver;
+    - fixed-stride frame sampling reassembles the exact mono stream
+      byte-for-byte;
+    - every container depth (PCM8/PCM16/PCM32/float32) of the same
+      signal decodes to the same 16-bit samples.
+    """
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from .kernels.hashes import splitmix64
+    from .multimodal.audio import (
+        extract_audio_features,
+        frame_sample_audio,
+        wav_decode,
+        wav_encode_pcm16,
+    )
+
+    def sig(seed: int, n: int) -> np.ndarray:
+        v = splitmix64(
+            np.arange(n, dtype=np.uint64) + np.uint64(seed * 7_654_321)
+        )
+        return (
+            (v & np.uint64(0xFFFF)).astype(np.int64) - 32768
+        ).astype(np.int16)
+
+    sigs = {i: sig(i, 1800 + 13 * i) for i in range(6)}
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": list(sigs),
+                "payload": [
+                    wav_encode_pcm16(s, 16000) for s in sigs.values()
+                ],
+            }
+        )
+    )
+    got = {
+        r["media_id"]: r for r in extract_audio_features(media).collect()
+    }
+    feats_ok = True
+    for i, s in sigs.items():
+        mono = s.astype(np.int64)
+        sq = int((mono * mono).sum())
+        signs = mono > 0
+        zc = int((signs[1:] != signs[:-1]).sum())
+        r = got[i]
+        feats_ok = feats_ok and (
+            r["n_samples"] == len(mono)
+            and r["duration_ms"] == len(mono) * 1000 // 16000
+            and r["peak"] == int(np.abs(mono).max())
+            and r["rms_e3"]
+            == int((sq // len(mono)) ** 0.5 * 1000 / 32768)
+            and r["zcr_e6"] == zc * 1_000_000 // (len(mono) - 1)
+        )
+    frames = sorted(
+        (r["media_id"], r["frame_idx"], bytes(r["frame"]))
+        for r in frame_sample_audio(
+            media, frame_samples=512, stride=512
+        ).collect()
+    )
+    frames_ok = all(
+        b"".join(b for m, _, b in frames if m == i) == s.tobytes()
+        for i, s in sigs.items()
+    )
+    # depth conversions: same signal through 8/32-bit PCM and float32
+    # containers decodes to the quantization-consistent int16 stream
+    s8 = ((sigs[0].astype(np.int32) >> 8) + 128).astype(np.uint8)
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 8)
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8 + s8.size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt8
+        + b"data" + struct.pack("<I", s8.size) + s8.tobytes()
+    )
+    s32 = (sigs[0].astype(np.int32) << 16).astype("<i4")
+    fmt32 = struct.pack("<HHIIHH", 1, 1, 16000, 64000, 4, 32)
+    wav32 = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8 + s32.nbytes) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt32
+        + b"data" + struct.pack("<I", s32.nbytes) + s32.tobytes()
+    )
+    d8, _ = wav_decode(wav8)
+    d32, _ = wav_decode(wav32)
+    depth_ok = bool(
+        np.array_equal(d8[:, 0], (sigs[0].astype(np.int32) & ~0xFF).astype(np.int16))
+        and np.array_equal(d32[:, 0], sigs[0])
+    )
+    return spark.createDataFrame(
+        [(bool(feats_ok), bool(frames_ok), depth_ok)],
+        "features_exact_ok boolean, frame_coverage_ok boolean, "
+        "depth_conversion_ok boolean",
+    )
+
+
+@query(
     "checkpoint_resume_ok",
     "select true as build_resumed_identical, "
     "true as build_stages_resumed, "

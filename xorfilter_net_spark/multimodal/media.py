@@ -6,13 +6,17 @@ unless selected), metadata in plain typed columns so predicate pushdown
 prunes files *before* any payload byte is read. All payload processing
 runs in ``mapInPandas`` over Arrow batches.
 
-The actual codec step is STUBBED: the sandbox has no image/audio
-libraries, so ``decode_media(..., codec="real")`` raises
-``NotImplementedError`` by design, and the default deterministic fake
-codec expands payload bytes into a (h, w) uint8 "pixel" array via
-splitmix64 — making the schema, partitioning, UDF signatures, and batch
-shapes real and testable end-to-end. Swapping in PIL/ffmpeg later only
-replaces ``_fake_pixels``.
+Codec status: the IMAGE and AUDIO decode paths are REAL in-sandbox —
+``codec='png'`` is a complete pure-stdlib PNG implementation
+(multimodal/png.py) and the WAV kernels decode actual RIFF/WAVE
+payloads (multimodal/audio.py); ``codec='pil'`` covers every other
+image format where Pillow exists. The deterministic fake codecs remain
+for synthetic-payload queries whose DuckDB oracles must see identical
+"pixels" (the fakes are engine-replayable; real decodes are gated by
+the in-query boolean gates ``media_png_codec_ok`` /
+``media_wav_codec_ok`` instead). Video remains the one stubbed leg
+(no container parser in the stdlib); its frame-sampling plumbing is
+real and the plug point is ``decode_media``.
 
 The synthetic media table derives from ``documents`` with engine-portable
 SQL (Spark + DuckDB), so oracle queries see the identical table.
