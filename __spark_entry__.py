@@ -84,6 +84,7 @@ _FRONT = [
     "checkpoint_resume_ok",
     "media_png_codec_ok",
     "media_wav_codec_ok",
+    "media_avi_codec_ok",
     "q_ntile_doc_length_buckets",
     # the operators a training-data user runs first
     "exact_dedup_survivors",

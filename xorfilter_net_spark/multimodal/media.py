@@ -14,9 +14,10 @@ image format where Pillow exists. The deterministic fake codecs remain
 for synthetic-payload queries whose DuckDB oracles must see identical
 "pixels" (the fakes are engine-replayable; real decodes are gated by
 the in-query boolean gates ``media_png_codec_ok`` /
-``media_wav_codec_ok`` instead). Video remains the one stubbed leg
-(no container parser in the stdlib); its frame-sampling plumbing is
-real and the plug point is ``decode_media``.
+``media_wav_codec_ok`` / ``media_avi_codec_ok`` instead). The video
+leg is real at the CONTAINER level too — multimodal/video.py walks
+actual AVI rawvideo/DIB streams into per-frame grids (compressed
+codecs like H.264 are the remaining, loudly-gated plug point).
 
 The synthetic media table derives from ``documents`` with engine-portable
 SQL (Spark + DuckDB), so oracle queries see the identical table.
