@@ -609,6 +609,28 @@ def main() -> None:
         )
     )
 
+    # exact ntile: one data-keyed exchange, all driver state as literals
+    from xorfilter_net_spark.relational.binning import exact_ntile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "n_chars", "doc_id"
+    )
+    sections.append(
+        (
+            "Exact distributed ntile (relational/binning.py::exact_ntile)",
+            "The r3 rewrite: range-boundary literals live IN the plan "
+            "(seeded-sample collect), the bucket id is an O(log p) "
+            "codegen CASE tree over those literals, and the single "
+            "corpus Exchange hashes on that data-derived bucket — so "
+            "the driver-collected rank offsets stay valid under ANY "
+            "recomputation, with no persist or localCheckpoint for "
+            "correctness (replayable on executor loss, no doubled peak "
+            "memory). One MapInPandas applies offsets + the exact "
+            "ntile split.",
+            captured_explain(exact_ntile(docs, ["n_chars", "doc_id"], 8)),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",
@@ -710,12 +732,18 @@ def main() -> None:
     assert "ArrowEvalPython" not in dsir_plan and "BatchEvalPython" not in dsir_plan
     assert "BroadcastHashJoin" in dsir_plan and "Generate" in dsir_plan
     assert "SortMergeJoin" not in dsir_plan
-    anom_plan = sections[-2][2]
+    anom_plan = sections[-3][2]
     assert "ArrowEvalPython" not in anom_plan and "BatchEvalPython" not in anom_plan
     assert "Generate" in anom_plan  # the periods-sized window fan-out
-    trend_plan = sections[-1][2]
+    trend_plan = sections[-2][2]
     assert "ArrowEvalPython" not in trend_plan and "BatchEvalPython" not in trend_plan
     assert "HashAggregate" in trend_plan and "Join" not in trend_plan
+    ntile_plan = sections[-1][2]
+    # one data-keyed hash exchange; no global sort; no checkpoint RDD
+    assert "hashpartitioning(__bkt" in ntile_plan
+    assert "rangepartitioning" not in ntile_plan
+    assert "Scan ExistingRDD" not in ntile_plan  # no localCheckpoint leaf
+    assert "MapInPandas" in ntile_plan
     print(
         "topk/multi-distinct/z-order/q18/grouping-sets/hof/merge/"
         "q6/q8/q19/redact/not-in/cooccur/fuse-sql/contamination/"
