@@ -475,6 +475,39 @@ class TestQuantileBins:
             }
             assert got == want, f"b={b}"
 
+    def test_exact_ntile_null_keys_match_window(self, spark):
+        """Null order keys must follow Spark's NULLS FIRST window
+        semantics (land in the first buckets), not crash the driver-side
+        boundary sort or leak into the last bucket — including nulls in
+        a non-leading order column (lexicographic null-aware compare)."""
+        import numpy as np
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from xorfilter_net_spark.relational.binning import exact_ntile
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for i in range(600):
+            x = None if i % 7 == 0 else int(rng.integers(0, 40))
+            y = None if i % 11 == 0 else int(rng.integers(0, 5))
+            rows.append((i, x, y))
+        df = spark.createDataFrame(rows, "id long, x long, y long").repartition(5)
+        for b in (3, 8):
+            got = {
+                r["id"]: r["bucket"]
+                for r in exact_ntile(df, ["x", "y", "id"], b).collect()
+            }
+            w = Window.orderBy("x", "y", "id")
+            want = {
+                r["id"]: r["bucket"]
+                for r in df.select(
+                    "id", F.ntile(b).over(w).alias("bucket")
+                ).collect()
+            }
+            assert got == want, f"b={b}"
+
     def test_exact_ntile_empty(self, spark):
         from xorfilter_net_spark.relational.binning import exact_ntile
 

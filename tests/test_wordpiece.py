@@ -137,3 +137,69 @@ class TestWordPieceEncode:
         # continuation and initial forms both present somewhere
         assert any(r["piece"].startswith("##") for r in vp)
         assert any(not r["piece"].startswith("##") for r in vp)
+
+
+class TestEncodeOracleLongWords:
+    def test_duckdb_oracle_covers_long_words(self):
+        """The r04 recursive-walk rewrite of _wp_encode_oracle must
+        handle words that segment into MANY pieces (the r03 fixed
+        steps=12 unroll tripped its -1 sentinel on >12-piece words even
+        though Spark was correct). Pure-DuckDB differential against a
+        textbook greedy encode — no Spark needed."""
+        import duckdb
+
+        from xorfilter_net_spark.entrypoints import _wp_encode_oracle
+
+        # corpus engineered so the 20-char word segments into ~20
+        # single-char pieces (its chars never co-occur often enough to
+        # merge); shared high-frequency words drive the 10 merges
+        long_word = "zqxjvwkfpbymdhgtrnls"
+        texts = [
+            ("the the data data stream stream " + long_word),
+            "the data stream group group agg agg",
+            "the data stream the data stream",
+        ]
+        rows = list(enumerate(texts))
+
+        merges, segs = _py_train(texts, num_merges=10)
+        pieces = {
+            (s if i == 0 else "##" + s)
+            for seg in segs.values()
+            for i, s in enumerate(seg)
+        }
+
+        def py_encode(word):
+            if len(word) > 200:
+                return (1, 1)
+            pos, nt = 0, 0
+            while pos < len(word):
+                for ln in range(len(word) - pos, 0, -1):
+                    cand = ("" if pos == 0 else "##") + word[pos : pos + ln]
+                    if cand in pieces:
+                        break
+                else:
+                    return (1, 1)
+                pos += ln
+                nt += 1
+            return (nt, 0)
+
+        want = {}
+        for doc_id, t in rows:
+            nt = nu = 0
+            for w in t.split(" "):
+                if w:
+                    a, b = py_encode(w)
+                    nt, nu = nt + a, nu + b
+            want[doc_id] = (nt, nu)
+
+        con = duckdb.connect()
+        con.execute("create table documents (doc_id bigint, text varchar)")
+        con.executemany("insert into documents values (?, ?)", rows)
+        got = {
+            int(r[0]): (int(r[1]), int(r[2]))
+            for r in con.sql(_wp_encode_oracle()).fetchall()
+        }
+        assert -1 not in got, "walk-unfinished sentinel fired"
+        # the long word must genuinely exceed the old 12-step bound
+        assert py_encode(long_word)[0] > 12
+        assert got == want

@@ -6149,14 +6149,17 @@ def _wp_pieces_oracle(num_merges: int = 10) -> str:
     )
 
 
-def _wp_encode_oracle(
-    num_merges: int = 10, steps: int = 12, max_word_len: int = 200
-) -> str:
-    """Greedy longest-match-first encode replay: the per-word matching
-    loop unrolls by TOKEN POSITION (``steps`` >= the longest word's
-    token count — loud sentinel otherwise); each step picks the longest
-    vocabulary piece matching at the current offset, whole word ->
-    [UNK] on any dead end (the BERT semantics)."""
+def _wp_encode_oracle(num_merges: int = 10, max_word_len: int = 200) -> str:
+    """Greedy longest-match-first encode replay as a RECURSIVE per-word
+    state walk: each iteration picks the longest vocabulary piece
+    matching at the current offset (correlated argmax over the
+    materialized piece table), whole word -> [UNK] on any dead end (the
+    BERT semantics). Depth-unbounded by construction — every step
+    either consumes >= 1 matched character or jumps the cursor to the
+    end of the word, so the walk terminates for a word of ANY length
+    (the earlier fixed ``steps=12`` unroll under-covered words that
+    segment into > 12 pieces and would have tripped its sentinel even
+    though Spark was correct)."""
     parts = [
         _wp_chain_ctes(num_merges),
         f"pieces as materialized (select distinct "
@@ -6170,41 +6173,54 @@ def _wp_encode_oracle(
         f"as pos, case when len(word) > {max_word_len} then 1 else 0 end "
         f"as nt, case when len(word) > {max_word_len} then 1 else 0 end "
         f"as unk from (select distinct word from dw) t)",
+        # per-word greedy walk: the anchor is the full distinct-word
+        # state table; the recursive step advances only unfinished rows
+        # (pos < len), so each word's FINISHED state (pos >= len) is
+        # emitted exactly once across the accumulated union
+        # NOTE: the longest-match argmax is a lateral-unnest LEFT JOIN +
+        # GROUP BY, not a correlated scalar subquery — DuckDB 1.0.0
+        # silently yields NULL for a correlated subquery evaluated over
+        # a multi-row recursive working table (verified: single-row
+        # anchors walk correctly, multi-row anchors dead-end every word)
+        "wfin as materialized (\n"
+        "with recursive walk as (\n"
+        "  select word, pos, nt, unk from w0\n"
+        "  union all\n"
+        "  select word,\n"
+        "    case when bl is null then len(word) else pos + bl end as pos,\n"
+        "    case when bl is null then 1 else nt + 1 end as nt,\n"
+        "    case when bl is null then 1 else unk end as unk\n"
+        "  from (\n"
+        "    select w.word, w.pos, w.nt, w.unk,\n"
+        "      max(case when p.piece is not null then u.i end) as bl\n"
+        "    from walk w\n"
+        "    cross join unnest(range(1, len(w.word) - w.pos + 1)) as u(i)\n"
+        "    left join pieces p on p.piece =\n"
+        "      (case when w.pos = 0 then substr(w.word, 1, u.i)\n"
+        "       else '##' || substr(w.word, w.pos + 1, u.i) end)\n"
+        "    where w.pos < len(w.word)\n"
+        "    group by w.word, w.pos, w.nt, w.unk\n"
+        "  ) t\n"
+        ")\n"
+        "select word, nt, unk from walk where pos >= len(word))",
     ]
-    for s in range(steps):
-        parts += [
-            f"a{s} as materialized (select w.word, w.pos, max(u.i) as bl "
-            f"from w{s} w, unnest(range(1, len(w.word) - w.pos + 1)) "
-            f"as u(i) where w.pos < len(w.word) and "
-            f"(case when w.pos = 0 then substr(w.word, 1, u.i) "
-            f"else '##' || substr(w.word, w.pos + 1, u.i) end) "
-            f"in (select piece from pieces) group by 1, 2)",
-            f"w{s + 1} as materialized (select w.word, "
-            f"case when w.pos >= len(w.word) then w.pos "
-            f"when a.bl is null then len(w.word) "
-            f"else w.pos + a.bl end as pos, "
-            f"case when w.pos >= len(w.word) then w.nt "
-            f"when a.bl is null then 1 else w.nt + 1 end as nt, "
-            f"case when w.pos >= len(w.word) then w.unk "
-            f"when a.bl is null then 1 else w.unk end as unk "
-            f"from w{s} w left join a{s} a using (word, pos))",
-        ]
     return (
         "with " + ",\n".join(parts) + "\n"
         "select d.doc_id, coalesce(sum(t.nt), 0)::bigint as n_wp_tokens, "
         "coalesce(sum(t.unk), 0)::bigint as n_unk "
         "from (select doc_id from documents) d left join ("
-        f"select dw.doc_id, f.nt, f.unk from dw join w{steps} f "
-        f"using (word)) t using (doc_id) group by d.doc_id "
-        # loud sentinels: a word still unfinished after the unroll, or a
-        # literal '[UNK]' piece in the vocabulary (would make the token
-        # count and the unk flag diverge from Spark's string filter)
-        f"union all select -1 as doc_id, -1 as n_wp_tokens, -1 as n_unk "
-        f"from (select count(*) as bad from w{steps} "
-        f"where pos < len(word)) q where bad > 0 "
-        f"union all select -2 as doc_id, -2 as n_wp_tokens, -2 as n_unk "
-        f"from (select count(*) as bad from pieces "
-        f"where piece = '[UNK]') q where bad > 0 "
+        "select dw.doc_id, f.nt, f.unk from dw join wfin f "
+        "using (word)) t using (doc_id) group by d.doc_id "
+        # loud sentinels: a word whose walk never finished (impossible
+        # by construction; integrity guard), or a literal '[UNK]' piece
+        # in the vocabulary (would make the token count and the unk
+        # flag diverge from Spark's string filter)
+        "union all select -1 as doc_id, -1 as n_wp_tokens, -1 as n_unk "
+        "from (select count(*) as bad from (select word from w0 "
+        "except select word from wfin) x) q where bad > 0 "
+        "union all select -2 as doc_id, -2 as n_wp_tokens, -2 as n_unk "
+        "from (select count(*) as bad from pieces "
+        "where piece = '[UNK]') q where bad > 0 "
         "union all select -3 as doc_id, -3 as n_wp_tokens, -3 as n_unk "
         "from sepguard where bad > 0"
     )
@@ -8019,7 +8035,21 @@ def _kmeans_oracle(k: int = 8, iters: int = 6, seed: int = 11) -> str:
     engine-portable hash idiom, and every float step is a short chain of
     single IEEE ops (``list_dot_product`` + one divide + floor) that
     DuckDB reproduces; verified value-identical to the Spark fit at
-    sf0.001 and sf0.01."""
+    sf0.001 and sf0.01.
+
+    REDUCTION-ORDER ASSUMPTION (documented limit of the "single IEEE
+    op chain" claim): the dot products are d-term float64 reductions —
+    DuckDB's ``list_dot_product`` accumulates left-to-right while the
+    Spark kernel's NumPy ``x @ c`` may use pairwise/BLAS summation, so
+    bit-identity additionally requires the two accumulation orders to
+    agree, which holds empirically at the shipped embedding dims
+    (d = 64; green at sf0.001 and sf0.01). At much larger d a 1-ulp
+    divergence could flip a ``floor(dot * 1e6)`` quantization boundary
+    or a near-tied argmax (``order by dot desc``). The failure mode is
+    LOUD — a driver value-hash mismatch, never a silent wrong answer —
+    and the remedy is the WordPiece band-then-exact pattern (rank by a
+    banded value, re-compare exactly at ties) applied to the argmax
+    and the quantization edge."""
     parts = [
         "with emb as materialized (select vec_id as id, "
         "embedding::double[] as e from embeddings)",

@@ -73,20 +73,33 @@ def quantile_bins(
     return assign_bins(df, col, cuts, out_col=out_col), cuts
 
 
-def _range_bucket_expr(key, bounds) -> "F.Column":
-    """Binary-search CASE tree mapping a struct key onto the bucket id
-    in ``[0, len(bounds)]`` defined by the sorted boundary literals:
-    O(log p) comparisons per row, pure codegen."""
+def _le_key_expr(order_cols: list[str], dts: dict, bound_row: tuple) -> "F.Column":
+    """Null-aware lexicographic ``key <= bound`` matching Spark's default
+    ascending NULLS FIRST sort order: a null key field sorts before every
+    non-null value, so a row with a null in any order column compares
+    ``<=`` any bound with a non-null value there. ``bound_row`` never
+    contains None (null-keyed rows are filtered from the boundary
+    sample), so only the column side needs the null branch."""
+    expr = F.lit(True)
+    for c, v in reversed(list(zip(order_cols, bound_row))):
+        a = F.col(c)
+        b = F.lit(v).cast(dts[c])
+        expr = a.isNull() | (a < b) | ((a == b) & expr)
+    return expr
+
+
+def _range_bucket_expr(les: list) -> "F.Column":
+    """Binary-search CASE tree mapping a key onto the bucket id in
+    ``[0, len(les)]`` defined by the per-boundary ``key <= bound_i``
+    predicates: O(log p) comparisons per row, pure codegen."""
 
     def build(lo: int, hi: int):
         if lo == hi:
             return F.lit(lo)
         mid = (lo + hi) // 2
-        return F.when(key <= bounds[mid], build(lo, mid)).otherwise(
-            build(mid + 1, hi)
-        )
+        return F.when(les[mid], build(lo, mid)).otherwise(build(mid + 1, hi))
 
-    return build(0, len(bounds)) if bounds else F.lit(0)
+    return build(0, len(les)) if les else F.lit(0)
 
 
 def exact_ntile(
@@ -117,27 +130,34 @@ def exact_ntile(
        split (first ``N mod B`` buckets get ``ceil(N/B)`` rows).
 
     Output = input columns + ``out_col``. Bit-identical to the window
-    ``ntile`` whenever ``order_cols`` is a total order over non-null
-    keys (add a unique tiebreaker column, as ``ntile``'s peer-row
-    nondeterminism does otherwise). Scale: one corpus shuffle, two
-    extra column-pruned scans (sample + offsets), O(p) driver state.
+    ``ntile`` whenever ``order_cols`` is a total order (add a unique
+    tiebreaker column, as ``ntile``'s peer-row nondeterminism does
+    otherwise). Null order keys follow Spark's default ascending NULLS
+    FIRST ordering — they land in the first bucket(s), exactly as the
+    window does (the range comparison is null-aware and the boundary
+    sample drops null-keyed rows, so nulls can never skew or crash the
+    driver-side boundary pick). Scale: one corpus shuffle, two extra
+    column-pruned scans (sample + offsets), O(p) driver state.
+
+    Determinism requirement: the input must be stable across
+    recomputations (no unseeded ``rand()``, no unstable ``limit``) —
+    the boundary/offset literals are collected once, so a source that
+    returns different rows on re-scan skews bucket sizes; a bucket that
+    appears at assign time but was absent from the count pass raises a
+    descriptive ValueError instead of a bare KeyError. ``persist()``
+    the input first if it is nondeterministic.
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     cols = list(df.columns)
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     dts = {c: df.schema[c].dataType for c in order_cols}
-    fields = [f"_k{i}" for i in range(len(order_cols))]
-
-    def key_of(mk):
-        return F.struct(
-            *[mk(c).cast(dts[c]).alias(f) for c, f in zip(order_cols, fields)]
-        )
-
-    key = key_of(F.col)
 
     # 1. boundary literals from a seeded sample (deterministic once
-    # collected — they live in the plan as literals from here on)
+    # collected — they live in the plan as literals from here on).
+    # Null-keyed rows are dropped from the sample: they sort before
+    # every boundary anyway (NULLS FIRST), and None tuples would crash
+    # the driver-side sorted().
     n = df.count()
     if n == 0:
         return df.select(
@@ -145,22 +165,21 @@ def exact_ntile(
         )
     frac = min(1.0, (sample_per_partition * p) / n)
     sample = sorted(
-        tuple(row) for row in (
+        tuple(row)
+        for row in (
             df.select(*order_cols).sample(fraction=frac, seed=42)
             if frac < 1.0
             else df.select(*order_cols)
         ).collect()
+        if all(v is not None for v in row)
     )
     bounds = []
     for i in range(1, p):
         cand = sample[(i * len(sample)) // p] if sample else None
         if cand is not None and (not bounds or cand != bounds[-1]):
             bounds.append(cand)
-    bound_lits = [
-        key_of(lambda c, row=row: F.lit(row[order_cols.index(c)]))
-        for row in bounds
-    ]
-    bkt = _range_bucket_expr(key, bound_lits)
+    les = [_le_key_expr(order_cols, dts, row) for row in bounds]
+    bkt = _range_bucket_expr(les)
     df2 = df.withColumn("__bkt", bkt.cast("int"))
 
     # 2. per-bucket counts -> global rank offsets (p-row collect)
@@ -191,7 +210,17 @@ def exact_ntile(
                 while end < len(bkts) and bkts[end] == b:
                     end += 1
                 base = local.get(b, 0)
-                pos[start:end] = offsets[b] + base + np.arange(end - start)
+                off0 = offsets.get(b)
+                if off0 is None:
+                    raise ValueError(
+                        f"exact_ntile: bucket {b} appeared at assign time"
+                        " but not in the count pass — the input DataFrame"
+                        " is nondeterministic across recomputations (e.g."
+                        " unseeded rand(), unstable limit). exact_ntile"
+                        " requires a deterministic input; persist() it"
+                        " first."
+                    )
+                pos[start:end] = off0 + base + np.arange(end - start)
                 local[b] = base + (end - start)
                 start = end
             if q == 0:
