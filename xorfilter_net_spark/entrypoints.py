@@ -4976,7 +4976,23 @@ def q_pagerank_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "drift_report_ok",
-    "select true as distinct_exact_ok, true as jaccard_exact_ok, "
+    # the exact distinct counts and the key-Jaccard are SQL-expressible
+    # over the same two snapshot filters, so the sketch outputs (exact
+    # in the below-k regime) are value-hashed against the relational
+    # truth ORACLE-SIDE; key_jaccard is one IEEE float64 division of
+    # two exact integers on both engines. KS (rank-eps bound) and TV
+    # (float sum order) stay in-query booleans.
+    "with a as materialized (select * from events where event_id % 2 = 0), "
+    "b as materialized (select * from events where event_id % 2 = 1 "
+    "and not (event_type = 'click' and event_id % 4 = 1)), "
+    "ua as materialized (select distinct user_id from a), "
+    "ub as materialized (select distinct user_id from b) "
+    "select (select count(*) from ua)::bigint as distinct_a, "
+    "(select count(*) from ub)::bigint as distinct_b, "
+    "(select count(*) from (select * from ua intersect select * from ub) x)"
+    " / "
+    "(select count(*) from (select * from ua union select * from ub) y) "
+    "as key_jaccard, "
     "true as ks_ok, true as tv_exact_ok",
 )
 def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4985,8 +5001,9 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     here — 150 users < k, the below-k exactness regime), KS distance via
     KLL rank probes (within 2*rank-eps of the exact KS, gated at 0.05),
     TV distance via Misra-Gries (exact — 5 types <= k). Every number
-    comes from six one-pass states; the exact targets are recomputed
-    relationally in-query."""
+    comes from six one-pass states; the distinct counts and Jaccard are
+    value-checked against the ORACLE's relational truth (r03 verdict
+    item 5), the KS/TV targets recomputed in-query."""
     import numpy as np
 
     from .sketches.drift import drift_report
@@ -5000,9 +5017,6 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = drift_report(a, b, "user_id", "value", "event_type")
 
-    ua = {r[0] for r in a.select("user_id").distinct().collect()}
-    ub = {r[0] for r in b.select("user_id").distinct().collect()}
-    exact_j = len(ua & ub) / len(ua | ub)
     va = np.sort(np.array([r[0] for r in a.select("value").collect()]))
     vb = np.sort(np.array([r[0] for r in b.select("value").collect()]))
     grid = np.unique(np.concatenate([va, vb]))
@@ -5030,14 +5044,14 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [
             (
-                abs(rep["distinct_a"] - len(ua)) < 1e-9
-                and abs(rep["distinct_b"] - len(ub)) < 1e-9,
-                abs(rep["key_jaccard"] - exact_j) < 1e-9,
+                int(rep["distinct_a"]),
+                int(rep["distinct_b"]),
+                float(rep["key_jaccard"]),
                 abs(rep["ks_distance"] - exact_ks) <= 0.05,
                 abs(rep["tv_distance"] - exact_tv) < 1e-9,
             )
         ],
-        "distinct_exact_ok boolean, jaccard_exact_ok boolean, "
+        "distinct_a long, distinct_b long, key_jaccard double, "
         "ks_ok boolean, tv_exact_ok boolean",
     )
 
@@ -8141,27 +8155,72 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "media_png_codec_ok",
-    "select true as decode_roundtrip_ok, true as luma_ok, "
-    "true as filters_ok, true as phash_separation_ok",
-)
+def _media_values_oracle(rows: list[tuple]) -> str:
+    """Literal expected-row oracle for the media codec gates: the
+    fabricated inputs are deterministic (seeded splitmix64 grids), so
+    every expected value is computable at AUTHORING time with
+    codec-independent reference math (raw grid md5s, the ITU-R 601-2
+    integer luma, exact integer audio features) — moving the referee
+    constants to the ORACLE side where the driver value-hashes them,
+    instead of a self-refereed ``select true`` (r03 verdict item 5)."""
+    vals = ", ".join(
+        (
+            f"(cast({m} as bigint), '{c}', '{v}')"
+            if i == 0
+            else f"({m}, '{c}', '{v}')"
+        )
+        for i, (m, c, v) in enumerate(rows)
+    )
+    return f'select * from (values {vals}) t(media_id, chk, "value")'
+
+
+# expected values computed at authoring time from the deterministic
+# generators with CODEC-INDEPENDENT math: md5 of the raw source grids,
+# the ITU-R 601-2 integer luma over the raw RGB grids, exact NumPy
+# integer audio features over the raw PCM signal. The pHash rows pin
+# the (deterministic) perceptual-hash outputs as golden referee
+# constants, same convention as the splitmix64 golden sweep.
+_PNG_EXPECT = [
+    (0, "gray_px_md5", "126095999ecb7e1cad76a6ff41f5ce32"),
+    (1, "gray_px_md5", "9ab3bbdb82952cd35e700470ff74e455"),
+    (2, "gray_px_md5", "cc454b4b2f441ce00174684c3105ae57"),
+    (3, "gray_px_md5", "d064ce571f2bf0530e51f34ea4dbd060"),
+    (4, "gray_px_md5", "1b69861b8e1508597173246874900d23"),
+    (5, "gray_px_md5", "212235eee1d375994828ed45a8acb00e"),
+    (6, "gray_px_md5", "0baa78c484a57b830f22dd882a8e5b07"),
+    (7, "gray_px_md5", "4bc7d5bd149f07aa1ea5c9e2e6e5b990"),
+    (200, "gray_px_md5", "5d2b808aba0d711e0360f34e7d365c75"),
+    (100, "luma_md5", "c97da6e27dd7e2e54eb8fade55a3f27f"),
+    (101, "luma_md5", "41bd31be9c1db1ee97711337ff8a8fe0"),
+    (102, "luma_md5", "ef5035cb57147765e0d0841b6a599182"),
+    (103, "luma_md5", "58d44a91dcb18eb41526c65e78ea5f17"),
+    (-1, "phash_near_dist", "0"),
+    (-1, "phash_far_dist", "35"),
+    (-2, "filters_decode_ok", "true"),
+]
+
+
+@query("media_png_codec_ok", _media_values_oracle(_PNG_EXPECT))
 def q_media_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, executed in-sandbox: the pure-stdlib PNG codec
     (multimodal/png.py — full spec decode path: chunk+CRC parse,
     inflate, un-filter, sample expansion, PIL-parity luma) driven
     through the SAME Arrow kernels the fake codecs exercise
     (decode/resize/pHash with codec='png'). Deterministic seeded images
-    so the gate is stable; targets computed in-query:
+    so the gate is stable; expected values live ORACLE-SIDE as literal
+    rows (_PNG_EXPECT — authoring-time md5s of the raw grids and their
+    ITU-R 601-2 integer luma, codec-independent), value-hashed by the
+    driver:
 
     - gray PNGs survive encode -> distributed decode+identity-resize
       byte-exactly (container authoritative, metadata advisory);
     - RGB PNGs decode to the exact ITU-R 601-2 integer luma;
     - a payload re-encoded with every scanline filter type decodes to
-      the same grid as its filter-0 twin;
-    - pHash ranks a one-pixel-perturbed near-duplicate strictly closer
-      than an unrelated image, over real decodes.
+      the same grid as its filter-0 twin (codec property, boolean row);
+    - the pinned pHash distances rank the one-pixel-perturbed
+      near-duplicate strictly closer than an unrelated image.
     """
+    import hashlib
     import numpy as np
     import pandas as pd
 
@@ -8204,22 +8263,6 @@ def q_media_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["media_id"]: bytes(r["pixels"])
         for r in resize_media(media, 24, 24, codec="png").collect()
     }
-    roundtrip_ok = all(
-        rs[i] == g.tobytes() for i, g in grays.items()
-    )
-    luma = {
-        i: (
-            (
-                g[..., 0].astype(np.uint32) * 19595
-                + g[..., 1].astype(np.uint32) * 38470
-                + g[..., 2].astype(np.uint32) * 7471
-                + 0x8000
-            )
-            >> 16
-        ).astype(np.uint8)
-        for i, g in rgbs.items()
-    }
-    luma_ok = all(rs[i] == px.tobytes() for i, px in luma.items())
     # every filter type decodes to the filter-0 grid (driver-side: the
     # filter transcode is a codec property, not a Spark one)
     filters_ok = all(
@@ -8234,17 +8277,20 @@ def q_media_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     d_near = bin(ph[0] ^ ph[200]).count("1")
     d_far = bin(ph[0] ^ ph[1]).count("1")
+    out = [
+        (int(i), "gray_px_md5", hashlib.md5(rs[i]).hexdigest())
+        for i in list(grays) + [200]
+    ]
+    out += [
+        (int(i), "luma_md5", hashlib.md5(rs[i]).hexdigest()) for i in rgbs
+    ]
+    out += [
+        (-1, "phash_near_dist", str(d_near)),
+        (-1, "phash_far_dist", str(d_far)),
+        (-2, "filters_decode_ok", "true" if filters_ok else "false"),
+    ]
     return spark.createDataFrame(
-        [
-            (
-                bool(roundtrip_ok),
-                bool(luma_ok),
-                bool(filters_ok),
-                bool(d_near < d_far),
-            )
-        ],
-        "decode_roundtrip_ok boolean, luma_ok boolean, "
-        "filters_ok boolean, phash_separation_ok boolean",
+        out, "media_id long, chk string, value string"
     )
 
 
@@ -8301,26 +8347,67 @@ def _png_refilter(px, ftype: int) -> bytes:
     )
 
 
-@query(
-    "media_wav_codec_ok",
-    "select true as features_exact_ok, true as frame_coverage_ok, "
-    "true as depth_conversion_ok",
-)
+_WAV_EXPECT = [
+    (0, "n_samples", "1800"),
+    (0, "duration_ms", "112"),
+    (0, "peak", "32750"),
+    (0, "rms_e3", "579"),
+    (0, "zcr_e6", "490828"),
+    (0, "frames_md5", "c16a7b6f1121c2bad77fef70af38ecc8"),
+    (1, "n_samples", "1813"),
+    (1, "duration_ms", "113"),
+    (1, "peak", "32761"),
+    (1, "rms_e3", "581"),
+    (1, "zcr_e6", "518211"),
+    (1, "frames_md5", "12f60ba223380be34394c70c84fbb3f3"),
+    (2, "n_samples", "1826"),
+    (2, "duration_ms", "114"),
+    (2, "peak", "32762"),
+    (2, "rms_e3", "570"),
+    (2, "zcr_e6", "481095"),
+    (2, "frames_md5", "c2a2e6a92b3f3195d1509c4c40cd31a8"),
+    (3, "n_samples", "1839"),
+    (3, "duration_ms", "114"),
+    (3, "peak", "32757"),
+    (3, "rms_e3", "573"),
+    (3, "zcr_e6", "480413"),
+    (3, "frames_md5", "7b7277404154ec4a4590c918fe855785"),
+    (4, "n_samples", "1852"),
+    (4, "duration_ms", "115"),
+    (4, "peak", "32757"),
+    (4, "rms_e3", "581"),
+    (4, "zcr_e6", "478660"),
+    (4, "frames_md5", "3f3c9d629631ef197fe78b3dee42fea5"),
+    (5, "n_samples", "1865"),
+    (5, "duration_ms", "116"),
+    (5, "peak", "32763"),
+    (5, "rms_e3", "580"),
+    (5, "zcr_e6", "491952"),
+    (5, "frames_md5", "63cacebd0aa97052786d48437f5de02a"),
+    (-1, "depth8_ok", "true"),
+    (-1, "depth32_ok", "true"),
+]
+
+
+@query("media_wav_codec_ok", _media_values_oracle(_WAV_EXPECT))
 def q_media_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, executed in-sandbox (multimodal/audio.py —
     pure-stdlib RIFF/WAVE parser: chunk walk, PCM 8/16/32-bit + IEEE
     float depths, word-aligned skippable chunks) driven through the
-    distributed Arrow kernels. Deterministic seeded PCM; targets
-    computed in-query:
+    distributed Arrow kernels. Deterministic seeded PCM; expected
+    values live ORACLE-SIDE as literal rows (_WAV_EXPECT —
+    authoring-time exact integer features and md5 of the raw PCM
+    stream, codec-independent), value-hashed by the driver:
 
     - per-clip features (n_samples/duration/peak/rms/zero-crossings,
-      integer-quantized) from the distributed decode equal the exact
-      NumPy reference on the driver;
+      integer-quantized) from the distributed decode;
     - fixed-stride frame sampling reassembles the exact mono stream
-      byte-for-byte;
+      byte-for-byte (frames_md5);
     - every container depth (PCM8/PCM16/PCM32/float32) of the same
-      signal decodes to the same 16-bit samples.
+      signal decodes to the same 16-bit samples (codec property,
+      boolean rows).
     """
+    import hashlib
     import struct
 
     import numpy as np
@@ -8356,31 +8443,29 @@ def q_media_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = {
         r["media_id"]: r for r in extract_audio_features(media).collect()
     }
-    feats_ok = True
-    for i, s in sigs.items():
-        mono = s.astype(np.int64)
-        sq = int((mono * mono).sum())
-        signs = mono > 0
-        zc = int((signs[1:] != signs[:-1]).sum())
-        r = got[i]
-        feats_ok = feats_ok and (
-            r["n_samples"] == len(mono)
-            and r["duration_ms"] == len(mono) * 1000 // 16000
-            and r["peak"] == int(np.abs(mono).max())
-            and r["rms_e3"]
-            == int((sq // len(mono)) ** 0.5 * 1000 / 32768)
-            and r["zcr_e6"] == zc * 1_000_000 // (len(mono) - 1)
-        )
     frames = sorted(
         (r["media_id"], r["frame_idx"], bytes(r["frame"]))
         for r in frame_sample_audio(
             media, frame_samples=512, stride=512
         ).collect()
     )
-    frames_ok = all(
-        b"".join(b for m, _, b in frames if m == i) == s.tobytes()
-        for i, s in sigs.items()
-    )
+    out = []
+    for i in sigs:
+        r = got[i]
+        out += [
+            (int(i), "n_samples", str(int(r["n_samples"]))),
+            (int(i), "duration_ms", str(int(r["duration_ms"]))),
+            (int(i), "peak", str(int(r["peak"]))),
+            (int(i), "rms_e3", str(int(r["rms_e3"]))),
+            (int(i), "zcr_e6", str(int(r["zcr_e6"]))),
+            (
+                int(i),
+                "frames_md5",
+                hashlib.md5(
+                    b"".join(b for m, _, b in frames if m == i)
+                ).hexdigest(),
+            ),
+        ]
     # depth conversions: same signal through 8/32-bit PCM and float32
     # containers decodes to the quantization-consistent int16 stream
     s8 = ((sigs[0].astype(np.int32) >> 8) + 128).astype(np.uint8)
@@ -8399,40 +8484,83 @@ def q_media_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d8, _ = wav_decode(wav8)
     d32, _ = wav_decode(wav32)
-    depth_ok = bool(
-        np.array_equal(d8[:, 0], (sigs[0].astype(np.int32) & ~0xFF).astype(np.int16))
-        and np.array_equal(d32[:, 0], sigs[0])
+    depth8_ok = bool(
+        np.array_equal(
+            d8[:, 0], (sigs[0].astype(np.int32) & ~0xFF).astype(np.int16)
+        )
     )
+    depth32_ok = bool(np.array_equal(d32[:, 0], sigs[0]))
+    out += [
+        (-1, "depth8_ok", "true" if depth8_ok else "false"),
+        (-1, "depth32_ok", "true" if depth32_ok else "false"),
+    ]
     return spark.createDataFrame(
-        [(bool(feats_ok), bool(frames_ok), depth_ok)],
-        "features_exact_ok boolean, frame_coverage_ok boolean, "
-        "depth_conversion_ok boolean",
+        out, "media_id long, chk string, value string"
     )
 
 
-@query(
-    "media_avi_codec_ok",
-    "select true as frame_roundtrip_ok, true as sample_stride_ok, "
-    "true as phash_consistency_ok",
-)
+_AVI_EXPECT = [
+    (0, "frame0_md5", "ab934e0f07e3f99ce49cbc81ae02e35a"),
+    (0, "frame2_md5", "1e4738f6bdd8de4d06f8497eedc1db1d"),
+    (0, "frame4_md5", "2ecf9a92ea699d8c24c8b09f9b7b0674"),
+    (0, "phash0", "-8096594158890035697"),
+    (0, "phash1", "-7342957001300967715"),
+    (0, "phash2", "195605861632263043"),
+    (0, "phash3", "8162915007096982595"),
+    (0, "phash4", "-6867713340785925551"),
+    (1, "frame0_md5", "2497fdaed8646447538f74308d7ff65d"),
+    (1, "frame2_md5", "a16833b56f94882e81d89a7a9f76b580"),
+    (1, "frame4_md5", "ee5ec97c1b3b4eaeee17a7021958418f"),
+    (1, "phash0", "-6113514050398378393"),
+    (1, "phash1", "2387433444509202239"),
+    (1, "phash2", "-4499234073096004471"),
+    (1, "phash3", "7989060345122922869"),
+    (1, "phash4", "8965840618289879817"),
+    (2, "frame0_md5", "51c8eb1557f12311c54744d882aba29d"),
+    (2, "frame2_md5", "4c1413415da6e967cd08fc4fdb9aedd3"),
+    (2, "frame4_md5", "8716dd5a89df7805cf46fa87cd0711d7"),
+    (2, "phash0", "3796118145968918889"),
+    (2, "phash1", "-3781572153784734245"),
+    (2, "phash2", "-339587948934494659"),
+    (2, "phash3", "8593749926500601803"),
+    (2, "phash4", "3652030114903937913"),
+    (3, "frame0_md5", "0781dc9e54231bb55b448182ffddc044"),
+    (3, "frame2_md5", "1e40130014a38801ebcd405174ceb5b6"),
+    (3, "frame4_md5", "a2989b12ed86547aad02ad3c8e23331f"),
+    (3, "phash0", "-8212295244120041507"),
+    (3, "phash1", "-4929655526571325289"),
+    (3, "phash2", "-337188676941567765"),
+    (3, "phash3", "508288792177350887"),
+    (3, "phash4", "7921727461676847225"),
+    (-1, "stride_keys_n", "12"),
+    (-1, "phash_rows_n", "20"),
+]
+
+
+@query("media_avi_codec_ok", _media_values_oracle(_AVI_EXPECT))
 def q_media_avi_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-container decode, executed in-sandbox (multimodal/
     video.py — pure-stdlib AVI rawvideo/DIB walk: LIST hdrl/strl
     headers, movi frame chunks, bottom-up padded DIB rows, BGR luma)
     driven through the distributed kernels. Deterministic seeded
-    frames; targets computed in-query:
+    frames; expected values live ORACLE-SIDE as literal rows
+    (_AVI_EXPECT — authoring-time md5s of the raw source grids plus
+    pinned per-frame pHashes), value-hashed by the driver:
 
     - every sampled frame from the distributed decode is byte-exact
       against its source grid (round-trip through the container);
-    - the every-k stride samples exactly the expected frame indices;
-    - distributed per-frame pHash equals the direct driver-side hash
-      of the source frames (the video near-dup surface).
+    - the every-k stride samples exactly the expected frame indices
+      (a wrong stride changes the sampled set: KeyError or a
+      stride_keys_n mismatch, both loud);
+    - distributed per-frame pHash equals the pinned golden hash of
+      the source frames (the video near-dup surface).
     """
+    import hashlib
+
     import numpy as np
     import pandas as pd
 
     from .kernels.hashes import splitmix64
-    from .multimodal.phash import phash64
     from .multimodal.video import (
         avi_encode_gray,
         video_frame_phashes,
@@ -8459,29 +8587,26 @@ def q_media_avi_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["media_id"], r["frame_idx"]): bytes(r["frame"])
         for r in video_frame_sample(media, every=2).collect()
     }
-    stride_ok = sorted(got) == [
-        (i, j) for i in vids for j in (0, 2, 4)
-    ]
-    roundtrip_ok = all(
-        got[(i, j)] == vids[i][j].tobytes() for i in vids for j in (0, 2, 4)
-    )
     ph = {
         (r["media_id"], r["frame_idx"]): int(r["phash"])
         for r in video_frame_phashes(media).collect()
     }
-
-    def fold(v: int) -> int:
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    phash_ok = all(
-        ph[(i, j)] == fold(phash64(vids[i][j]))
+    out = [
+        (int(i), f"frame{j}_md5", hashlib.md5(got[(i, j)]).hexdigest())
+        for i in vids
+        for j in (0, 2, 4)
+    ]
+    out += [
+        (int(i), f"phash{j}", str(ph[(i, j)]))
         for i in vids
         for j in range(5)
-    )
+    ]
+    out += [
+        (-1, "stride_keys_n", str(len(got))),
+        (-1, "phash_rows_n", str(len(ph))),
+    ]
     return spark.createDataFrame(
-        [(bool(roundtrip_ok), bool(stride_ok), bool(phash_ok))],
-        "frame_roundtrip_ok boolean, sample_stride_ok boolean, "
-        "phash_consistency_ok boolean",
+        out, "media_id long, chk string, value string"
     )
 
 
@@ -8587,6 +8712,224 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "build_resumed_identical boolean, build_stages_resumed boolean, "
         "build_partial_resume_identical boolean, "
         "build_fresh_identical boolean, sketch_resumed_identical boolean",
+    )
+
+
+@query(
+    "maintenance_compaction_ok",
+    # value-rich oracle: the fragmentation rule (even-length event_type
+    # names written as 12 files, odd-length as 1) and the compaction
+    # outcome are both SQL-expressible over the same events table, so
+    # the expected per-directory row is computable oracle-side instead
+    # of a self-refereed `select true`
+    "select event_type, count(*) as n_rows, "
+    "case when len(event_type) % 2 = 0 then 12 else 1 end as files_before, "
+    "len(event_type) % 2 = 0 as was_flagged, "
+    "1 as files_after, true as integrity_ok "
+    "from events group by event_type",
+)
+def q_maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction gate (sources/maintenance.py): events are
+    written one directory per event_type — even-length type names
+    deliberately fragmented into 12 files, odd-length written healthy
+    as 1 — then planned + compacted with a 1 GiB target. The O(change)
+    contract checked per directory: exactly the fragmented dirs get
+    flagged (metadata-only planning), flagged dirs coalesce to their
+    byte-justified target (1 file) with exact row parity, and healthy
+    dirs stay BYTE-IDENTICAL (never opened, so file-identity consumers
+    do not re-ingest). Counts + file tallies are value-checked against
+    the oracle; integrity_ok folds the byte-identity/parity booleans."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.maintenance import (
+        _data_files,
+        compact_dataset,
+        plan_compaction,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="xfns_compact_")
+    types = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )
+    for et in types:
+        nfiles = 12 if len(et) % 2 == 0 else 1
+        (
+            ev.filter(F.col("event_type") == et)
+            .repartition(nfiles)
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, et))
+        )
+
+    def dir_digest(d: str) -> str:
+        h = hashlib.sha256()
+        for f in _data_files(d):
+            h.update(os.path.basename(f).encode())
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        return h.hexdigest()
+
+    before = {
+        et: {
+            "files": len(_data_files(os.path.join(root, et))),
+            "digest": dir_digest(os.path.join(root, et)),
+            "rows": spark.read.parquet(os.path.join(root, et)).count(),
+        }
+        for et in types
+    }
+    target_bytes = 1 << 30
+    planned = {
+        os.path.basename(p.directory)
+        for p in plan_compaction(root, target_file_bytes=target_bytes)
+    }
+    compact_dataset(spark, root, target_file_bytes=target_bytes)
+
+    rows = []
+    for et in types:
+        d = os.path.join(root, et)
+        flagged = len(et) % 2 == 0
+        files_after = len(_data_files(d))
+        n_after = spark.read.parquet(d).count()
+        ok = (
+            (et in planned) == flagged
+            and n_after == before[et]["rows"]
+            and (flagged or dir_digest(d) == before[et]["digest"])
+        )
+        rows.append(
+            (
+                et,
+                int(n_after),
+                int(before[et]["files"]),
+                bool(flagged),
+                int(files_after),
+                bool(ok),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_rows long, files_before int, "
+        "was_flagged boolean, files_after int, integrity_ok boolean",
+    )
+
+
+@query(
+    "streaming_incremental_sketch_ok",
+    # n_rows is the real events count (oracle-computed); the HLL
+    # register state itself is not SQL-expressible, so stream==batch
+    # parity and the replay skip stay in-query booleans
+    "select (select count(*) from events) as n_rows, 3 as n_batches, "
+    "true as stream_equals_batch, true as replay_skip_ok",
+)
+def q_streaming_incremental_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental sketch maintenance gate
+    (streaming/incremental.py): events sliced into 3 files by
+    ``event_id % 3``, driven through the REAL streaming engine (file
+    source, maxFilesPerTrigger=1, foreachBatch accumulator with atomic
+    state commits + a batch-id replay ledger). HLL register merge is a
+    pointwise max — commutative and associative — so the streamed state
+    must equal the one-shot batch aggregate REGISTER-FOR-REGISTER, not
+    just in estimate; re-merging an already-ledgered batch id must be a
+    byte-level no-op (the exactly-once restart contract). The total
+    ingested row count is value-checked against the oracle."""
+    import os
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from .sketches.base import aggregate
+    from .sketches.hll import HllSketch
+    from .streaming.incremental import run_incremental_sketch
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    root = tempfile.mkdtemp(prefix="xfns_incr_")
+    t0 = time.time() - 3600
+    for i in range(3):
+        p = os.path.join(root, "in", f"s{i}")
+        (
+            ev.filter(F.col("event_id") % 3 == i)
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+        for r, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(r, f), (t0 + 10 * i, t0 + 10 * i))
+    sk = HllSketch(p=12, key_col="user_id")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "in", "s*"))
+    )
+    acc = run_incremental_sketch(
+        stream,
+        ["user_id"],
+        sk,
+        os.path.join(root, "state"),
+        os.path.join(root, "ckpt"),
+    )
+    st_stream, meta = acc.load()
+    st_batch = aggregate(ev.select("user_id"), ["user_id"], sk)
+    stream_eq = bool(np.array_equal(st_stream, st_batch))
+    # replay an already-ledgered batch id: must not touch state or rows
+    acc.merge_batch(ev.limit(0), meta["batches"][0]["id"], ["user_id"])
+    st2, meta2 = acc.load()
+    replay_ok = (
+        bool(np.array_equal(st2, st_stream)) and meta2["rows"] == meta["rows"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(meta["rows"]),
+                int(len(meta["batches"])),
+                stream_eq,
+                bool(replay_ok),
+            )
+        ],
+        "n_rows long, n_batches int, stream_equals_batch boolean, "
+        "replay_skip_ok boolean",
+    )
+
+
+@query(
+    "scan_pushdown_ok",
+    "select (select count(*) from events where event_type = 'click') "
+    "as n_click_rows, true as filter_pushed, true as columns_pruned",
+)
+def q_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection / filter-pushdown gate (the two Catalyst categories
+    every declarative query here relies on, SURVEY.md §2.2): a filtered
+    2-column projection over the events parquet must compile to a scan
+    whose PushedFilters carries the equality predicate and whose
+    ReadSchema carries only the referenced columns (filter + projected;
+    props/event_id pruned) — asserted on the EXECUTED plan string, the
+    same evidence `.explain("formatted")` prints. The surviving row
+    count is value-checked against the oracle, so the gate certifies
+    both that pushdown happened and that it did not drop rows."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.filter(ev.event_type == "click").select("user_id", "value")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = (
+        "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"
+        in plan
+    )
+    rs = (
+        plan.split("ReadSchema: ")[1].splitlines()[0]
+        if "ReadSchema: " in plan
+        else ""
+    )
+    pruned = (
+        "user_id" in rs
+        and "value" in rs
+        and "event_type" in rs
+        and "props" not in rs
+        and "event_id" not in rs
+    )
+    return spark.createDataFrame(
+        [(int(df.count()), bool(pushed), bool(pruned))],
+        "n_click_rows long, filter_pushed boolean, columns_pruned boolean",
     )
 
 
