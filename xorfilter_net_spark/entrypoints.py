@@ -5930,14 +5930,40 @@ def _unigram_model(spark: SparkSession, sf_dir: str) -> dict:
     return _UNIGRAM_CACHE[sf_dir]
 
 
+def _assert_unigram_model_invariants(logp: dict) -> None:
+    """Model-table invariants that must hold for ANY corpus (raised
+    loudly so the rows-only driver gate's green means 'ran AND the
+    invariants held', not just 'returned rows'): log-probs are
+    non-positive (each is log of a ratio <= 1), total piece mass stays
+    in the unit band (EM normalizes; pruning only removes mass; the
+    char-coverage floor adds <= n*1e-9), and no piece exceeds the seed
+    length cap."""
+    import math
+
+    bad_lp = [p for p, lp in logp.items() if lp > 0.0]
+    if bad_lp:
+        raise AssertionError(f"unigram: positive log-probs for {bad_lp[:5]}")
+    mass = sum(math.exp(lp) for lp in logp.values())
+    if not (0.0 < mass <= 1.0 + 1e-6):
+        raise AssertionError(f"unigram: piece mass {mass} outside (0, 1]")
+    too_long = [p for p in logp if len(p) > 5]
+    if too_long:
+        raise AssertionError(f"unigram: pieces over max_len: {too_long[:5]}")
+
+
 @query("unigram_pieces_documents", None)
 def q_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (text/unigram_lm.py, Kudo ACL'18):
     EM over the word table with forward-backward lattice E-steps,
-    pruned to 48 pieces. Iterative -> rows-only gate; the value-exact
-    check is the single-machine replay differential in
-    tests/test_unigram_lm.py."""
+    pruned to 48 pieces. Iterative float lattice -> rows-only gate, but
+    strengthened (r03 verdict item 3): the query RAISES unless the
+    model invariants hold (non-positive log-probs, unit-band piece
+    mass, length cap), and the value-oracled sibling
+    ``unigram_invariants_ok`` checks the corpus-derivable facts against
+    SQL truth. The value-exact check for the EM numbers themselves is
+    the single-machine replay differential in tests/test_unigram_lm.py."""
     logp = _unigram_model(spark, sf_dir)
+    _assert_unigram_model_invariants(logp)
     return spark.createDataFrame(
         sorted((p, lp) for p, lp in logp.items()),
         "piece string, log_prob double",
@@ -5948,13 +5974,167 @@ def q_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viterbi encoding with the trained unigram vocabulary — map-only
     Arrow kernel; per-doc piece counts. Rows-only gate (iterative
-    upstream); segmentation exactness pinned in tests."""
+    upstream), strengthened (r03 verdict item 3): a distributed
+    character-conservation check runs over EVERY document (a Viterbi
+    segmentation concatenates back to the word, so per-doc summed piece
+    length must equal the doc's non-space char count) and the query
+    RAISES on any violation; the Viterbi argmax property itself is
+    spot-verified per-word in ``unigram_invariants_ok``."""
     from .text.unigram_lm import encode_unigram
 
     docs = load_table(spark, sf_dir, "documents")
     logp = _unigram_model(spark, sf_dir)
     enc = encode_unigram(docs.select("doc_id", "text"), logp, max_piece_len=5)
+    bad = enc.filter(
+        F.expr("aggregate(pieces, 0, (a, p) -> a + length(p))")
+        != F.length(F.regexp_replace(F.coalesce("text", F.lit("")), " ", ""))
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"unigram encode: {bad} docs fail char conservation"
+        )
+    # enc is a map-only kernel over the doc scan — recomputing it for
+    # the returned projection is one extra cheap pass, no persist needed
     return enc.select("doc_id", F.size("pieces").alias("n_pieces"))
+
+
+@query(
+    "unigram_invariants_ok",
+    # the corpus-derivable facts are SQL truth: the single-char piece
+    # set is exactly the corpus word character set (seed keeps all
+    # single chars, pruning never drops them), and n_docs anchors the
+    # encode coverage; the float-EM-dependent properties are in-query
+    # booleans with literal expectations
+    "select (select count(distinct c) from (select unnest("
+    "string_split(word, '')) as c from (select distinct unnest("
+    "string_split(coalesce(text, ''), ' ')) as word from documents) w "
+    "where word != '') t) as n_single_char_pieces, "
+    "(select count(*) from documents)::bigint as n_docs, "
+    "true as vocab_le_target, true as all_logp_nonpositive, "
+    "true as mass_in_unit_band, true as max_piece_len_ok, "
+    "true as pieces_are_corpus_substrings, true as viterbi_argmax_ok, "
+    "true as encode_chars_conserved",
+)
+def q_unigram_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-oracled invariant gate for the Unigram-LM family (r03
+    verdict item 3 — the last rows-only pair stops certifying row
+    counts only). Checks, each LOUD in the driver hash:
+
+    - the trained single-char piece set equals the corpus word
+      character set (computed independently by the ORACLE's SQL);
+    - vocabulary size respects the prune target (<= max(vocab_size,
+      n_single_chars) — the prune floor keeps coverage chars);
+    - log-probs non-positive, piece mass in the unit band, length cap;
+    - every piece is a substring of some corpus word (seed property
+      preserved by pruning; checked DISTRIBUTED against the word
+      table);
+    - the distributed Viterbi kernel output is the true argmax
+      segmentation for a deterministic sample of words, verified by an
+      INDEPENDENT memoized max-score recursion over all segmentations
+      (forward splits; no shared code with the kernel's backward
+      lattice — ties by score allowed, the tie-break is pinned in
+      tests);
+    - per-doc character conservation over every document.
+    """
+    import math
+
+    from .text.unigram_lm import encode_unigram, word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    logp = _unigram_model(spark, sf_dir)
+
+    n_singles = sum(1 for p in logp if len(p) == 1)
+    vocab_le = len(logp) <= max(48, n_singles)
+    lp_ok = all(lp <= 0.0 for lp in logp.values())
+    mass = sum(math.exp(lp) for lp in logp.values())
+    mass_ok = 0.0 < mass <= 1.0 + 1e-6
+    len_ok = all(len(p) <= 5 for p in logp)
+
+    wc = word_counts(docs).persist()
+    pieces_df = spark.createDataFrame(
+        [(p,) for p in logp], "piece string"
+    )
+    n_substr = (
+        wc.crossJoin(F.broadcast(pieces_df))
+        .filter(F.expr("contains(word, piece)"))
+        .select("piece")
+        .distinct()
+        .count()
+    )
+    substr_ok = n_substr == len(logp)
+
+    # deterministic word sample -> distributed kernel encode -> compare
+    # the kernel path's SCORE against an independent memoized forward
+    # recursion over all segmentations
+    sample = [
+        r["word"]
+        for r in wc.orderBy(F.xxhash64("word"))
+        .limit(64)
+        .collect()
+        if len(r["word"]) <= 14
+    ]
+    wc.unpersist()
+    enc_rows = encode_unigram(
+        spark.createDataFrame(
+            [(i, w) for i, w in enumerate(sample)], "doc_id long, text string"
+        ),
+        logp,
+        max_piece_len=5,
+    ).collect()
+
+    def best_score(word: str) -> float:
+        from functools import lru_cache
+
+        @lru_cache(maxsize=None)
+        def rec(i: int) -> float:
+            if i == len(word):
+                return 0.0
+            best = float("-inf")
+            for j in range(i + 1, min(len(word), i + 5) + 1):
+                lp = logp.get(word[i:j])
+                if lp is not None:
+                    best = max(best, lp + rec(j))
+            return best
+
+        return rec(0)
+
+    viterbi_ok = True
+    for r in enc_rows:
+        w = sample[r["doc_id"]]
+        pieces = list(r["pieces"])
+        if "".join(pieces) != w or any(p not in logp for p in pieces):
+            viterbi_ok = False
+            break
+        got = sum(logp[p] for p in pieces)
+        if not math.isclose(got, best_score(w), rel_tol=0, abs_tol=1e-9):
+            viterbi_ok = False
+            break
+
+    enc = encode_unigram(docs.select("doc_id", "text"), logp, max_piece_len=5)
+    n_bad = enc.filter(
+        F.expr("aggregate(pieces, 0, (a, p) -> a + length(p))")
+        != F.length(F.regexp_replace(F.coalesce("text", F.lit("")), " ", ""))
+    ).count()
+
+    return spark.createDataFrame(
+        [
+            (
+                int(n_singles),
+                int(docs.count()),
+                bool(vocab_le),
+                bool(lp_ok),
+                bool(mass_ok),
+                bool(len_ok),
+                bool(substr_ok),
+                bool(viterbi_ok),
+                n_bad == 0,
+            )
+        ],
+        "n_single_char_pieces long, n_docs long, vocab_le_target boolean, "
+        "all_logp_nonpositive boolean, mass_in_unit_band boolean, "
+        "max_piece_len_ok boolean, pieces_are_corpus_substrings boolean, "
+        "viterbi_argmax_ok boolean, encode_chars_conserved boolean",
+    )
 
 
 _BPE_CACHE: dict = {}
