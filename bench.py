@@ -477,18 +477,37 @@ def main() -> None:
     # query, not executor startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # per-query min over QUERY_ROUNDS passes: the VM's CPU-steal episodes
-    # (see ROUNDS above) hit individual queries for 5-40s at random; steal
-    # only ever ADDS time, so the min is the least-biased per-query wall
+    # Per-query walls with per-query steal deltas. The VM's CPU-steal
+    # episodes (see ROUNDS above) hit individual queries for 5-40s at
+    # random; steal only ever ADDS time, so the MIN wall is the
+    # least-biased estimate. Cost control: one full pass, then a second
+    # pass over the SLOW TAIL only (> RETRY_SEC) — sub-second queries
+    # are dominated by fixed per-job cost where a retry buys little
+    # signal, while the slow tail is exactly where steal distorts
+    # round-over-round comparisons. query_steal_pct records the steal%%
+    # measured DURING the kept (fastest) run of each query, so a
+    # regression can be read against its own contention context.
     times: dict[str, float] = {}
-    query_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_ROUNDS", "2"))
-    for _ in range(query_rounds if not throughput_only else 0):
+    steals: dict[str, float] = {}
+
+    def run_one(name: str) -> tuple[float, float]:
+        fn = entrypoints.QUERIES[name]
+        s0, c0 = _steal_total()
+        t0 = time.perf_counter()
+        force(fn(spark, SF_DIR))
+        wall = round(time.perf_counter() - t0, 3)
+        s1, c1 = _steal_total()
+        return wall, round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2)
+
+    if not throughput_only:
         for name in BENCH_QUERIES:
-            fn = entrypoints.QUERIES[name]
-            t0 = time.perf_counter()
-            force(fn(spark, SF_DIR))
-            wall = round(time.perf_counter() - t0, 3)
-            times[name] = min(times.get(name, wall), wall)
+            times[name], steals[name] = run_one(name)
+        retry_sec = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SEC", "1.0"))
+        for name in BENCH_QUERIES:
+            if times[name] > retry_sec:
+                wall, steal = run_one(name)
+                if wall < times[name]:
+                    times[name], steals[name] = wall, steal
 
     tp = bench_filter_throughput(spark, SF_DIR, include_cogroup=not throughput_only)
 
@@ -504,6 +523,7 @@ def main() -> None:
         "value": round(sum(times.values()) + tp["construction_sec"] + tp["probe_sec"], 3),
         "unit": "sec",
         "queries": times,
+        "query_steal_pct": steals,
         "sf": sf_val,
         "cpus": CPUS,
         "replicas": REPLICAS,

@@ -180,10 +180,47 @@ class TestCodecCore:
         with pytest.raises(ValueError, match="CRC"):
             png_decode(bytes(payload))
 
-    def test_interlaced_raises_not_implemented(self):
-        raw = b"\x00\x00"
-        with pytest.raises(NotImplementedError, match="interlaced"):
-            png_decode(_png(1, 1, 8, 0, raw, interlace=1))
+    def test_adam7_roundtrip_all_shapes(self):
+        """Adam7 decode must reassemble the exact grid across shapes
+        that exercise every pass-geometry edge: sizes below 8 (empty
+        passes), non-multiples of 8 (ragged pass widths), and 1-pixel
+        rows/cols."""
+        from xorfilter_net_spark.multimodal.png import png_encode_gray_adam7
+
+        for h, w in [(1, 1), (3, 2), (5, 9), (8, 8), (11, 13), (24, 7)]:
+            px = _rng(h * 100 + w).integers(
+                0, 256, size=(h, w), dtype=np.uint8
+            )
+            got = png_decode(png_encode_gray_adam7(px))
+            assert np.array_equal(got, px), (h, w)
+
+    def test_adam7_matches_noninterlaced(self):
+        from xorfilter_net_spark.multimodal.png import png_encode_gray_adam7
+
+        px = _rng(77).integers(0, 256, size=(17, 19), dtype=np.uint8)
+        assert np.array_equal(
+            png_decode(png_encode_gray_adam7(px)),
+            png_decode(png_encode_gray(px)),
+        )
+
+    def test_gray16_high_byte_reduction(self):
+        from xorfilter_net_spark.multimodal.png import png_encode_gray16
+
+        px16 = _rng(5).integers(0, 65536, size=(9, 6), dtype=np.uint16)
+        got = png_decode(png_encode_gray16(px16))
+        assert np.array_equal(got, (px16 >> 8).astype(np.uint8))
+
+    def test_rgb16_high_byte_luma(self):
+        """16-bit truecolor: each channel reduces to its high byte, then
+        the standard ITU-R 601-2 luma — raw stream fabricated by hand
+        (big-endian 16-bit samples, filter-0 scanlines)."""
+        rgb16 = _rng(6).integers(0, 65536, size=(4, 5, 3), dtype=np.uint16)
+        be = rgb16.astype(">u2")
+        raw = b"".join(b"\x00" + be[y].tobytes() for y in range(4))
+        got = png_decode(_png(5, 4, 16, 2, raw))
+        hi = (rgb16 >> 8).astype(np.uint32)
+        want = _luma_ref(hi[..., 0], hi[..., 1], hi[..., 2]).astype(np.uint8)
+        assert np.array_equal(got, want)
 
     def test_not_a_png_rejected(self):
         with pytest.raises(ValueError, match="signature"):

@@ -17,10 +17,15 @@ can fabricate REAL PNG payloads without any imaging library; the
 decoder accepts any conformant non-interlaced 8-bit-depth PNG, not just
 this encoder's output.
 
-Scope: bit depths 1/2/4/8, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), non-interlaced. 16-bit depth and Adam7
-interlacing raise ``NotImplementedError`` loudly (they are rare in
-training corpora and the Pillow path covers them where available).
+Scope: bit depths 1/2/4/8/16, color types 0 (gray), 2 (RGB), 3
+(palette), 4 (gray+alpha), 6 (RGBA), non-interlaced AND Adam7
+interlaced (each of the 7 passes is an independently-filtered
+sub-image scattered back onto the pixel grid). 16-bit samples reduce
+to their high byte — the exact ``v >> 8`` reduction Pillow applies
+when decoding 16-bit truecolor to 8-bit channels; for 16-bit
+grayscale Pillow keeps mode I;16, so the Pillow-parity claim covers
+8-bit-channel outputs only and the 16-bit reduction is pinned by this
+module's own round-trip tests.
 
 Spark-side usage is unchanged: the codec runs inside the same
 ``mapInPandas`` Arrow kernels (`extract_features`, `resize_media`,
@@ -34,12 +39,29 @@ import zlib
 
 import numpy as np
 
-__all__ = ["png_decode", "png_encode_gray", "png_encode_rgb"]
+__all__ = [
+    "png_decode",
+    "png_encode_gray",
+    "png_encode_rgb",
+    "png_encode_gray16",
+    "png_encode_gray_adam7",
+]
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 # samples per pixel by PNG color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), spec order
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
 
 def _chunks(payload: bytes):
@@ -141,6 +163,22 @@ def _luma(rgb: np.ndarray) -> np.ndarray:
     )
 
 
+def _rows_to_samples(
+    mat: np.ndarray, width: int, depth: int, ch: int
+) -> np.ndarray:
+    """Filtered-byte matrix (h, stride) -> (h, width, ch) uint8 samples.
+    16-bit samples reduce to their high (big-endian first) byte, the
+    v >> 8 reduction; sub-byte depths unpack to one sample per entry
+    (unscaled — gray scaling happens at the call site)."""
+    h = mat.shape[0]
+    if depth == 16:
+        return mat.reshape(h, width, ch, 2)[..., 0].copy()
+    out = np.empty((h, width * ch), dtype=np.uint8)
+    for y in range(h):
+        out[y] = _expand_bits(mat[y], depth, width * ch)
+    return out.reshape(h, width, ch)
+
+
 def png_decode(payload: bytes) -> np.ndarray:
     """Decode a PNG byte payload to a grayscale uint8 grid at the
     image's own dimensions (the container is authoritative — same
@@ -160,44 +198,50 @@ def png_decode(payload: bytes) -> np.ndarray:
     width, height, depth, ctype_, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("PNG nonstandard compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError(
-            "Adam7-interlaced PNG not supported by the stdlib codec; "
-            "use codec='pil' where Pillow exists"
-        )
-    if depth == 16:
-        raise NotImplementedError(
-            "16-bit PNG not supported by the stdlib codec; "
-            "use codec='pil' where Pillow exists"
-        )
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     if ctype_ not in _CHANNELS:
         raise ValueError(f"PNG color type {ctype_} invalid")
-    if ctype_ != 0 and ctype_ != 3 and depth != 8:
+    if ctype_ not in (0, 3) and depth not in (8, 16):
         raise ValueError("sub-byte depth only valid for gray/palette")
+    if ctype_ == 3 and depth == 16:
+        raise ValueError("palette PNG cannot be 16-bit")
     ch = _CHANNELS[ctype_]
     bits_per_px = depth * ch
-    stride = (width * bits_per_px + 7) // 8
     bpp = max(1, bits_per_px // 8)
     raw = zlib.decompress(bytes(idat))
-    mat = _unfilter(raw, width, height, bpp, stride)
+
+    if interlace == 0:
+        stride = (width * bits_per_px + 7) // 8
+        mat = _unfilter(raw, width, height, bpp, stride)
+        samples = _rows_to_samples(mat, width, depth, ch)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        samples = np.zeros((height, width, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: wholly absent, no filter bytes
+            stride_p = (pw * bits_per_px + 7) // 8
+            need = ph * (1 + stride_p)
+            sub = raw[pos : pos + need]
+            pos += need
+            m = _unfilter(sub, pw, ph, bpp, stride_p)
+            samples[y0::dy, x0::dx] = _rows_to_samples(m, pw, depth, ch)
+        if pos != len(raw):
+            raise ValueError("Adam7 PNG data length mismatch")
 
     if ctype_ == 0:  # grayscale
-        out = np.empty((height, width), dtype=np.uint8)
         scale = 255 // ((1 << depth) - 1) if depth < 8 else 1
-        for y in range(height):
-            out[y] = _expand_bits(mat[y], depth, width) * scale
-        return out
+        return (samples[..., 0] * np.uint8(scale)).astype(np.uint8)
     if ctype_ == 3:  # palette -> RGB -> luma
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        idx = np.empty((height, width), dtype=np.uint8)
-        for y in range(height):
-            idx[y] = _expand_bits(mat[y], depth, width)
-        return _luma(plte[idx])
-    px = mat.reshape(height, width, ch)
+        return _luma(plte[samples[..., 0]])
     if ctype_ == 4:  # gray+alpha: Pillow's L-convert drops alpha
-        return px[..., 0].copy()
-    return _luma(px[..., :3])  # RGB / RGBA (alpha dropped, as Pillow)
+        return samples[..., 0].copy()
+    return _luma(samples[..., :3])  # RGB / RGBA (alpha dropped, as Pillow)
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
@@ -236,3 +280,46 @@ def png_encode_rgb(px: np.ndarray) -> bytes:
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("rgb encoder expects an (h, w, 3) array")
     return _encode(px, 2)
+
+
+def png_encode_gray16(px: np.ndarray) -> bytes:
+    """(h, w) uint16 -> PNG bytes (16-bit grayscale, filter 0,
+    big-endian samples) — fabricates REAL 16-bit payloads for the
+    decoder tests without any imaging library."""
+    px = np.ascontiguousarray(px, dtype=np.uint16)
+    if px.ndim != 2:
+        raise ValueError("gray16 encoder expects a 2-D array")
+    h, w = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    be = px.astype(">u2")
+    raw = b"".join(b"\x00" + be[y].tobytes() for y in range(h))
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 9))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_encode_gray_adam7(px: np.ndarray) -> bytes:
+    """(h, w) uint8 -> Adam7-interlaced PNG bytes (8-bit grayscale,
+    filter 0 on every pass scanline; empty passes wholly absent per
+    spec)."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError("gray encoder expects a 2-D array")
+    h, w = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.shape[0] <= 0 or sub.shape[1] <= 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _chunk(b"IEND", b"")
+    )
