@@ -24,13 +24,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return entrypoints.entry(spark)
 
 
-def _already_green() -> set[str]:
-    """Names with a green row in ANY prior round's CORRECTNESS file."""
+def _already_green() -> tuple[set[str], set[str]]:
+    """(green in ANY round, green in a round NEWER than the r03 oracle
+    changes) from the CORRECTNESS files."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     green: set[str] = set()
+    recent: set[str] = set()
     for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             rounds = json.load(open(p))
@@ -38,6 +41,8 @@ def _already_green() -> set[str]:
             continue
         if not isinstance(rounds, dict):
             continue
+        m = re.search(r"_r(\d+)", os.path.basename(p))
+        rnum = int(m.group(1)) if m else 0
         for name, row in rounds.items():
             if not isinstance(row, dict) or row.get("err"):
                 continue
@@ -54,13 +59,20 @@ def _already_green() -> set[str]:
                 and (row.get("hash_match") is True or rows_only)
             ):
                 green.add(name)
-    return green
+                if rnum > _RECHECK_AS_OF_ROUND:
+                    recent.add(name)
+    return green, recent
 
 
 # Names with a GREEN prior row whose oracle SQL or query code changed
 # this round: forced back into the unverified block so the driver
 # re-certifies the CURRENT contract (a stale green row must not let a
-# changed oracle ride unverified).
+# changed oracle ride unverified). A green row in any round NEWER than
+# _RECHECK_AS_OF_ROUND (the round whose oracles these changes postdate)
+# clears the recheck — once the driver has certified the new contract
+# these names fall back to the verified block, so the set does not
+# permanently occupy front slots in later rounds.
+_RECHECK_AS_OF_ROUND = 3
 _RECHECK = {
     # media codec gates: `select true` oracles -> literal expected-row
     # value oracles (r04)
@@ -162,7 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         costs = json.load(open(os.path.join(here, "tools/query_costs.json")))
     except Exception:
         costs = {}
-    green = _already_green() - _RECHECK
+    green_all, green_recent = _already_green()
+    green = (green_all - _RECHECK) | (green_recent & _RECHECK)
     front = {n: i for i, n in enumerate(_FRONT)}
     order = sorted(
         qs,
