@@ -53,18 +53,28 @@ def _replicated_corpus(spark, replicas: int):
     per replica (truncated near-copies), replica-tagged text."""
     from pyspark.sql import functions as F
 
+    # crossJoin with a replica range, NOT a per-replica union fold: the
+    # fold builds 2 x replicas plan branches and Catalyst analysis blows
+    # up past ~2000 branches (x2048 failed in tree transform); the
+    # crossJoin produces the IDENTICAL row set (same doc_id arithmetic,
+    # same per-replica text tags) from a 2-branch plan at any replica
+    # count
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
     )
-    parts = []
-    for i in range(replicas):
-        tag = F.lit(f" rep{i}")
-        base = docs.select(
-            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-            F.concat("text", tag).alias("text"),
-        )
-        dups = docs.filter("doc_id % 7 = 0").select(
-            (F.col("doc_id") + i * 10_000_000 + 1_000_000).alias("doc_id"),
+    rep = spark.range(replicas).withColumnRenamed("id", "rep")
+    tag = F.concat(F.lit(" rep"), F.col("rep").cast("string"))
+    base = docs.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        F.concat("text", tag).alias("text"),
+    )
+    dups = (
+        docs.filter("doc_id % 7 = 0")
+        .crossJoin(rep)
+        .select(
+            (
+                F.col("doc_id") + F.col("rep") * 10_000_000 + 1_000_000
+            ).alias("doc_id"),
             F.concat(
                 F.expr(
                     "substr(text, 1, cast(floor(length(text) * 0.9) as int))"
@@ -72,11 +82,10 @@ def _replicated_corpus(spark, replicas: int):
                 tag,
             ).alias("text"),
         )
-        parts.append(base.unionAll(dups))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    )
+    # spread before the write: the crossJoin inherits the single-file
+    # scan's partitioning
+    return base.unionAll(dups).repartition(64, "doc_id")
 
 
 def child(cpus: int, corpus_path: str) -> None:
@@ -212,13 +221,28 @@ def child(cpus: int, corpus_path: str) -> None:
         ).collect()[0]
         return int(row["n"])
 
+    def steal_total():
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(v) for v in f.readline().split()[1:]]
+            return (vals[7] if len(vals) > 7 else 0), sum(vals)
+        except Exception:
+            return 0, 1
+
     walls: dict[str, float] = {}
     rows: dict[str, int] = {}
+    steals: dict[str, float] = {}
     for op in OPS:
+        s0, c0 = steal_total()
         t0 = time.time()
         rows[op] = force(jobs[op]())
         walls[op] = time.time() - t0
-    print("CHILD_RESULT " + json.dumps({"walls": walls, "rows": rows}))
+        s1, c1 = steal_total()
+        steals[op] = round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2)
+    print(
+        "CHILD_RESULT "
+        + json.dumps({"walls": walls, "rows": rows, "steal_pct": steals})
+    )
     spark.stop()
 
 
@@ -293,6 +317,8 @@ def main() -> None:
                 f"wall_{N}": round(lo["walls"][op], 1),
                 f"wall_{4 * N}": round(hi["walls"][op], 1),
                 "efficiency": round(eff, 3),
+                f"steal_{N}": lo.get("steal_pct", {}).get(op),
+                f"steal_{4 * N}": hi.get("steal_pct", {}).get(op),
             }
         )
     result = {
