@@ -188,6 +188,17 @@ def make_spark(cpus: int):
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # scan-split sizing knob: a row-amplifying operator (e.g. the
+        # turn explode in curate_transcripts, ~4.5x) multiplies each
+        # scan split's working set before the first shuffle sort; when
+        # that exceeds a task's execution-memory share the sort spills
+        # — profiled at x4096/local[8]: 7.6 GB spilled, +50% CPU (see
+        # BASELINE.md "curate_transcripts at x2048/x4096"). Default
+        # unchanged; size DOWN for fat-scan + amplify jobs.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_BENCH_MAXPART", "128m"),
+        )
         # sort-based shuffle writer: the bypass-merge writer's per-reduce-
         # partition spill files (128x128 = 16k streams) thrash at high
         # local thread counts — measured 2.4-10x slower at local[32]

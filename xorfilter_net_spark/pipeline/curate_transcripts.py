@@ -27,6 +27,16 @@ and the survivors list re-enters the turn table as a join on conv_id
 at cluster scale). Per-group state is bounded by conversation length
 (digest agg) or by the 3-row frame (window); zero Python nodes, no
 range partitioning, nothing collected to the driver.
+
+Sizing note (profiled at 23M docs — BASELINE.md "curate_transcripts
+... profiled to root cause"): when the turn table is DERIVED by a
+row-amplifying transform (here an explode, ~4.5×), each scan split's
+shuffle-sort working set is amplified before the first exchange;
+size ``spark.sql.files.maxPartitionBytes`` down (or repartition once
+after derivation) so a task's sort state fits its execution-memory
+share, or the map side external-sorts (7.6 GB spill, +50% CPU in the
+profiled run). On a production 10^12-turn table, bucket by conv_id —
+both corpus-wide exchanges then vanish entirely.
 """
 
 from __future__ import annotations
