@@ -248,6 +248,18 @@ def child(cpus: int, corpus_path: str) -> None:
 
 def run_at(cpus: int, corpus_path: str) -> dict:
     pin = ["taskset", "-c", f"0-{cpus - 1}"] if PIN else []
+    env = {**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR}
+    # Same-spec-executor memory model: on a real cluster, growing from N
+    # to 4N executors carries 4x the aggregate memory (each executor
+    # brings its own); a FIXED local heap instead starves the 4N level
+    # to 1/4 the per-task memory the N level enjoys, reading pure memory
+    # pressure as a scaling defect. With SPARK_GRAFT_SCALE_MEM_PER_CORE
+    # set (MiB per core), each level's heap is per_core x cores — the
+    # faithful cluster analogy. Unset -> the legacy fixed
+    # SPARK_GRAFT_DRIVER_MEM behavior.
+    per_core = os.environ.get("SPARK_GRAFT_SCALE_MEM_PER_CORE")
+    if per_core:
+        env["SPARK_GRAFT_DRIVER_MEM"] = f"{int(per_core) * cpus}m"
     out = subprocess.run(
         pin
         + [
@@ -260,7 +272,7 @@ def run_at(cpus: int, corpus_path: str) -> dict:
         capture_output=True,
         text=True,
         cwd=REPO,
-        env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+        env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("CHILD_RESULT "):
