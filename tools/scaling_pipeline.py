@@ -99,6 +99,7 @@ def child(cpus: int, corpus_path: str) -> None:
     corpus = spark.read.parquet(corpus_path)
     corpus.count()  # warm: JVM, scan, python workers
 
+    from xorfilter_net_spark.dedup.minhash import near_duplicate_pairs
     from xorfilter_net_spark.dedup.spans import duplicated_spans
     from xorfilter_net_spark.pipeline.curate import curate_corpus
     from xorfilter_net_spark.text.ngram_lm import lm_coverage_signals
@@ -194,6 +195,13 @@ def child(cpus: int, corpus_path: str) -> None:
     eval_df = corpus.filter("doc_id % 37 = 0").select("text")
     jobs = {
         "dup_span_report": lambda: duplicated_spans(corpus, k=10),
+        # the flagship near-dup path: map-only signatures, banded-LSH
+        # candidate shuffle, exact-Jaccard verify joins — the replica
+        # generator's 90%-truncated copies plant real near-dup pairs in
+        # every replica, so the candidate/verify stages carry real work
+        "minhash_near_dup": lambda: near_duplicate_pairs(
+            corpus, "doc_id", "text", tau=0.5
+        ),
         "normalized_dedup": lambda: normalized_dedup(corpus),
         "lm_coverage": lambda: lm_coverage_signals(corpus, min_count=2),
         "curate": lambda: curate_corpus(corpus, eval_df),
