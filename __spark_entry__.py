@@ -104,6 +104,11 @@ _FRONT = [
     "streaming_incremental_sketch_ok",
     "scan_pushdown_ok",
     "unigram_invariants_ok",
+    # r04 new operators (transcript hygiene + cleaning + search)
+    "conversation_lint_report",
+    "q_context_budget_turns",
+    "c4_line_clean_documents",
+    "substring_search_documents",
     # text-curation family
     "text_features",
     "q_tfidf_topk_terms",

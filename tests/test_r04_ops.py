@@ -1,0 +1,161 @@
+"""r04 operators: conversation lint, context-budget truncation,
+C4 line cleaning, substring search — unit semantics on hand-built
+fixtures, then spot properties (zero false negatives, suffix
+maximality) the registered-query oracles can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xorfilter_net_spark.pipeline.conv_lint import conversation_lint
+from xorfilter_net_spark.text.budget import truncate_to_context_budget
+from xorfilter_net_spark.text.c4_clean import c4_line_clean
+from xorfilter_net_spark.text.index import substring_search
+
+TURN_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts_epoch long"
+)
+
+
+# ------------------------------------------------------------------ lint
+def _lint_row(df, conv):
+    rows = {r["conv_id"]: r for r in df.collect()}
+    return rows[conv]
+
+
+def test_lint_clean_conversation(spark):
+    rows = [
+        ("c1", 0, "user", "hi", None, 100),
+        ("c1", 1, "assistant", "hello", None, 101),
+        ("c1", 2, "tool", "result", "tool_a", 102),
+    ]
+    rep = conversation_lint(spark.createDataFrame(rows, TURN_SCHEMA))
+    r = _lint_row(rep, "c1")
+    assert r["is_clean"] and r["idx_contiguous"]
+    assert r["n_ts_violations"] == 0 and r["n_role_mismatch"] == 0
+    assert r["n_empty_turns"] == 0 and r["n_tool_dangling"] == 0
+
+
+def test_lint_flags_every_defect_kind(spark):
+    rows = [
+        # ts goes backwards at turn 1; empty text at turn 2
+        ("c2", 0, "user", "a", None, 100),
+        ("c2", 1, "assistant", "b", None, 90),
+        ("c2", 2, "tool", "", "tool_a", 105),
+        # index gap (no turn 1), wrong role at 0, dangling tool at 0
+        ("c3", 0, "assistant", "x", "tool_b", 100),
+        ("c3", 2, "tool", "y", "tool_b", 101),
+        # tool-role turn MISSING its tool field
+        ("c4", 0, "user", "q", None, 100),
+        ("c4", 1, "assistant", "r", None, 101),
+        ("c4", 2, "tool", "s", None, 102),
+    ]
+    rep = conversation_lint(spark.createDataFrame(rows, TURN_SCHEMA))
+    r2 = _lint_row(rep, "c2")
+    assert r2["n_ts_violations"] == 1 and r2["n_empty_turns"] == 1
+    assert r2["idx_contiguous"] and not r2["is_clean"]
+    r3 = _lint_row(rep, "c3")
+    assert not r3["idx_contiguous"]
+    assert r3["n_role_mismatch"] == 1  # 'assistant' at idx 0
+    assert r3["n_tool_dangling"] == 1  # tool set on the assistant turn
+    r4 = _lint_row(rep, "c4")
+    assert r4["n_tool_dangling"] == 1 and not r4["is_clean"]
+
+
+# ---------------------------------------------------------------- budget
+def test_budget_keeps_longest_suffix(spark):
+    rows = [
+        ("c1", 0, "user", "one two three four five", None, 1),
+        ("c1", 1, "assistant", "a b c", None, 2),
+        ("c1", 2, "user", "x y", None, 3),
+    ]
+    df = spark.createDataFrame(rows, TURN_SCHEMA)
+    kept = truncate_to_context_budget(df, 6).collect()
+    # suffix sums: turn2=2, turn1+2=5, turn0..2=10 -> keep turns 1,2
+    assert sorted(r["turn_idx"] for r in kept) == [1, 2]
+    by_idx = {r["turn_idx"]: r for r in kept}
+    assert by_idx[2]["cum_tokens"] == 2 and by_idx[1]["cum_tokens"] == 5
+    # an over-budget single turn drops everything from there back
+    kept1 = truncate_to_context_budget(df, 1).collect()
+    assert kept1 == []
+
+
+def test_budget_empty_text_counts_zero(spark):
+    rows = [("c1", 0, "user", "", None, 1), ("c1", 1, "tool", None, "t", 2)]
+    df = spark.createDataFrame(rows, TURN_SCHEMA)
+    kept = truncate_to_context_budget(df, 0).collect()
+    assert sorted(r["turn_idx"] for r in kept) == [0, 1]
+    assert all(r["n_tokens"] == 0 for r in kept)
+
+
+# -------------------------------------------------------------- c4 clean
+def test_c4_rules(spark):
+    docs = [
+        (1, "Good first sentence here.\nshort.\nno terminal punct"),
+        (2, "Please enable javascript now.\nAnother fine sentence stays."),
+        (3, "This one mentions a brace { inline.\nKept line otherwise."),
+        (4, "Normal text line kept here.\nLorem Ipsum dolor sit amet."),
+        (5, "no keepable lines at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_clean(df).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 3 and r1["n_kept"] == 1
+    assert r1["n_short"] == 1 and r1["n_no_terminal"] == 1
+    assert r1["keep_doc"] and r1["cleaned_text"] == "Good first sentence here."
+    r2 = out[2]
+    assert r2["n_javascript"] == 1 and r2["n_kept"] == 1 and r2["keep_doc"]
+    r3 = out[3]
+    assert r3["has_brace"] and not r3["keep_doc"]
+    assert r3["cleaned_text"] is None
+    r4 = out[4]
+    assert r4["has_lorem"] and not r4["keep_doc"]
+    r5 = out[5]
+    assert r5["n_kept"] == 0 and not r5["keep_doc"]
+
+
+def test_c4_null_text(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = c4_line_clean(df).collect()[0]
+    assert not r["keep_doc"] and r["n_kept"] == 0
+    assert r["has_brace"] is False and r["has_lorem"] is False
+
+
+# ------------------------------------------------------------- substring
+def test_substring_search_exact_vs_bruteforce(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "quick brown foxes are not lazy"),
+        (4, "completely unrelated content"),
+    ]
+    queries = [(10, "quick brown"), (11, "lazy"), (12, "zz-absent-zz")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, q string")
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in substring_search(ddf, qdf, gram_len=4).collect()
+    }
+    expect = {
+        (qid, did)
+        for did, t in docs
+        for qid, q in queries
+        if q in t
+    }
+    assert got == expect
+    assert (10, 1) in got and (10, 3) in got and (11, 1) in got
+    assert not any(qid == 12 for qid, _ in got)
+
+
+def test_substring_search_gram_boundary(spark):
+    # needle exactly gram_len chars and straddling doc gram boundaries
+    ddf = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xxabcdxx")], "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame([(1, "abcd")], "query_id long, q string")
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in substring_search(ddf, qdf, gram_len=4).collect()
+    }
+    assert got == {(1, 1), (1, 2)}

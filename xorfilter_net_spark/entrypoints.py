@@ -9113,6 +9113,168 @@ def q_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r04: transcript hygiene, context budgeting, C4 cleaning, substring search
+# ---------------------------------------------------------------------------
+
+# Engine-portable seeded-defect mutation over the transcripts derivation:
+# the derived transcripts are perfectly well-formed, so the lint gate
+# would be vacuous without injected defects (the _seeded_lines /
+# _seeded_pii convention). Each rule keys on the conversation's doc id
+# (parsed from conv_id) and a specific turn, is valid in BOTH Spark SQL
+# and DuckDB verbatim, and never creates duplicate turn_idx values (the
+# remap targets (did % 8) + 3, beyond the conversation's max turn), so
+# the lag() ordering stays tie-free and deterministic in both engines.
+_LINT_MUTATION = """
+    base as (
+        select t.*, cast(substr(conv_id, 6) as bigint) as did
+        from transcripts t),
+    mut as (
+        select conv_id,
+               cast(case when did % 17 = 0 and turn_idx = 1
+                    then (did % 8) + 3 else turn_idx end as int) as turn_idx,
+               case when did % 11 = 0 and turn_idx = 0
+                    then 'assistant' else role end as role,
+               case when did % 5 = 0 and turn_idx = 0 then '' else text
+                    end as text,
+               case when did % 13 = 0 and turn_idx = 1
+                    then 'tool_x' else tool end as tool,
+               cast(case when did % 7 = 0 and turn_idx = 1
+                    then ts_epoch - 10 else ts_epoch end as bigint)
+                    as ts_epoch
+        from base)
+"""
+
+
+def _lint_oracle() -> str:
+    from .pipeline.conv_lint import lint_oracle_tail
+
+    return f"with {TRANSCRIPTS_CTE}, {_LINT_MUTATION}, " + lint_oracle_tail(
+        "mut"
+    )
+
+
+@query("conversation_lint_report", _lint_oracle())
+def q_conversation_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation integrity lint (pipeline/conv_lint.py): per-
+    conversation sequence-aware validation — turn-index contiguity,
+    timestamp monotonicity (window lag, O(1) state), role-cycle
+    conformance, empty turns, dangling/missing tool fields — the
+    transcript analog of the Deequ-style suite with checks no per-row
+    constraint can express. ONE shuffle on conv_id (window + aggregate
+    share the exchange). Seeded defect injection (_LINT_MUTATION) keeps
+    every check non-vacuous; full per-conversation report is
+    value-exact vs the identical DuckDB window/aggregate program."""
+    from .pipeline.conv_lint import conversation_lint
+
+    load_transcripts(spark, sf_dir).createOrReplaceTempView("transcripts")
+    mut = spark.sql(f"with {_LINT_MUTATION} select * from mut")
+    return conversation_lint(mut)
+
+
+def _budget_oracle() -> str:
+    from .text.budget import budget_oracle_tail
+
+    return f"with {TRANSCRIPTS_CTE}, " + budget_oracle_tail(40)
+
+
+@query("q_context_budget_turns", _budget_oracle())
+def q_context_budget_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budget truncation (text/budget.py): per
+    conversation, keep the longest SUFFIX of turns whose whitespace-
+    token total fits the 40-token budget (most-recent context wins) —
+    the SFT packing policy expressed as a reverse running-sum window.
+    ONE shuffle on conv_id, O(1) window state, map-side token counting
+    in codegen; exact oracle replays the identical program in DuckDB."""
+    from .text.budget import truncate_to_context_budget
+
+    return truncate_to_context_budget(load_transcripts(spark, sf_dir), 40)
+
+
+def _c4_seeded(dialect: str) -> str:
+    """Deterministic multi-line + rule-triggering text, rendered
+    identically by both engines (the _seeded_lines convention): every
+    doc gains one keepable sentence, one too-short line, and one
+    unterminated line; every 13th doc a javascript line, every 17th a
+    curly-brace code line, every 19th a lorem-ipsum line — so every C4
+    rule and both document-level flags fire on known subsets."""
+    nl = "char(10)" if dialect == "spark" else "chr(10)"
+    cast = "string" if dialect == "spark" else "varchar"
+    return (
+        f"select doc_id, text || {nl} || "
+        f"'This is a good sentence number ' || cast(doc_id as {cast}) "
+        f"|| '.' || {nl} || 'too short.' || {nl} || "
+        f"'no terminal punctuation here' || "
+        f"case when doc_id % 13 = 0 then {nl} || "
+        f"'Please enable javascript to view this page.' else '' end || "
+        f"case when doc_id % 17 = 0 then {nl} || "
+        f"'function() ' || '{{' || ' return 1; ' || '}}' else '' end || "
+        f"case when doc_id % 19 = 0 then {nl} || "
+        f"'Lorem ipsum dolor sit amet.' else '' end as text "
+        f"from documents"
+    )
+
+
+def _c4_oracle() -> str:
+    from .text.c4_clean import c4_oracle_tail
+
+    return f"with seeded as ({_c4_seeded('duckdb')}), " + c4_oracle_tail(
+        "seeded"
+    )
+
+
+@query("c4_line_clean_documents", _c4_oracle())
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (text/c4_clean.py; Raffel et al.
+    JMLR'20 §2.2): terminal-punctuation / min-words / javascript line
+    rules + curly-brace and lorem-ipsum document drops, 100% map-only
+    whole-stage codegen (zero shuffles, zero Python). Seeded injection
+    (_c4_seeded) fires every rule on known doc subsets; per-rule line
+    counts, document flags, and the cleaned text are value-exact vs
+    the identical DuckDB list-lambda program."""
+    from .text.c4_clean import c4_line_clean
+
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    seeded = spark.sql(_c4_seeded("spark"))
+    return c4_line_clean(seeded)
+
+
+# Deterministic search needles: 14-char substrings lifted from three
+# fixed documents (guaranteed hits — at minimum their own source) plus
+# one absent literal (guaranteed miss). Identical SQL both engines.
+_SUBSTR_QUERIES = (
+    "select cast(doc_id as bigint) as query_id, substr(text, 11, 14) as q "
+    "from documents where doc_id in (7, 23, 41) "
+    "union all select cast(-1 as bigint) as query_id, "
+    "'zzzzqqqqxxxxyy' as q"
+)
+
+
+def _substring_oracle() -> str:
+    from .text.index import substring_search_sql
+
+    return substring_search_sql("select * from documents", _SUBSTR_QUERIES)
+
+
+@query("substring_search_documents", _substring_oracle())
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring search via character-gram candidate pruning
+    (text/index.py::substring_search): the document side explodes into
+    6-grams in codegen and is immediately semi-joined against the
+    BROADCAST query-gram set, so only gram hits reach the one small
+    aggregate; a candidate must contain ALL query grams (zero false
+    negatives by construction) and is verified with exact contains().
+    The corpus never shuffles. Oracle is the definitionally exact
+    contains() scan in DuckDB."""
+    from .text.index import substring_search
+
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    qs = spark.sql(_SUBSTR_QUERIES)
+    return substring_search(d, qs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'has this (conv_id, text-fingerprint) been seen?' over the
     sf0.001 transcripts — XOR16 build + vectorized probe, per-role counts."""

@@ -102,3 +102,97 @@ def postings_sql(
         f"from td {having}"
         f"group by term, doc % {n_shards}"
     )
+
+
+def substring_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    q_col: str = "q",
+    gram_len: int = 6,
+) -> DataFrame:
+    """Exact substring search via character-gram candidate pruning.
+
+    Finds every ``(query_id, doc_id)`` where the query string occurs as
+    a SUBSTRING of the document text — the retrieval primitive behind
+    "which documents already contain this span" lookups (contamination
+    spot checks, quote attribution, licence-string scans).
+
+    Scale shape (the reason this is not ``crossJoin + contains``): the
+    document side explodes into its character ``gram_len``-grams in pure
+    codegen (``explode(transform(sequence(...)))`` — map-only), then is
+    immediately semi-joined against the BROADCAST set of query grams,
+    so only gram hits survive to the one small aggregate; a candidate
+    doc must contain ALL of a query's distinct grams (zero false
+    negatives by construction — every substring occurrence implies
+    every query gram occurs), and candidates are verified with an exact
+    ``contains`` against the (tiny) rejoined text. Corpus never
+    shuffles; the aggregate is bounded by gram-hit pairs, which the
+    rarest query gram bounds. Queries must be >= ``gram_len`` chars
+    (asserted) — shorter needles lack grams and would need a direct
+    scan.
+    """
+    assert gram_len >= 2
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+
+    def grams_of(col):
+        n = F.greatest(F.length(col) - (gram_len - 1), F.lit(0))
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: col.substr(i, F.lit(gram_len)),
+        )
+
+    qg = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(F.array_distinct(grams_of(F.col(q_col)))).alias("gram"),
+    )
+    n_qgrams = qg.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_qgrams")
+    )
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams_of(txt))).alias("gram"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    hits = dg.join(broadcast(qg.select("query_id", "gram")), "gram")
+    cand = (
+        hits.groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(broadcast(n_qgrams), "query_id")
+        .filter(F.col("n_hit") == F.col("n_qgrams"))
+        .select("query_id", "doc_id")
+    )
+    verified = (
+        cand.join(
+            docs.select(F.col(id_col).alias("doc_id"), txt.alias("__t")),
+            "doc_id",
+        )
+        .join(
+            broadcast(queries.select(
+                F.col(qid_col).alias("query_id"), F.col(q_col).alias("__q")
+            )),
+            "query_id",
+        )
+        .filter(F.contains(F.col("__t"), F.col("__q")))
+        .select("query_id", "doc_id")
+    )
+    return verified
+
+
+def substring_search_sql(
+    corpus_cte: str,
+    queries_cte: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`substring_search`: the definitionally
+    exact ``contains`` scan (small at oracle scale)."""
+    return (
+        f"with corpus as ({corpus_cte}), qs as ({queries_cte}) "
+        f"select q.query_id, d.{id_col} as doc_id "
+        f"from corpus d cross join qs q "
+        f"where contains(coalesce(d.{text_col}, ''), q.q)"
+    )
