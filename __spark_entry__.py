@@ -83,6 +83,8 @@ _RECHECK = {
     "wordpiece_encode_stats",
     # exact_ntile null-ordering/determinism rework (r04)
     "q_ntile_doc_length_buckets",
+    # dv gate: boolean oracle -> per-stage value-count oracle (r04)
+    "dv_delete_semantics_ok",
 }
 
 # Unverified queries ordered for the r04 burn-down (59 never-sampled as
@@ -94,6 +96,7 @@ _RECHECK = {
 # green in a prior round drop out naturally.
 _FRONT = [
     # changed oracle/code, green r03 — re-certify first (cheap)
+    "dv_delete_semantics_ok",
     "media_png_codec_ok",
     "media_wav_codec_ok",
     "media_avi_codec_ok",

@@ -7335,14 +7335,36 @@ def q_rolling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rolling_distinct_hll_ok",
-    "select true as within_bound, true as anchors_match",
+    # value-rich oracle (r04 conversion): one row PER PERIOD with the
+    # exact rolling distinct count derived independently by the naive
+    # re-count in DuckDB and value-hashed — so the anchor set AND the
+    # exact answers are driver-certified; only the HLL 6-sigma band
+    # check stays an in-query boolean (the estimate is the sketch's
+    # own output, not SQL-derivable).
+    """
+with e as (
+  select distinct
+         cast(floor(epoch_us(ts) / 86400000000) as bigint) as p,
+         user_id as u
+  from events where user_id is not null and ts is not null
+),
+periods as (select distinct p from e)
+select periods.p as period,
+       (select count(distinct e.u) from e
+         where e.p between periods.p - 6 and periods.p) as n_exact,
+       true as within_bound
+from periods
+""",
 )
 def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME rolling-window plan with HLL states instead of bitmaps
     (sketches/rolling.py is generic over MergeableSketch) — the
-    unbounded-key-domain variant. Gates: every window's estimate within
-    the 6-sigma HLL++ band of the exact bitmap answer, and both runs
-    anchor exactly the same periods."""
+    unbounded-key-domain variant. Emits one row per anchored period:
+    the exact bitmap answer (value-checked against the oracle's naive
+    re-count — anchor set and values both driver-certified) plus an
+    in-query boolean that the HLL estimate lands within the 6-sigma
+    HLL++ band of that exact answer. A period anchored by only one of
+    the two runs shows up as a row-count mismatch."""
     from .sketches.base import aggregate_by_group
     from .sketches.hll import HllSketch
     from .sketches.rolling import rolling_distinct_exact, rolling_state_window
@@ -7369,14 +7391,24 @@ def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     }
     band = 6 * sk.rel_std_error
-    within = all(
-        abs(approx[p] - n) <= max(4.0, band * n)
-        for p, n in exact.items()
-        if p in approx
-    )
+    rows = [
+        (
+            int(p),
+            int(n),
+            bool(
+                p in approx and abs(approx[p] - n) <= max(4.0, band * n)
+            ),
+        )
+        for p, n in sorted(exact.items())
+    ]
+    # a period the HLL run anchors but the exact run doesn't would hide
+    # from the exact-keyed rows above — surface it as an extra row the
+    # oracle won't have (row-count mismatch = loud driver red)
+    rows += [
+        (int(p), -1, False) for p in sorted(set(approx) - set(exact))
+    ]
     return spark.createDataFrame(
-        [(bool(within), set(approx) == set(exact))],
-        "within_bound boolean, anchors_match boolean",
+        rows, "period long, n_exact long, within_bound boolean"
     )
 
 
@@ -7585,18 +7617,34 @@ def q_streaming_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "gdpr_purge_ok",
-    "select true as purged, true as history_intact, "
-    "true as targeted_rewrite",
+    # value-rich oracle (r04, the media-gate conversion pattern): every
+    # COUNT the purge semantics dictate is computed independently from
+    # the documents relation on the oracle side and value-hashed — only
+    # the file-layout check (targeted_rewrite) stays in-query-refereed.
+    "select cast(count(*) as bigint) as n_total, "
+    "cast(sum(case when doc_id % 37 = 0 then 1 else 0 end) as bigint) "
+    "as n_targets, "
+    "cast(sum(case when doc_id % 37 <> 0 then 1 else 0 end) as bigint) "
+    "as n_current, "
+    "cast(0 as bigint) as n_current_targets, "
+    "cast(count(*) as bigint) as n_v0, "
+    "cast(sum(case when doc_id % 37 = 0 then 1 else 0 end) as bigint) "
+    "as n_v0_targets, "
+    "true as targeted_rewrite "
+    "from documents",
 )
 def q_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten purge as a first-class flow (composing
     sources/timetravel.py): delete one subject's rows via MERGE delete
     markers — O(touched buckets), the hash-bucket layout locates every
-    key without a scan — then gate that (a) the current version contains
+    key without a scan — then certify (a) the current version contains
     none of them, (b) the PRE-purge version still reads intact (history
     is immutable until expire_versions retires it — the compliance
     counterpart: expire is the actual erasure step), and (c) the commit
-    wrote only the touched buckets' directories."""
+    wrote only the touched buckets' directories. The counts the flow
+    must land on (current size, zero surviving subject rows, intact v0)
+    are MEASURED from the table reads here and value-checked against
+    the oracle's independent relational derivation from documents."""
     import tempfile
 
     from .sources.timetravel import create_table, merge_into, read_table
@@ -7607,40 +7655,59 @@ def q_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="xfns_gdpr_") + "/table"
     create_table(docs, path, "doc_id", n_buckets=16)
     targets = docs.filter("doc_id % 37 = 0")
+    n_total = docs.count()
     n_targets = targets.count()
     merge_into(
         spark, path, targets.withColumn("__del", F.lit(True)),
         deleted_col="__del",
     )
     now = read_table(spark, path)
-    purged = (
-        now.join(targets.select("doc_id"), "doc_id", "left_semi").count()
-        == 0
-        and now.count() == docs.count() - n_targets
-    )
+    n_current = now.count()
+    n_current_targets = now.join(
+        targets.select("doc_id"), "doc_id", "left_semi"
+    ).count()
     v0 = read_table(spark, path, version=0)
-    history_intact = (
-        v0.count() == docs.count()
-        and v0.join(
-            targets.select("doc_id"), "doc_id", "left_semi"
-        ).count()
-        == n_targets
-    )
+    n_v0 = v0.count()
+    n_v0_targets = v0.join(
+        targets.select("doc_id"), "doc_id", "left_semi"
+    ).count()
     from .sources.timetravel import read_manifest
 
     touched = read_manifest(path, 1)["buckets_touched"]
     targeted_rewrite = 0 < touched < 16
     return spark.createDataFrame(
-        [(bool(purged), bool(history_intact), bool(targeted_rewrite))],
-        "purged boolean, history_intact boolean, targeted_rewrite boolean",
+        [(
+            n_total, n_targets, n_current, n_current_targets,
+            n_v0, n_v0_targets, bool(targeted_rewrite),
+        )],
+        "n_total long, n_targets long, n_current long, "
+        "n_current_targets long, n_v0 long, n_v0_targets long, "
+        "targeted_rewrite boolean",
     )
 
 
 @query(
     "dv_delete_semantics_ok",
-    "select true as mor_delete, true as no_rewrite, "
-    "true as history_intact, true as materialize_on_merge, "
-    "true as compact_clears",
+    # value-rich oracle (r04 conversion): the visible row counts each
+    # stage must produce — post-delete current read, pre-delete v0,
+    # post-reinsert merge, post-compact — are derived independently
+    # from the documents relation and value-hashed; only the
+    # file-layout facts (no data dir written, dv layer cleared,
+    # manifest dv map empty) stay in-query-refereed booleans.
+    "select cast(count(*) as bigint) as n_total, "
+    "cast(sum(case when doc_id % 11 = 0 then 1 else 0 end) as bigint) "
+    "as n_dead, "
+    "cast(sum(case when doc_id % 11 <> 0 then 1 else 0 end) as bigint) "
+    "as n_after_delete, "
+    "cast(0 as bigint) as n_dead_visible, "
+    "cast(count(*) as bigint) as n_v0, "
+    "cast(sum(case when doc_id % 11 <> 0 then 1 else 0 end) + 1 "
+    "as bigint) as n_after_merge, "
+    "cast(sum(case when doc_id % 11 <> 0 then 1 else 0 end) + 1 "
+    "as bigint) as n_after_compact, "
+    "true as no_rewrite, true as materialize_on_merge, "
+    "true as compact_clears "
+    "from documents",
 )
 def q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read deletion vectors (sources/timetravel.py::
@@ -7670,21 +7737,19 @@ def q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="xfns_dv_") + "/table"
     create_table(docs, path, "doc_id", n_buckets=16)
     dead = docs.filter("doc_id % 11 = 0").select("doc_id")
+    n_total = docs.count()
     n_dead = dead.count()
     res = delete_where(spark, path, dead)
     now = read_table(spark, path)
-    mor_delete = (
-        now.join(dead, "doc_id", "left_semi").count() == 0
-        and now.count() == docs.count() - n_dead
-    )
+    n_after_delete = now.count()
+    n_dead_visible = now.join(dead, "doc_id", "left_semi").count()
     m1 = read_manifest(path)
     no_rewrite = (
         not _os.path.exists(_os.path.join(path, "v1"))
         and set(m1["owners"].values()) == {0}
         and res["merge_on_read"]
     )
-    v0 = read_table(spark, path, version=0)
-    history_intact = v0.count() == docs.count()
+    n_v0 = read_table(spark, path, version=0).count()
     # re-insert one deleted key; its bucket's layer must clear
     re_row = docs.filter("doc_id % 11 = 0").limit(1)
     merge_into(spark, path, re_row)
@@ -7694,23 +7759,24 @@ def q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         b for b in m1["dvs"] if b not in m2["dvs"] or m2["dvs"][b] == []
     ]
     now2 = read_table(spark, path)
+    n_after_merge = now2.count()
     materialize_on_merge = (
         len(cleared_bucket) >= 1
         and now2.filter(F.col("doc_id") == re_id).count() == 1
-        and now2.count() == docs.count() - n_dead + 1
     )
-    before = now2.count()
     compact(spark, path)
     m3 = read_manifest(path)
-    compact_clears = (
-        m3["dvs"] == {} and read_table(spark, path).count() == before
-    )
+    n_after_compact = read_table(spark, path).count()
+    compact_clears = m3["dvs"] == {}
     return spark.createDataFrame(
         [(
-            bool(mor_delete), bool(no_rewrite), bool(history_intact),
+            n_total, n_dead, n_after_delete, n_dead_visible, n_v0,
+            n_after_merge, n_after_compact, bool(no_rewrite),
             bool(materialize_on_merge), bool(compact_clears),
         )],
-        "mor_delete boolean, no_rewrite boolean, history_intact boolean, "
+        "n_total long, n_dead long, n_after_delete long, "
+        "n_dead_visible long, n_v0 long, n_after_merge long, "
+        "n_after_compact long, no_rewrite boolean, "
         "materialize_on_merge boolean, compact_clears boolean",
     )
 

@@ -165,11 +165,12 @@ def substring_search(
         .filter(F.col("n_hit") == F.col("n_qgrams"))
         .select("query_id", "doc_id")
     )
+    # verify joins stream the CORPUS and broadcast the tiny candidate
+    # set (pinned — stats at small SF would otherwise tempt Catalyst to
+    # broadcast the docs table, the wrong side at scale)
     verified = (
-        cand.join(
-            docs.select(F.col(id_col).alias("doc_id"), txt.alias("__t")),
-            "doc_id",
-        )
+        docs.select(F.col(id_col).alias("doc_id"), txt.alias("__t"))
+        .join(broadcast(cand), "doc_id")
         .join(
             broadcast(queries.select(
                 F.col(qid_col).alias("query_id"), F.col(q_col).alias("__q")
