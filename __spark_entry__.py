@@ -85,6 +85,8 @@ _RECHECK = {
     "q_ntile_doc_length_buckets",
     # dv gate: boolean oracle -> per-stage value-count oracle (r04)
     "dv_delete_semantics_ok",
+    # AMS F2 gate: boolean oracle -> exact-F2 value oracle (r04)
+    "countsketch_f2_users_ok",
 }
 
 # Unverified queries ordered for the r04 burn-down (59 never-sampled as
@@ -97,6 +99,7 @@ _RECHECK = {
 _FRONT = [
     # changed oracle/code, green r03 — re-certify first (cheap)
     "dv_delete_semantics_ok",
+    "countsketch_f2_users_ok",
     "media_png_codec_ok",
     "media_wav_codec_ok",
     "media_avi_codec_ok",

@@ -891,14 +891,22 @@ def q_countsketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "countsketch_f2_users_ok",
-    "select true as f2_ok",
+    # value-rich oracle (r04 conversion, the join_size_ok pattern): the
+    # exact F2 is derived independently in DuckDB and value-hashed;
+    # only the AMS variance-band check on the sketch's own estimate
+    # stays an in-query boolean.
+    "select (select cast(sum(c * c) as bigint) from ("
+    "select count(*) as c from events group by user_id)) as exact_f2, "
+    "true as f2_ok",
 )
 def q_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS self-join-size gate: the count sketch's median-over-rows
     sum-of-squares estimate of F2 = sum_u f(u)^2 over events.user_id
     must sit within 4 per-row standard deviations (sqrt(2/w) relative)
     of the exact self-join size — the Alon-Matias-Szegedy variance
-    bound. F2 is the canonical join-cardinality-planning statistic."""
+    bound. F2 is the canonical join-cardinality-planning statistic;
+    the exact value is emitted and checked against the oracle's own
+    independent derivation."""
     from .sketches.base import aggregate
     from .sketches.countsketch import CountSketch
 
@@ -912,7 +920,9 @@ def q_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]["f2"]
     )
     ok = abs(cs.f2(st) - float(exact)) / float(exact) < 4 * cs.f2_rel_sd
-    return spark.createDataFrame([(bool(ok),)], "f2_ok boolean")
+    return spark.createDataFrame(
+        [(int(exact), bool(ok))], "exact_f2 long, f2_ok boolean"
+    )
 
 
 @query(
@@ -7465,8 +7475,17 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "phash_near_dup_media",
-    "select true as planted_all_recalled, true as planted_close, "
-    "true as naturals_separated",
+    # value-rich oracle (r04 conversion): one row PER planted pair,
+    # ids derived independently from the documents relation (media_id
+    # == doc_id; variants at +1000000 on the % 11 subset) — the pair
+    # set is value-hashed, so a missed planted pair OR a spurious
+    # extra join pair is a loud row/hash red; the Hamming-band and
+    # natural-separation facts are algorithm outputs and stay
+    # in-query booleans.
+    "select cast(doc_id as bigint) as id_a, "
+    "cast(doc_id + 1000000 as bigint) as id_b, "
+    "true as recalled, true as within_band, true as naturals_separated "
+    "from documents where doc_id % 11 = 0",
 )
 def q_phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash media near-dup detection (multimodal/phash.py):
@@ -7476,7 +7495,8 @@ def q_phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed) must all be recalled within the exact-recall band
     (distance <= bands-1); natural media must sit far away (checked
     over ALL planted-vs-result and natural phash distances, not just
-    the join output)."""
+    the join output). Emitted per planted pair; any spurious join pair
+    is appended as an extra row the oracle does not have."""
     import numpy as np
 
     from .multimodal.media import jitter_payloads, smooth_media_table
@@ -7498,9 +7518,6 @@ def q_phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mid, mid + 1000000) for mid in sigs if mid % 11 == 0 and mid < 1000000
     ]
     dist = lambda a, b: bin(int(sigs[a] ^ sigs[b])).count("1")
-    planted_d = [dist(a, b) for a, b in planted]
-    planted_close = bool(planted and max(planted_d) <= 3)
-    recalled = all(p in pairs for p in planted)
     # naturals: the join must surface ONLY planted pairs, and a
     # deterministic sample of natural-vs-natural distances stays far
     nat = sorted(i for i in sigs if i < 1000000)
@@ -7509,12 +7526,26 @@ def q_phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, a in enumerate(nat[:200])
         for b in nat[i + 1 : i + 6]
     ]
-    naturals_separated = bool(min(sample_d) > 3) and set(pairs) == set(
-        planted
-    )
+    naturals_separated = bool(min(sample_d) > 3)
+    rows = [
+        (
+            int(a),
+            int(b),
+            bool((a, b) in pairs),
+            bool(dist(a, b) <= 3),
+            naturals_separated,
+        )
+        for a, b in sorted(planted)
+    ]
+    # spurious join pairs (beyond the planted set) become extra rows
+    # the oracle does not have -> loud row-count mismatch
+    rows += [
+        (int(a), int(b), True, True, False)
+        for a, b in sorted(set(pairs) - set(planted))
+    ]
     return spark.createDataFrame(
-        [(recalled, planted_close, naturals_separated)],
-        "planted_all_recalled boolean, planted_close boolean, "
+        rows,
+        "id_a long, id_b long, recalled boolean, within_band boolean, "
         "naturals_separated boolean",
     )
 
@@ -7913,14 +7944,22 @@ def q_token_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hash_embed_ann_ok",
-    "select true as nn_recall_ok, true as unit_norm_ok",
+    # value-rich oracle (r04 conversion): one row PER injected probe,
+    # its id derived independently from the documents relation — the
+    # probe set is value-hashed, so a missing/extra probe is a loud
+    # row-count red; the top-3 containment and unit-norm facts are the
+    # sketch pipeline's own outputs and stay in-query booleans.
+    "select cast(doc_id + 1000000 as bigint) as qid, "
+    "true as source_in_top3, true as unit_norm_ok "
+    "from documents where doc_id % 7 = 0",
 )
 def q_hash_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw text -> hashed embeddings -> existing ANN kernel, end to end:
     every injected truncated near-copy must rank its source document in
     its top-3 (brute exact cosine over the hashed vectors), and all
     embeddings must be unit-norm (1e-9 tolerance). The gate that the
-    text/ANN bridge actually ranks near-duplicates first."""
+    text/ANN bridge actually ranks near-duplicates first; emitted per
+    probe so the driver certifies the probe set itself."""
     from .ann.brute import topk_cosine
     from .text.hash_embed import hash_embeddings
 
@@ -7939,16 +7978,20 @@ def q_hash_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # legitimately nearer to a truncated copy than its own source (cos
     # ~0.985 vs ~0.99) — containment in the top 3 is the robust claim
     nn = topk_cosine(emb, "id", "embedding", queries, k=3)
-    hits = (
-        nn.filter("neighbor_id = qid - 1000000")
+    hit_qids = {
+        r["qid"]
+        for r in nn.filter("neighbor_id = qid - 1000000")
         .select("qid")
         .distinct()
-        .count()
-    )
+        .collect()
+    }
     emb.unpersist()
     return spark.createDataFrame(
-        [(bool(hits == len(queries)), bool(norm_bad == 0))],
-        "nn_recall_ok boolean, unit_norm_ok boolean",
+        [
+            (int(qid), bool(qid in hit_qids), bool(norm_bad == 0))
+            for qid, _ in queries
+        ],
+        "qid long, source_in_top3 boolean, unit_norm_ok boolean",
     )
 
 
