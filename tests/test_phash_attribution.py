@@ -140,9 +140,11 @@ def test_attribution_query_matches_duckdb(spark, sf_tiny):
 def test_phash_media_gates(spark, sf_tiny):
     from xorfilter_net_spark import entrypoints
 
-    row = entrypoints.QUERIES["phash_near_dup_media"](
+    rows = entrypoints.QUERIES["phash_near_dup_media"](
         spark, sf_tiny
-    ).collect()[0]
-    assert row["planted_all_recalled"] is True
-    assert row["planted_close"] is True
-    assert row["naturals_separated"] is True
+    ).collect()
+    assert rows and all(r["recalled"] for r in rows)
+    assert all(r["within_band"] for r in rows)
+    assert all(r["naturals_separated"] for r in rows)
+    # per-pair contract: every planted id pair, no spurious extras
+    assert all(r["id_b"] == r["id_a"] + 1000000 for r in rows)
