@@ -10,9 +10,9 @@ falls below ``min_kept_lines``.
 Scale shape: 100% map-only whole-stage codegen — one ``split`` on
 newlines and a handful of higher-order ``filter``/``size`` lambdas per
 row; ZERO shuffles, zero Python. At 100 TB this is a pure scan-side
-transform that fuses into whatever pipeline consumes it (the curation
-capstone composes it below the dedup shuffle, so cleaned text is what
-gets deduplicated).
+transform that fuses below whatever consumes it (compose it before a
+dedup and the cleaned text is what gets deduplicated, at no extra
+pass — Catalyst collapses the projections).
 
 Every rule is dialect-templated (Spark HOFs here, the DuckDB list
 lambdas in ``c4_oracle_tail``) so the driver oracle replays the exact

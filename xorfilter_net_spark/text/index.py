@@ -144,9 +144,23 @@ def substring_search(
             lambda i: col.substr(i, F.lit(gram_len)),
         )
 
+    # a needle shorter than gram_len has no grams and would silently
+    # match nothing (a false negative) — fail loudly in-plan instead
+    checked_q = F.when(
+        F.length(F.col(q_col)) < gram_len,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"substring_search: query shorter than gram_len="
+                    f"{gram_len}: "
+                ),
+                F.col(q_col),
+            )
+        ).cast("string"),
+    ).otherwise(F.col(q_col))
     qg = queries.select(
         F.col(qid_col).alias("query_id"),
-        F.explode(F.array_distinct(grams_of(F.col(q_col)))).alias("gram"),
+        F.explode(F.array_distinct(grams_of(checked_q))).alias("gram"),
     )
     n_qgrams = qg.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_qgrams")
