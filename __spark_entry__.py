@@ -112,6 +112,7 @@ _FRONT = [
     "unigram_invariants_ok",
     # r04 new operators (transcript hygiene + cleaning + search)
     "conversation_lint_report",
+    "q_merge_consecutive_turns",
     "q_context_budget_turns",
     "c4_line_clean_documents",
     "substring_search_documents",

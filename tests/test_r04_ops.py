@@ -159,3 +159,47 @@ def test_substring_search_gram_boundary(spark):
         for r in substring_search(ddf, qdf, gram_len=4).collect()
     }
     assert got == {(1, 1), (1, 2)}
+
+
+# ----------------------------------------------------------- turn merge
+def test_merge_consecutive_turns(spark):
+    from xorfilter_net_spark.pipeline.turn_merge import (
+        merge_consecutive_turns,
+    )
+
+    rows = [
+        ("c1", 0, "user", "hello", None, 1),
+        ("c1", 1, "user", "are you there?", None, 2),
+        ("c1", 2, "assistant", "yes", None, 3),
+        ("c1", 3, "assistant", "how can I help?", None, 4),
+        ("c1", 4, "user", "thanks", None, 5),
+        ("c2", 0, "user", "solo", None, 1),
+    ]
+    out = merge_consecutive_turns(spark.createDataFrame(rows, TURN_SCHEMA))
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["n_merged"])
+        for r in out.collect()
+    }
+    assert got[("c1", 0)] == ("user", "hello\nare you there?", 2)
+    assert got[("c1", 1)] == ("assistant", "yes\nhow can I help?", 2)
+    assert got[("c1", 2)] == ("user", "thanks", 1)
+    assert got[("c2", 0)] == ("user", "solo", 1)
+    # strict alternation restored
+    assert len(got) == 4
+
+
+def test_merge_turns_null_text_and_gaps(spark):
+    from xorfilter_net_spark.pipeline.turn_merge import (
+        merge_consecutive_turns,
+    )
+
+    rows = [
+        # non-contiguous turn_idx (5, 9) still ordered correctly
+        ("c1", 5, "tool", None, "t", 1),
+        ("c1", 9, "tool", "out", "t", 2),
+    ]
+    out = merge_consecutive_turns(
+        spark.createDataFrame(rows, TURN_SCHEMA)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == "\nout" and out[0]["n_merged"] == 2

@@ -9349,6 +9349,46 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_clean(seeded)
 
 
+# Role-run injection for the turn-merge op: the derived transcripts
+# cycle roles every turn (no consecutive same-role runs), so every 4th
+# conversation gets turns 1-2 remapped to 'user' — creating 2-3-turn
+# runs to collapse. Identical SQL both engines.
+_MERGE_MUTATION = """
+    mbase as (
+        select t.*, cast(substr(conv_id, 6) as bigint) as did
+        from transcripts t),
+    mutm as (
+        select conv_id, turn_idx,
+               case when did % 4 = 0 and turn_idx in (1, 2)
+                    then 'user' else role end as role,
+               text
+        from mbase)
+"""
+
+
+def _merge_turns_oracle() -> str:
+    from .pipeline.turn_merge import merge_oracle_tail
+
+    return f"with {TRANSCRIPTS_CTE}, {_MERGE_MUTATION}, " + merge_oracle_tail(
+        "mutm"
+    )
+
+
+@query("q_merge_consecutive_turns", _merge_turns_oracle())
+def q_merge_consecutive_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge consecutive same-role turns (pipeline/turn_merge.py): the
+    gaps-and-islands normalization chat-template training requires —
+    each maximal same-role run collapses to one turn with its texts
+    joined in order. ONE conv_id shuffle (window + run aggregate share
+    the exchange); seeded role-run injection keeps the op non-vacuous;
+    value-exact vs the identical DuckDB window/island program."""
+    from .pipeline.turn_merge import merge_consecutive_turns
+
+    load_transcripts(spark, sf_dir).createOrReplaceTempView("transcripts")
+    mut = spark.sql(f"with {_MERGE_MUTATION} select * from mutm")
+    return merge_consecutive_turns(mut)
+
+
 # Deterministic search needles: 14-char substrings lifted from three
 # fixed documents (guaranteed hits — at minimum their own source) plus
 # one absent literal (guaranteed miss). Identical SQL both engines.
