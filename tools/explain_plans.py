@@ -631,6 +631,70 @@ def main() -> None:
         )
     )
 
+    # r04 transcript-curation operators
+    sections.append(
+        (
+            "C4 line cleaning (c4_line_clean_documents)",
+            "Map-only: every rule is a higher-order lambda in ONE "
+            "Project over the scan — zero Exchange nodes, zero Python. "
+            "Fuses below any downstream consumer.",
+            captured_explain(
+                ep.QUERIES["c4_line_clean_documents"](spark, SF_DIR)
+            ),
+        )
+    )
+    sections.append(
+        (
+            "Conversation lint (conversation_lint_report)",
+            "ONE Exchange on conv_id: the lag() window and the "
+            "per-conversation aggregate (incl. the count-distinct "
+            "contiguity check) share the same hash partitioning — the "
+            "distinct pre-aggregate runs partition-local above the "
+            "window with no second shuffle. Zero Python.",
+            captured_explain(
+                ep.QUERIES["conversation_lint_report"](spark, SF_DIR)
+            ),
+        )
+    )
+    sections.append(
+        (
+            "Context-budget truncation (q_context_budget_turns)",
+            "ONE Exchange on conv_id; reverse running-sum window with "
+            "O(1) frame state; token counting is codegen "
+            "size(filter(split)) in the pre-shuffle Project.",
+            captured_explain(
+                ep.QUERIES["q_context_budget_turns"](spark, SF_DIR)
+            ),
+        )
+    )
+    sections.append(
+        (
+            "Merge consecutive turns (q_merge_consecutive_turns)",
+            "ONE Exchange on conv_id shared by the lag/cumsum window "
+            "pair and the run aggregate; run texts join inside the "
+            "aggregate (state bounded by the output row itself).",
+            captured_explain(
+                ep.QUERIES["q_merge_consecutive_turns"](spark, SF_DIR)
+            ),
+        )
+    )
+    sections.append(
+        (
+            "Gram-pruned substring search (substring_search_documents)",
+            "The corpus never shuffles: doc grams stream into a "
+            "BroadcastHashJoin against the query-gram set, the only "
+            "corpus-sized Exchange keys the (query, doc) candidate "
+            "aggregate (bounded by gram hits), and the verify joins "
+            "stream the corpus against the BROADCAST candidate set — "
+            "pinned so small-SF stats cannot flip the build side. "
+            "Needle-side scans show pushed IN filters and 2-column "
+            "ReadSchema.",
+            captured_explain(
+                ep.QUERIES["substring_search_documents"](spark, SF_DIR)
+            ),
+        )
+    )
+
     out = [
         "# Physical-plan evidence\n",
         f"Generated by `python tools/explain_plans.py` at sf dir `{SF_DIR}`.",
