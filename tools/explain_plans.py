@@ -796,23 +796,42 @@ def main() -> None:
     assert "ArrowEvalPython" not in dsir_plan and "BatchEvalPython" not in dsir_plan
     assert "BroadcastHashJoin" in dsir_plan and "Generate" in dsir_plan
     assert "SortMergeJoin" not in dsir_plan
-    anom_plan = sections[-3][2]
+    anom_plan = sections[-8][2]
     assert "ArrowEvalPython" not in anom_plan and "BatchEvalPython" not in anom_plan
     assert "Generate" in anom_plan  # the periods-sized window fan-out
-    trend_plan = sections[-2][2]
+    trend_plan = sections[-7][2]
     assert "ArrowEvalPython" not in trend_plan and "BatchEvalPython" not in trend_plan
     assert "HashAggregate" in trend_plan and "Join" not in trend_plan
-    ntile_plan = sections[-1][2]
+    ntile_plan = sections[-6][2]
     # one data-keyed hash exchange; no global sort; no checkpoint RDD
     assert "hashpartitioning(__bkt" in ntile_plan
     assert "rangepartitioning" not in ntile_plan
     assert "Scan ExistingRDD" not in ntile_plan  # no localCheckpoint leaf
     assert "MapInPandas" in ntile_plan
+    # r04 transcript-curation sections
+    c4_plan = sections[-5][2]
+    assert "Exchange" not in c4_plan  # map-only
+    assert "Python" not in c4_plan
+    for s_idx in (-4, -3, -2):  # lint, budget, merge: conv_id-only shuffles
+        p = sections[s_idx][2]
+        assert "hashpartitioning(conv_id" in p
+        n_all = p.count("hashpartitioning(")
+        n_conv = p.count("hashpartitioning(conv_id")
+        assert n_all == n_conv, p  # no shuffle on any other key
+    ss_plan = sections[-1][2]
+    assert "BroadcastHashJoin" in ss_plan
+    # every corpus-sized exchange keys the (query, doc) candidate
+    # aggregate or the tiny query-gram aggregate — never raw docs
+    import re as _re
+
+    for m in _re.finditer(r"hashpartitioning\(([a-z_]+)", ss_plan):
+        assert m.group(1) == "query_id", ss_plan[m.start() : m.start() + 80]
     print(
         "topk/multi-distinct/z-order/q18/grouping-sets/hof/merge/"
         "q6/q8/q19/redact/not-in/cooccur/fuse-sql/contamination/"
         "prefix-join/curate/spans/lm/postings/timetravel/"
-        "curate-transcripts/dsir/anomaly/trend plans — OK"
+        "curate-transcripts/dsir/anomaly/trend/c4/lint/budget/"
+        "turn-merge/substring plans — OK"
     )
     spark.stop()
 
