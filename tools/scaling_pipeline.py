@@ -134,6 +134,35 @@ def child(cpus: int, corpus_path: str) -> None:
             ),
         )
 
+    def _turns_full():
+        did = F.expr("cast(substr(conv_id, 6) as bigint)")
+        return _turns().select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.expr(
+                "case when turn_idx % 3 = 2 then "
+                "'tool_' || cast(cast(substr(conv_id, 6) as bigint) % 5 "
+                "as string) end"
+            ).alias("tool"),
+            (did * 1000 + F.col("turn_idx") + 1704067200)
+            .cast("long")
+            .alias("ts_epoch"),
+        )
+
+    def _conv_lint():
+        from xorfilter_net_spark.pipeline.conv_lint import conversation_lint
+
+        return conversation_lint(_turns_full())
+
+    def _turn_merge():
+        from xorfilter_net_spark.pipeline.turn_merge import (
+            merge_consecutive_turns,
+        )
+
+        return merge_consecutive_turns(_turns_full())
+
     def _kmeans(spark):
         from xorfilter_net_spark.ann.kmeans import kmeans_assign, kmeans_fit
 
@@ -206,6 +235,10 @@ def child(cpus: int, corpus_path: str) -> None:
         "lm_coverage": lambda: lm_coverage_signals(corpus, min_count=2),
         "curate": lambda: curate_corpus(corpus, eval_df),
         "curate_transcripts": lambda: curate_transcript_pairs(_turns()),
+        # r04 transcript-hygiene ops: lint needs the full turn shape
+        # (tool + ts_epoch, same derivation as sources/transcripts.py)
+        "conv_lint": lambda: _conv_lint(),
+        "turn_merge": lambda: _turn_merge(),
         "dsir_scores": lambda: dsir_scores(
             corpus, corpus.filter("doc_id % 31 = 1"), "doc_id", "text"
         ),
