@@ -113,6 +113,7 @@ _FRONT = [
     # r04 new operators (transcript hygiene + cleaning + search)
     "conversation_lint_report",
     "q_merge_consecutive_turns",
+    "decayed_topk_event_types",
     "q_context_budget_turns",
     "c4_line_clean_documents",
     "substring_search_documents",

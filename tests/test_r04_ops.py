@@ -203,3 +203,57 @@ def test_merge_turns_null_text_and_gaps(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["text"] == "\nout" and out[0]["n_merged"] == 2
+
+
+# --------------------------------------------------------- decayed top-k
+def test_decayed_topk_halving_weights(spark):
+    import datetime as dt
+
+    from xorfilter_net_spark.sketches.decay import decayed_topk_mg
+
+    def t(day):
+        return dt.datetime(2024, 1, day)
+
+    rows = (
+        # 'old' dominates raw counts but is 2 periods stale:
+        # score = 8 * 2^0 = 8 (base = day 1 within window 3)
+        [("old", t(1))] * 8
+        # 'hot' is recent: score = 3 * 2^2 = 12
+        + [("hot", t(3))] * 3
+        # 'mid': 2 * 2^1 = 4
+        + [("mid", t(2))] * 2
+    )
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {
+        r["key"]: (r["decayed_score"], r["n_periods"])
+        for r in decayed_topk_mg(
+            df, "k", "ts", k=16, window=3, top=None
+        ).collect()
+    }
+    assert got == {"hot": (12, 1), "old": (8, 1), "mid": (4, 1)}
+
+
+def test_decayed_topk_window_excludes_stale(spark):
+    import datetime as dt
+
+    from xorfilter_net_spark.sketches.decay import decayed_topk_mg
+
+    rows = [("stale", dt.datetime(2024, 1, 1))] * 100 + [
+        ("live", dt.datetime(2024, 1, 20))
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = decayed_topk_mg(df, "k", "ts", k=16, window=3, top=None).collect()
+    assert [r["key"] for r in got] == ["live"]
+
+
+def test_decayed_topk_validation_and_empty(spark):
+    import pytest as _pytest
+
+    from xorfilter_net_spark.sketches.decay import decayed_topk_mg
+
+    df = spark.createDataFrame([], "k string, ts timestamp")
+    assert decayed_topk_mg(df, "k", "ts", window=3).collect() == []
+    with _pytest.raises(ValueError):
+        decayed_topk_mg(df, "k", "ts", window=0)
+    with _pytest.raises(ValueError):
+        decayed_topk_mg(df, "k", "ts", window=63)

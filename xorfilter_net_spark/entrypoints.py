@@ -9349,6 +9349,29 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_clean(seeded)
 
 
+def _decayed_topk_oracle() -> str:
+    from .sketches.decay import decayed_topk_sql
+
+    return decayed_topk_sql("event_type", window=14, top=10)
+
+
+@query("decayed_topk_event_types", _decayed_topk_oracle())
+def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed heavy hitters (sketches/decay.py): the
+    trending-now frequency table — half-life-per-period weights as
+    EXACT integers (2^(period-base), no float pow), reduced from the
+    per-period Misra-Gries state table in one O(k x window) sweep.
+    Distinct event types sit far below k, so every MG table is exact
+    and the oracle recomputes the identical shifted-integer arithmetic
+    from raw events — value-exact."""
+    from .sketches.decay import decayed_topk_mg
+
+    ev = load_table(spark, sf_dir, "events")
+    return decayed_topk_mg(
+        ev, "event_type", "ts", k=256, window=14, top=10
+    )
+
+
 # Role-run injection for the turn-merge op: the derived transcripts
 # cycle roles every turn (no consecutive same-role runs), so every 4th
 # conversation gets turns 1-2 remapped to 'user' — creating 2-3-turn
