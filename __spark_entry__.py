@@ -114,6 +114,7 @@ _FRONT = [
     "conversation_lint_report",
     "q_merge_consecutive_turns",
     "decayed_topk_event_types",
+    "q_attribution_linear",
     "q_context_budget_turns",
     "c4_line_clean_documents",
     "substring_search_documents",

@@ -9349,6 +9349,81 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_clean(seeded)
 
 
+@query(
+    "q_attribution_linear",
+    # exact integer credit: floor(1e6 / n_clicks) micro-units per
+    # (purchase, click) pair — both engines compute the identical
+    # integer division, no float ulp
+    """
+with p as (
+  select event_id as pid, user_id as u, epoch_us(ts) as t
+  from events
+  where event_type = 'purchase' and user_id is not null
+    and ts is not null),
+c as (
+  select event_id as cid, user_id as u, epoch_us(ts) as t
+  from events
+  where event_type = 'click' and user_id is not null
+    and ts is not null),
+j as (
+  select p.pid, c.cid from p join c on p.u = c.u
+  where c.t >= p.t - 604800000000 and c.t < p.t),
+n as (select pid, count(*) as n from j group by pid)
+select j.cid as click_event_id,
+       cast(count(*) as bigint) as n_purchases,
+       cast(sum(1000000 // n.n) as bigint) as total_credit_e6
+from j join n using (pid) group by j.cid
+""",
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution (the last-touch op's sibling):
+    every click in the 7 days before a purchase by the same user shares
+    that purchase's credit equally — floor(1e6 / n_clicks) integer
+    micro-units per pair, summed per click. The (purchase window x
+    click) pairing runs through the binned interval join
+    (relational/range_join.py: bucket explode + (bucket, user) equi-
+    join + residual — never a nested-loop or time-only cross join; the
+    user_id equi-key rides the bucket key, so replication is bounded by
+    window/bucket and skew by per-user activity). Exact oracle via the
+    identical integer-division credit arithmetic."""
+    from .relational.range_join import interval_join
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        "user_id is not null and ts is not null"
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("__pts"),
+        (F.col("ts").cast("timestamp") - F.expr("interval 7 days")).alias(
+            "__start"
+        ),
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("__cts")
+    )
+    pairs = interval_join(
+        clicks,
+        purchases,
+        ts="__cts",
+        start="__start",
+        end="__pts",
+        bucket_s=86400,
+        extra_key="user_id",
+    ).select("pid", "cid")
+    n = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        pairs.join(n, "pid")
+        .groupBy(F.col("cid").alias("click_event_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.expr("1000000 div __n")).cast("long").alias(
+                "total_credit_e6"
+            ),
+        )
+    )
+
+
 def _decayed_topk_oracle() -> str:
     from .sketches.decay import decayed_topk_sql
 
