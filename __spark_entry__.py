@@ -115,6 +115,7 @@ _FRONT = [
     "q_merge_consecutive_turns",
     "decayed_topk_event_types",
     "q_attribution_linear",
+    "streaming_decayed_topk",
     "q_context_budget_turns",
     "c4_line_clean_documents",
     "substring_search_documents",

@@ -9447,6 +9447,61 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("streaming_decayed_topk", _decayed_topk_oracle())
+def q_streaming_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of decayed_topk_event_types: per-period
+    Misra-Gries states maintained under the REAL streaming engine
+    (streaming/rolling.py's ledgered exactly-once period store, the
+    same generic MergeableSketch maintainer the bitmap family uses),
+    then the decayed sweep runs over the MAINTAINED states — shared
+    code with the batch operator, so stream == batch is the contract
+    and the oracle is the identical shifted-integer batch replay.
+    MG merge is counter addition, so any micro-batch split of the
+    event history produces byte-equal per-period tables in the
+    below-k regime."""
+    import os
+    import tempfile
+    import time
+
+    from .sketches.decay import decayed_scores_from_states
+    from .sketches.misra_gries import MisraGriesSketch
+    from .streaming.rolling import (
+        init_period_store,
+        read_period_states,
+        stream_update_period_states,
+    )
+
+    root = tempfile.mkdtemp(prefix="xfns_sdecay_")
+    store = os.path.join(root, "store")
+    init_period_store(spark, store)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    t0 = time.time() - 3600
+    for i, s in enumerate(
+        (ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1"))
+    ):
+        p = os.path.join(root, "in", f"s{i}")
+        s.repartition(1).write.mode("overwrite").parquet(p)
+        for r, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(r, f), (t0 + 10 * i, t0 + 10 * i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "in", "s*"))
+    )
+    sk = MisraGriesSketch(k=256, key_col="__k")
+    q = stream_update_period_states(
+        stream, store, os.path.join(root, "ckpt"),
+        "event_type", "ts", sketch=sk,
+    )
+    q.awaitTermination()
+    return decayed_scores_from_states(
+        spark, read_period_states(spark, store), sk, window=14, top=10
+    )
+
+
 # Role-run injection for the turn-merge op: the derived transcripts
 # cycle roles every turn (no consecutive same-role runs), so every 4th
 # conversation gets turns 1-2 remapped to 'user' — creating 2-3-turn

@@ -71,11 +71,29 @@ def decayed_topk_mg(
         F.col(key_col).cast("string").alias("__k"),
     ).filter(F.col("__k").isNotNull() & F.col("period").isNotNull())
     states = aggregate_by_group(e, ["period"], ["__k"], sk)
+    return decayed_scores_from_states(
+        events.sparkSession, states, sk, window=window, top=top
+    )
+
+
+def decayed_scores_from_states(
+    spark,
+    states: DataFrame,
+    sk,
+    window: int = 14,
+    top: int | None = 10,
+) -> DataFrame:
+    """The decayed sweep over ANY (period, state) table — shared by the
+    batch operator above and the streaming period store
+    (streaming/rolling.py maintains the identical table shape), so
+    stream == batch is the contract by construction."""
+    if not 1 <= window <= 62:
+        raise ValueError("window must be in [1, 62]")
     # one scalar to the driver: the as-of period (same convention as the
     # graph family's convergence scalars)
     row = states.agg(F.max("period").alias("mp")).collect()[0]
     if row["mp"] is None:
-        return events.sparkSession.createDataFrame(
+        return spark.createDataFrame(
             [], "key string, decayed_score long, n_periods long"
         )
     base = int(row["mp"]) - (window - 1)
