@@ -116,6 +116,7 @@ _FRONT = [
     "decayed_topk_event_types",
     "q_attribution_linear",
     "streaming_decayed_topk",
+    "rolling_quantile_event_values",
     "q_context_budget_turns",
     "c4_line_clean_documents",
     "substring_search_documents",

@@ -257,3 +257,37 @@ def test_decayed_topk_validation_and_empty(spark):
         decayed_topk_mg(df, "k", "ts", window=0)
     with _pytest.raises(ValueError):
         decayed_topk_mg(df, "k", "ts", window=63)
+
+
+# ------------------------------------------------------ rolling quantile
+def test_rolling_quantile_kll_exact_below_k(spark):
+    import datetime as dt
+
+    from xorfilter_net_spark.sketches.rolling import rolling_quantile_kll
+
+    rows = [
+        (float(v), dt.datetime(2024, 1, 1)) for v in range(1, 11)
+    ] + [(float(v), dt.datetime(2024, 1, 2)) for v in range(11, 21)]
+    df = spark.createDataFrame(rows, "value double, ts timestamp")
+    got = {
+        (r["period"], r["q_e6"]): r["est_value"]
+        for r in rolling_quantile_kll(
+            df, "value", "ts", qs=(0.5,), k=200, window=7
+        ).collect()
+    }
+    assert len(got) == 2  # one row per active period
+    periods = sorted(p for p, _ in got)
+    # day-1 window sees 1..10; day-2 window sees 1..20; below k the
+    # sketch is exact, so the estimate is an actual item near the median
+    assert 5.0 <= got[(periods[0], 500000)] <= 6.0
+    assert 10.0 <= got[(periods[1], 500000)] <= 11.0
+
+
+def test_rolling_quantile_validation(spark):
+    import pytest as _pytest
+
+    from xorfilter_net_spark.sketches.rolling import rolling_quantile_kll
+
+    df = spark.createDataFrame([], "value double, ts timestamp")
+    with _pytest.raises(ValueError):
+        rolling_quantile_kll(df, "value", "ts", window=0)

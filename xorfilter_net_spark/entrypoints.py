@@ -9447,6 +9447,107 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rolling_quantile_event_values",
+    # value-rich oracle: the window's row count and the EXACT discrete
+    # quantile (micro-int value at rank ceil(q*n)) are derived
+    # independently in DuckDB and value-hashed; only the KLL rank-band
+    # containment of the sketch's own estimate stays an in-query
+    # boolean (the estimate is not SQL-derivable).
+    """
+with e as (
+  select cast(floor(epoch_us(ts) / 86400000000) as bigint) as p,
+         cast(floor(value * 1000000.0) as bigint) as v
+  from events where value is not null and ts is not null),
+anchors as (select distinct p from e),
+fan as (select a.p as t, e.v from e
+        join anchors a on e.p between a.p - 6 and a.p),
+ranked as (select t, v,
+           row_number() over (partition by t order by v) as rn,
+           count(*) over (partition by t) as n from fan),
+qs as (select * from (values (500000), (950000)) q(q_e6)),
+sel as (select t, q_e6, n, v from ranked join qs
+        on rn = (q_e6 * n + 999999) // 1000000)
+select t as period, cast(q_e6 as bigint) as q_e6,
+       cast(n as bigint) as n, v as exact_mq, true as within_band
+from sel
+""",
+)
+def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window quantiles from per-period KLL states
+    (sketches/rolling.py::rolling_quantile_kll) — completes the rolling
+    state-algebra family (distinct / top-k / moments / quantiles). The
+    operator answers every trailing-7-day p50/p95 from k-bounded states
+    (sweep cost independent of corpus size); the in-query referee
+    recomputes the exact discrete quantiles (rank ceil(q*n) over
+    micro-int values — integer arithmetic, both engines identical) and
+    checks the estimate inside the +-3%% rank band; the exact values and
+    window counts are value-hashed against the oracle's independent
+    derivation."""
+    from .sketches.rolling import rolling_quantile_kll
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    est = rolling_quantile_kll(
+        ev, "value", "ts", qs=(0.5, 0.95), k=200, window=7
+    )
+    e2 = ev.filter("value is not null and ts is not null").select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)
+        ).alias("p"),
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("v"),
+    )
+    anchors = e2.select(F.col("p").alias("t")).distinct()
+    fan = e2.join(
+        anchors,
+        (F.col("p") <= F.col("t")) & (F.col("p") >= F.col("t") - 6),
+    ).select("t", "v")
+    w = Window.partitionBy("t").orderBy("v")
+    ranked = fan.select(
+        "t",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("t")).alias("n"),
+    )
+    qs_df = spark.createDataFrame([(500000,), (950000,)], "q_e6 long")
+    idx = (F.col("q_e6") * F.col("n") + 999999) / 1000000
+    band = (F.lit(3) * F.col("n") + 99) / 100  # ceil(0.03 n), >=1 floor
+    picked = (
+        ranked.crossJoin(F.broadcast(qs_df))
+        .withColumn("__idx", F.floor(idx).cast("long"))
+        .withColumn("__band", F.greatest(F.floor(band), F.lit(1)).cast("long"))
+    )
+    exact = picked.filter(F.col("rn") == F.col("__idx")).select(
+        F.col("t").alias("period"), "q_e6", "n", F.col("v").alias("exact_mq")
+    )
+    lo = picked.filter(
+        F.col("rn") == F.greatest(F.col("__idx") - F.col("__band"), F.lit(1))
+    ).select(F.col("t").alias("period"), "q_e6", F.col("v").alias("__lo"))
+    hi = picked.filter(
+        F.col("rn") == F.least(F.col("__idx") + F.col("__band"), F.col("n"))
+    ).select(F.col("t").alias("period"), "q_e6", F.col("v").alias("__hi"))
+    est_mq = est.select(
+        "period",
+        "q_e6",
+        F.floor(F.col("est_value") * 1000000.0).cast("long").alias("__est"),
+    )
+    return (
+        exact.join(lo, ["period", "q_e6"])
+        .join(hi, ["period", "q_e6"])
+        .join(est_mq, ["period", "q_e6"])
+        .select(
+            "period",
+            "q_e6",
+            "n",
+            "exact_mq",
+            (
+                (F.col("__est") >= F.col("__lo"))
+                & (F.col("__est") <= F.col("__hi"))
+            ).alias("within_band"),
+        )
+    )
+
+
 @query("streaming_decayed_topk", _decayed_topk_oracle())
 def q_streaming_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of decayed_topk_event_types: per-period

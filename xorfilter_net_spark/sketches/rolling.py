@@ -217,3 +217,62 @@ def rolling_distinct_exact(
         merge_group,
         schema=f"{gschema}, period long, n_rolling long",
     )
+
+
+def rolling_quantile_kll(
+    events: DataFrame,
+    value_col: str,
+    ts_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    k: int = 200,
+    window: int = 7,
+    period_seconds: int = 86400,
+) -> DataFrame:
+    """(period, q_e6, est_value) — trailing-``window`` quantile
+    estimates per active period, from per-period KLL states. Completes
+    the rolling state-algebra family (distinct / top-k / moments /
+    quantiles): the same one-pass + explode-fanout + per-window merge
+    plan, sweep cost O(periods x window x state) independent of corpus
+    size; KLL merge keeps the published rank-error bound under
+    arbitrary merge trees (Mergeable Summaries), which the registered
+    query's rank-band referee checks per window."""
+    from .kll import KllSketch
+
+    if period_seconds <= 0:
+        raise ValueError("period_seconds must be positive")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    sk = KllSketch(k=k, value_col="__v")
+    e = events.select(
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(period_seconds * 1_000_000)
+        ).alias("period"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull() & F.col("period").isNotNull())
+    states = aggregate_by_group(e, ["period"], ["__v"], sk)
+    contrib = states.select(
+        F.explode(
+            F.sequence(F.col("period"), F.col("period") + (window - 1))
+        ).alias("__target"),
+        "state",
+    )
+    anchors = states.select(F.col("period").alias("__target")).distinct()
+    src = contrib.join(anchors, "__target", "left_semi")
+    q_list = [float(q) for q in qs]
+
+    def merge_group(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        st = sk.zero()
+        for blob in pdf["state"]:
+            st = sk.merge(st, sk.deserialize(bytes(blob)))
+        return pd.DataFrame(
+            {
+                "period": [keys[0]] * len(q_list),
+                "q_e6": [int(round(q * 1_000_000)) for q in q_list],
+                "est_value": [float(sk.quantile(st, q)) for q in q_list],
+            }
+        )
+
+    return src.groupBy("__target").applyInPandas(
+        merge_group, schema="period long, q_e6 long, est_value double"
+    )
