@@ -291,3 +291,15 @@ def test_rolling_quantile_validation(spark):
     df = spark.createDataFrame([], "value double, ts timestamp")
     with _pytest.raises(ValueError):
         rolling_quantile_kll(df, "value", "ts", window=0)
+
+
+def test_lint_null_role_flags(spark):
+    rows = [
+        ("c5", 0, None, "x", None, 100),
+        ("c5", 1, "assistant", "y", "t", 101),
+    ]
+    rep = conversation_lint(spark.createDataFrame(rows, TURN_SCHEMA))
+    r = _lint_row(rep, "c5")
+    assert r["n_role_mismatch"] == 1  # null role IS a cycle violation
+    assert r["n_tool_dangling"] == 1  # tool set on the assistant turn
+    assert not r["is_clean"]

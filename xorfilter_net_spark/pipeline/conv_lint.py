@@ -66,14 +66,24 @@ def conversation_lint(
     flagged = turns.select(
         conv.alias("conv_id"),
         idx.alias("turn_idx"),
-        (F.col(ts_col) < prev_ts).cast("long").alias("ts_viol"),
-        (role != expected_role).cast("long").alias("role_viol"),
+        # null-safe: a NULL ts never flags (no evidence of regression),
+        # but a NULL role IS a cycle violation — eqNullSafe, not !=
+        F.coalesce(
+            (F.col(ts_col) < prev_ts).cast("long"), F.lit(0)
+        ).alias("ts_viol"),
+        (~role.eqNullSafe(expected_role)).cast("long").alias("role_viol"),
         (
             F.coalesce(F.col(text_col), F.lit("")) == ""
         ).cast("long").alias("empty_viol"),
         (
-            (F.col(tool_col).isNotNull() & (role != F.lit(role_cycle[-1])))
-            | (F.col(tool_col).isNull() & (role == F.lit(role_cycle[-1])))
+            (
+                F.col(tool_col).isNotNull()
+                & ~role.eqNullSafe(F.lit(role_cycle[-1]))
+            )
+            | (
+                F.col(tool_col).isNull()
+                & role.eqNullSafe(F.lit(role_cycle[-1]))
+            )
         ).cast("long").alias("tool_viol"),
     )
     rep = flagged.groupBy("conv_id").agg(
@@ -113,12 +123,12 @@ def lint_oracle_tail(src: str = "transcripts") -> str:
                case when ts_epoch < lag(ts_epoch) over (
                    partition by conv_id order by turn_idx
                ) then 1 else 0 end as ts_viol,
-               case when role <> (case cast(turn_idx % 3 as int)
+               case when role is distinct from (case cast(turn_idx % 3 as int)
                    when 0 then 'user' when 1 then 'assistant'
                    else 'tool' end) then 1 else 0 end as role_viol,
                case when coalesce(text, '') = '' then 1 else 0
                    end as empty_viol,
-               case when (tool is not null and role <> 'tool')
+               case when (tool is not null and role is distinct from 'tool')
                      or (tool is null and role = 'tool')
                    then 1 else 0 end as tool_viol
         from {src})
