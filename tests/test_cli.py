@@ -592,3 +592,45 @@ def test_cli_table_delete(spark, sf_tiny, tmp_path, cli_out):
     read_out = str(tmp_path / "rd")
     got = cli_out(["table", "read", "--path", path, "--output", read_out])
     assert got["rows"] == n_total - n_dead
+
+
+def test_cli_lint_merge_turns_trending(spark, tmp_path, cli_out):
+    import datetime as dt
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hi there", None, 100),
+            ("c1", 1, "user", "still me", None, 101),
+            ("c1", 2, "assistant", "hello", None, 99),  # ts regression
+            ("c2", 0, "user", "", None, 100),  # empty turn
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts_epoch long",
+    )
+    tpath = str(tmp_path / "turns")
+    turns.write.parquet(tpath)
+
+    out = cli_out(["lint", "--input", tpath, "--output", str(tmp_path / "rep")])
+    assert out["command"] == "lint" and out["n_conversations"] == 2
+    assert out["n_dirty"] == 2 and out["ts_violations"] == 1
+    assert out["empty_turns"] == 1
+
+    out = cli_out(
+        ["merge-turns", "--input", tpath, "--output", str(tmp_path / "m")]
+    )
+    assert out["turns_in"] == 4 and out["turns_out"] == 3
+    assert out["runs_collapsed"] == 1
+
+    ev = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 2))] * 3
+        + [("b", dt.datetime(2024, 1, 1))] * 4,
+        "event_type string, ts timestamp",
+    )
+    epath = str(tmp_path / "ev")
+    ev.write.parquet(epath)
+    out = cli_out(
+        ["trending", "--input", epath, "--window", "3", "--top", "5"]
+    )
+    # a: 3 * 2^2 = 12 beats b: 4 * 2^1 = 8
+    assert [r["key"] for r in out["top"]] == ["a", "b"]
+    assert [r["decayed_score"] for r in out["top"]] == [12, 8]

@@ -423,6 +423,83 @@ def cmd_curate_pairs(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_lint(args: argparse.Namespace) -> dict:
+    """Conversation integrity lint (pipeline/conv_lint.py): per-
+    conversation sequence-aware validation report; writes the report
+    and summarizes the failure mix."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.conv_lint import conversation_lint
+
+    spark = _get_spark("lint")
+    turns = spark.read.parquet(args.input)
+    rep = conversation_lint(turns)
+    rep.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_conversations"),
+        F.sum((~F.col("is_clean")).cast("long")).alias("n_dirty"),
+        F.sum((~F.col("idx_contiguous")).cast("long")).alias("n_idx_gaps"),
+        F.sum("n_ts_violations").alias("ts_violations"),
+        F.sum("n_role_mismatch").alias("role_mismatches"),
+        F.sum("n_empty_turns").alias("empty_turns"),
+        F.sum("n_tool_dangling").alias("tool_dangling"),
+    ).collect()[0]
+    return {
+        "command": "lint",
+        **{k: int(agg[k] or 0) for k in agg.asDict()},
+        "output": args.output,
+    }
+
+
+def cmd_merge_turns(args: argparse.Namespace) -> dict:
+    """Merge consecutive same-role turns (pipeline/turn_merge.py) —
+    the chat-template normalization; writes the collapsed turn table."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.turn_merge import merge_consecutive_turns
+
+    spark = _get_spark("merge-turns")
+    turns = spark.read.parquet(args.input)
+    n_in = turns.count()
+    out = merge_consecutive_turns(turns, sep=args.sep)
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    n_out = written.count()
+    n_collapsed = written.filter("n_merged > 1").count()
+    return {
+        "command": "merge-turns",
+        "turns_in": n_in,
+        "turns_out": n_out,
+        "runs_collapsed": n_collapsed,
+        "output": args.output,
+    }
+
+
+def cmd_trending(args: argparse.Namespace) -> dict:
+    """Exponentially-decayed heavy hitters (sketches/decay.py): the
+    trending-now key table with half-life-per-period integer decay."""
+    from .sketches.decay import decayed_topk_mg
+
+    spark = _get_spark("trending")
+    events = spark.read.parquet(args.input)
+    out = decayed_topk_mg(
+        events,
+        args.key_col,
+        args.ts_col,
+        k=args.k,
+        window=args.window,
+        period_seconds=args.period_seconds,
+        top=args.top,
+    )
+    rows = [r.asDict() for r in out.collect()]
+    return {
+        "command": "trending",
+        "window": args.window,
+        "top": rows,
+    }
+
+
 def cmd_dsir(args: argparse.Namespace) -> dict:
     """DSIR data selection (text/dsir.py): score the raw corpus against
     a target sample by hashed n-gram log likelihood ratio; writes either
@@ -722,6 +799,36 @@ def main(argv: list[str] | None = None) -> int:
     cpairs.add_argument("--context-turns", type=int, default=3)
     cpairs.add_argument("--val-fraction", type=float, default=0.1)
     cpairs.set_defaults(fn=cmd_curate_pairs)
+
+    lint = sub.add_parser(
+        "lint",
+        help="conversation integrity lint (sequence-aware validation)",
+    )
+    lint.add_argument("--input", required=True, help="turns parquet")
+    lint.add_argument("--output", required=True)
+    lint.set_defaults(fn=cmd_lint)
+
+    mt = sub.add_parser(
+        "merge-turns",
+        help="merge consecutive same-role turns (chat normalization)",
+    )
+    mt.add_argument("--input", required=True, help="turns parquet")
+    mt.add_argument("--output", required=True)
+    mt.add_argument("--sep", default="\n")
+    mt.set_defaults(fn=cmd_merge_turns)
+
+    tr = sub.add_parser(
+        "trending",
+        help="decayed heavy hitters (half-life-per-period trending keys)",
+    )
+    tr.add_argument("--input", required=True, help="events parquet")
+    tr.add_argument("--key-col", default="event_type")
+    tr.add_argument("--ts-col", default="ts")
+    tr.add_argument("--k", type=int, default=256)
+    tr.add_argument("--window", type=int, default=14)
+    tr.add_argument("--period-seconds", type=int, default=86400)
+    tr.add_argument("--top", type=int, default=10)
+    tr.set_defaults(fn=cmd_trending)
 
     ds = sub.add_parser(
         "dsir",
