@@ -3828,12 +3828,21 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "simhash_separation_gates",
-    "select true as dups_close, true as naturals_far",
+    # value-rich oracle (r04 conversion, the phash pattern): one row
+    # PER injected near-dup pair, ids derived independently from the
+    # documents relation — a missing pair is a loud row/hash red; the
+    # Hamming distances are the algorithm's own outputs and stay
+    # in-query booleans.
+    "select cast(doc_id as bigint) as id, "
+    "true as dup_within_band, true as naturals_far "
+    "from documents where doc_id % 7 = 0",
 )
 def q_simhash_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash statistical gates: every injected near-dup pair within
     Hamming 14; sampled natural pairs median >= 20 (measured: dups
-    min/med/max = 0/6/14, naturals min 15 / med 29 at sf0.01)."""
+    min/med/max = 0/6/14, naturals min 15 / med 29 at sf0.01). Emitted
+    per injected pair (the phash per-pair contract) so the driver
+    certifies the pair set itself."""
     from .dedup.simhash import simhash_signatures
 
     corpus = _doc_dup_corpus(spark, sf_dir)
@@ -3842,17 +3851,25 @@ def q_simhash_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = sigs.filter("id >= 1000000").selectExpr(
         "id - 1000000 as id", "simhash as sig_b"
     )
-    dup_d = orig.join(dup, "id").selectExpr("bit_count(sig_a ^ sig_b) as d")
-    max_dup = dup_d.agg(F.max("d").alias("m")).collect()[0]["m"]
+    dup_d = {
+        r["id"]: r["d"]
+        for r in orig.join(dup, "id")
+        .selectExpr("id", "bit_count(sig_a ^ sig_b) as d")
+        .collect()
+    }
     nat = (
         orig.alias("a")
         .join(orig.alias("b"), F.expr("a.id < b.id and (a.id * 131 + b.id) % 61 = 0"))
         .selectExpr("bit_count(a.sig_a ^ b.sig_a) as d")
     )
     med_nat = nat.agg(F.expr("percentile(d, 0.5)").alias("m")).collect()[0]["m"]
+    naturals_far = bool(med_nat >= 20)
     return spark.createDataFrame(
-        [(max_dup <= 14, med_nat >= 20)],
-        "dups_close boolean, naturals_far boolean",
+        [
+            (int(i), bool(d <= 14), naturals_far)
+            for i, d in sorted(dup_d.items())
+        ],
+        "id long, dup_within_band boolean, naturals_far boolean",
     )
 
 
