@@ -5867,14 +5867,22 @@ ORACLES["dsir_bucket_counts"] = _dsir_bucket_oracle()
 
 @query(
     "dsir_selection_ok",
-    "select true as recall_ok, true as k_selected_ok",
+    # value-rich oracle (r04 conversion): n_planted and n_selected are
+    # derived independently from the documents relation and
+    # value-hashed (k_selected is thereby certified as a VALUE, not a
+    # boolean); the >=0.9 recall of the score-ranked selection is the
+    # algorithm's own output and stays an in-query boolean.
+    "select cast(count(*) as bigint) as n_planted, "
+    "cast(count(*) as bigint) as n_selected, true as recall_ok "
+    "from documents where doc_id % 7 = 0",
 )
 def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection gate: top-k importance-resampled docs (k = number
     planted) must recover >= 90% of the planted target-flavored docs.
     Scores are integer micro-units — exact, partitioning-independent
     (the float log-ratio lives in the library; the NumPy differential in
-    tests/test_dsir.py pins it)."""
+    tests/test_dsir.py pins it). Planted and selected counts are
+    measured and value-checked against the oracle's derivation."""
     from .text.dsir import dsir_select
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5889,8 +5897,8 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = {r["doc_id"] for r in sel.select("doc_id").collect()}
     recall = len(got & planted) / len(planted)
     return spark.createDataFrame(
-        [(bool(recall >= 0.9), bool(len(got) == len(planted)))],
-        "recall_ok boolean, k_selected_ok boolean",
+        [(len(planted), len(got), bool(recall >= 0.9))],
+        "n_planted long, n_selected long, recall_ok boolean",
     )
 
 
