@@ -40,6 +40,7 @@ __all__ = [
     "rolling_state_window",
     "rolling_distinct_exact",
     "rolling_topk_mg",
+    "rolling_quantile_kll",
 ]
 
 
