@@ -117,6 +117,7 @@ _FRONT = [
     "q_attribution_linear",
     "streaming_decayed_topk",
     "rolling_quantile_event_values",
+    "reconcile_tables_documents",
     "q_context_budget_turns",
     "c4_line_clean_documents",
     "substring_search_documents",

@@ -303,3 +303,39 @@ def test_lint_null_role_flags(spark):
     assert r["n_role_mismatch"] == 1  # null role IS a cycle violation
     assert r["n_tool_dangling"] == 1  # tool set on the assistant turn
     assert not r["is_clean"]
+
+
+# ------------------------------------------------------------- reconcile
+def test_reconcile_identical_and_diverged(spark):
+    from xorfilter_net_spark.relational.reconcile import reconcile_tables
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, v string"
+    )
+    same = reconcile_tables(a, a, ["id", "v"], "id", 8).collect()
+    assert all(r["rows_match"] for r in same)
+    assert sum(r["n_a"] for r in same) == 3
+
+    b = spark.createDataFrame(
+        [(1, "x"), (2, "CHANGED"), (4, "new")], "id long, v string"
+    )
+    diff = reconcile_tables(a, b, ["id", "v"], "id", 8).collect()
+    bad = [r for r in diff if not r["rows_match"]]
+    # rows 2 (changed), 3 (only in a), 4 (only in b) damage <= 3 buckets
+    assert 1 <= len(bad) <= 3
+    assert sum(r["n_a"] for r in diff) == 3
+    assert sum(r["n_b"] for r in diff) == 3
+
+
+def test_reconcile_order_and_partitioning_invariant(spark):
+    from xorfilter_net_spark.relational.reconcile import bucket_digests
+
+    a = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "id long, v string"
+    )
+    d1 = sorted(tuple(r) for r in bucket_digests(a, ["id", "v"], "id").collect())
+    shuffled = a.orderBy("v").repartition(7)
+    d2 = sorted(
+        tuple(r) for r in bucket_digests(shuffled, ["id", "v"], "id").collect()
+    )
+    assert d1 == d2

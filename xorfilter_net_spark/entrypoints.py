@@ -9449,6 +9449,58 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic replica divergence for the reconciliation op: one row
+# deleted (17), one updated (23), one inserted (9001). Identical SQL
+# both engines.
+_RECON_MUT = (
+    "select doc_id, text, lang from documents "
+    "where doc_id <> 17 and doc_id <> 23 "
+    "union all select doc_id, text || ' MUTATED' as text, lang "
+    "from documents where doc_id = 23 "
+    "union all select cast(9001 as bigint) as doc_id, "
+    "'inserted row' as text, 'en' as lang from documents where doc_id = 0"
+)
+
+
+def _reconcile_oracle() -> str:
+    from .relational.reconcile import digest_sql
+
+    cols = ["doc_id", "text", "lang"]
+    return (
+        f"with b_src as ({_RECON_MUT}), "
+        f"a_dig as ({digest_sql('documents', cols, 'doc_id', 64)}), "
+        f"b_dig as ({digest_sql('b_src', cols, 'doc_id', 64)}) "
+        "select bucket, "
+        "cast(coalesce(a.n_rows, 0) as bigint) as n_a, "
+        "cast(coalesce(b.n_rows, 0) as bigint) as n_b, "
+        "(coalesce(a.xor_digest, 0) = coalesce(b.xor_digest, 0)) "
+        "as digest_match, "
+        "(coalesce(a.n_rows, 0) = coalesce(b.n_rows, 0) and "
+        "coalesce(a.xor_digest, 0) = coalesce(b.xor_digest, 0)) "
+        "as rows_match "
+        "from a_dig a full outer join b_dig b using (bucket)"
+    )
+
+
+@query("reconcile_tables_documents", _reconcile_oracle())
+def q_reconcile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table reconciliation (relational/reconcile.py):
+    two replicas reduce to per-bucket (count, XOR-of-row-md5) digest
+    tables — one map-only pass + one n_buckets-bounded aggregate per
+    side, NOTHING corpus-sized shuffles or crosses sides — and only the
+    64-row digest tables join. Injected divergence (one delete, one
+    update, one insert) localizes to exactly its buckets; every bucket
+    row (matching and not) is value-hashed against the oracle's
+    identical md5/XOR replay."""
+    from .relational.reconcile import reconcile_tables
+
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    a = d.select("doc_id", "text", "lang")
+    b = spark.sql(_RECON_MUT)
+    return reconcile_tables(a, b, ["doc_id", "text", "lang"], "doc_id", 64)
+
+
 def _decayed_topk_oracle() -> str:
     from .sketches.decay import decayed_topk_sql
 
