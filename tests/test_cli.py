@@ -634,3 +634,19 @@ def test_cli_lint_merge_turns_trending(spark, tmp_path, cli_out):
     # a: 3 * 2^2 = 12 beats b: 4 * 2^1 = 8
     assert [r["key"] for r in out["top"]] == ["a", "b"]
     assert [r["decayed_score"] for r in out["top"]] == [12, 8]
+
+
+def test_cli_reconcile(spark, tmp_path, cli_out):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    b = spark.createDataFrame([(1, "x"), (2, "DIFF")], "id long, v string")
+    ap, bp = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.parquet(ap)
+    b.write.parquet(bp)
+    out = cli_out(
+        ["reconcile", "--left", ap, "--right", ap, "--key-col", "id"]
+    )
+    assert out["identical"] and out["rows_left"] == out["rows_right"] == 2
+    out = cli_out(
+        ["reconcile", "--left", ap, "--right", bp, "--key-col", "id"]
+    )
+    assert not out["identical"] and len(out["buckets_differing"]) == 1

@@ -500,6 +500,30 @@ def cmd_trending(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_reconcile(args: argparse.Namespace) -> dict:
+    """Order-independent table reconciliation (relational/reconcile.py):
+    per-bucket count + XOR digest comparison of two parquet tables;
+    prints the mismatching buckets."""
+    from .relational.reconcile import reconcile_tables
+
+    spark = _get_spark("reconcile")
+    a = spark.read.parquet(args.left)
+    b = spark.read.parquet(args.right)
+    cols = args.cols.split(",") if args.cols else a.columns
+    rep = reconcile_tables(a, b, cols, args.key_col, args.buckets)
+    rows = rep.collect()
+    bad = sorted(r["bucket"] for r in rows if not r["rows_match"])
+    return {
+        "command": "reconcile",
+        "buckets": args.buckets,
+        "buckets_matching": sum(1 for r in rows if r["rows_match"]),
+        "buckets_differing": bad,
+        "rows_left": sum(r["n_a"] for r in rows),
+        "rows_right": sum(r["n_b"] for r in rows),
+        "identical": not bad,
+    }
+
+
 def cmd_dsir(args: argparse.Namespace) -> dict:
     """DSIR data selection (text/dsir.py): score the raw corpus against
     a target sample by hashed n-gram log likelihood ratio; writes either
@@ -829,6 +853,19 @@ def main(argv: list[str] | None = None) -> int:
     tr.add_argument("--period-seconds", type=int, default=86400)
     tr.add_argument("--top", type=int, default=10)
     tr.set_defaults(fn=cmd_trending)
+
+    rc = sub.add_parser(
+        "reconcile",
+        help="order-independent replica diff (per-bucket XOR digests)",
+    )
+    rc.add_argument("--left", required=True, help="parquet table A")
+    rc.add_argument("--right", required=True, help="parquet table B")
+    rc.add_argument("--key-col", required=True)
+    rc.add_argument(
+        "--cols", default=None, help="comma-separated compared columns"
+    )
+    rc.add_argument("--buckets", type=int, default=64)
+    rc.set_defaults(fn=cmd_reconcile)
 
     ds = sub.add_parser(
         "dsir",
