@@ -9436,9 +9436,15 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_s=86400,
         extra_key="user_id",
     ).select("pid", "cid")
-    n = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("__n"))
+    # per-purchase click count via a window, NOT a groupBy + self-join:
+    # the self-join shape would recompute the interval join on both
+    # branches (Catalyst cannot dedup it) — the window reuses the one
+    # pid-keyed exchange and the pair set is computed once
+    from pyspark.sql.window import Window
+
+    n = F.count(F.lit(1)).over(Window.partitionBy("pid"))
     return (
-        pairs.join(n, "pid")
+        pairs.withColumn("__n", n)
         .groupBy(F.col("cid").alias("click_event_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_purchases"),
