@@ -339,3 +339,69 @@ def test_reconcile_order_and_partitioning_invariant(spark):
         tuple(r) for r in bucket_digests(shuffled, ["id", "v"], "id").collect()
     )
     assert d1 == d2
+
+
+# ------------------------------------------------- review-pass regressions
+def test_merge_turns_null_role_boundaries(spark):
+    from xorfilter_net_spark.pipeline.turn_merge import (
+        merge_consecutive_turns,
+    )
+
+    rows = [
+        ("c1", 0, "user", "a", None, 1),
+        ("c1", 1, None, "b", None, 2),  # NULL role = its own run
+        ("c1", 2, None, "c", None, 3),  # ...that NULL joins
+        ("c1", 3, "user", "d", None, 4),
+    ]
+    out = sorted(
+        (r["turn_idx"], r["role"], r["text"], r["n_merged"])
+        for r in merge_consecutive_turns(
+            spark.createDataFrame(rows, TURN_SCHEMA)
+        ).collect()
+    )
+    assert out == [
+        (0, "user", "a", 1),
+        (1, None, "b\nc", 2),
+        (2, "user", "d", 1),
+    ]
+
+
+def test_reconcile_null_keys_match_themselves(spark):
+    from xorfilter_net_spark.relational.reconcile import reconcile_tables
+
+    a = spark.createDataFrame(
+        [(None, "x"), (1, "y")], "id long, v string"
+    )
+    rep = reconcile_tables(a, a, ["id", "v"], "id", 8).collect()
+    assert all(r["rows_match"] for r in rep)
+    assert all(r["bucket"] is not None for r in rep)
+    assert sum(r["n_a"] for r in rep) == 2
+
+
+def test_lint_negative_turn_idx_flags_not_crashes(spark):
+    rows = [
+        ("c9", -1, "user", "x", None, 100),
+        ("c9", 0, "user", "y", None, 101),
+    ]
+    rep = conversation_lint(spark.createDataFrame(rows, TURN_SCHEMA))
+    r = _lint_row(rep, "c9")
+    # pmod(-1, 3) = 2 -> expected 'tool' -> mismatch, and the index set
+    # {-1, 0} is not {0, 1} -> not contiguous; no element_at crash
+    assert not r["idx_contiguous"] and r["n_role_mismatch"] >= 1
+
+
+def test_decayed_topk_overflow_raises(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from xorfilter_net_spark.sketches.decay import decayed_topk_mg
+
+    # the NEWEST period carries weight 2^(window-1): 8 rows there at
+    # window 62 give 8 x 2^61 > int64 (the old row anchors the base)
+    rows = [("k", dt.datetime(2024, 1, 1))] + [
+        ("k", dt.datetime(2024, 3, 2))
+    ] * 8  # Mar 2 - Jan 1 = 61 days
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    with _pytest.raises(Exception, match="exceeds int64"):
+        decayed_topk_mg(df, "k", "ts", k=16, window=62, top=None).collect()

@@ -9420,9 +9420,13 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("pid"),
         "user_id",
         F.col("ts").alias("__pts"),
-        (F.col("ts").cast("timestamp") - F.expr("interval 7 days")).alias(
-            "__start"
-        ),
+        # fixed 604800e6 MICROSECONDS, matching the oracle and the
+        # last-touch op — a calendar `interval 7 days` would shift by
+        # +-1h across a DST transition in a non-UTC session timezone
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lit(604800000000)
+        ).alias("__start"),
     )
     clicks = ev.filter("event_type = 'click'").select(
         F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("__cts")

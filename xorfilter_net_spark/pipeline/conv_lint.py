@@ -59,9 +59,13 @@ def conversation_lint(
     conv, idx, role = F.col(conv_col), F.col(idx_col), F.col(role_col)
     w = Window.partitionBy(conv_col).orderBy(idx_col)
     prev_ts = F.lag(ts_col, 1).over(w)
+    # pmod, not %: Spark's % keeps the dividend's sign, so a corrupt
+    # negative turn_idx would feed element_at index 0 (hard error) or a
+    # negative index (silent from-the-end lookup) — the lint must FLAG
+    # malformed data, never crash on it
     expected_role = F.element_at(
         F.array(*[F.lit(r) for r in role_cycle]),
-        (idx % len(role_cycle)).cast("int") + 1,
+        F.pmod(idx, len(role_cycle)).cast("int") + 1,
     )
     flagged = turns.select(
         conv.alias("conv_id"),
@@ -123,7 +127,8 @@ def lint_oracle_tail(src: str = "transcripts") -> str:
                case when ts_epoch < lag(ts_epoch) over (
                    partition by conv_id order by turn_idx
                ) then 1 else 0 end as ts_viol,
-               case when role is distinct from (case cast(turn_idx % 3 as int)
+               case when role is distinct from (
+                   case cast(((turn_idx % 3) + 3) % 3 as int)
                    when 0 then 'user' when 1 then 'assistant'
                    else 'tool' end) then 1 else 0 end as role_viol,
                case when coalesce(text, '') = '' then 1 else 0

@@ -44,9 +44,13 @@ def merge_consecutive_turns(
     (conv_id, turn_idx = run ordinal, role, text = joined run texts,
     n_merged = turns collapsed into this row)."""
     w = Window.partitionBy(conv_col).orderBy(idx_col)
+    # null-SAFE boundary (eqNullSafe == the oracle's IS DISTINCT FROM):
+    # a NULL-role turn starts its own run after a non-null role and
+    # joins a preceding NULL-role run — with a bare !=, the NULL
+    # comparison would null out and silently merge across real
+    # boundaries, diverging from the oracle
     changed = (
-        F.lag(role_col, 1).over(w).isNull()
-        | (F.lag(role_col, 1).over(w) != F.col(role_col))
+        ~F.lag(role_col, 1).over(w).eqNullSafe(F.col(role_col))
     ).cast("long")
     runs = turns.select(
         F.col(conv_col).alias("conv_id"),

@@ -49,10 +49,13 @@ def bucket_digests(
     the compared content (order matters only for digest definition,
     not row order)."""
     d = _row_digest(cols)
+    # NULL keys get a sentinel so they land in a REAL bucket — md5(NULL)
+    # would yield a NULL bucket that never equals itself in the
+    # full-outer compare, reporting spurious mismatches for identical
+    # replicas
+    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00"))
     b = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
-        ).cast("long"),
+        F.conv(F.substring(F.md5(key_s), 1, 15), 16, 10).cast("long"),
         F.lit(n_buckets),
     )
     return (
@@ -109,8 +112,8 @@ def digest_sql(
     )
     d = f"cast(('0x' || substr(md5({joined}), 1, 15))::bigint as bigint)"
     b = (
-        f"cast(('0x' || substr(md5(cast({key_col} as varchar)), 1, 15))"
-        f"::bigint as bigint) % {n_buckets}"
+        f"cast(('0x' || substr(md5(coalesce(cast({key_col} as varchar), "
+        f"chr(0))), 1, 15))::bigint as bigint) % {n_buckets}"
     )
     return (
         f"select {b} as bucket, cast(count(*) as bigint) as n_rows, "

@@ -60,7 +60,10 @@ def decayed_topk_mg(
     if period_seconds <= 0:
         raise ValueError("period_seconds must be positive")
     if not 1 <= window <= 62:
-        # weights are 2^(window-1); 62 keeps count·weight inside int64
+        # weights alone are 2^(window-1) <= 2^61; the full score
+        # (sum of count x weight) is overflow-CHECKED at sweep time —
+        # Python ints are exact, so a score past int64 raises loudly
+        # instead of wrapping in the Arrow long column
         raise ValueError("window must be in [1, 62]")
     sk = MisraGriesSketch(k=k, key_col="__k")
     e = events.select(
@@ -109,6 +112,12 @@ def decayed_scores_from_states(
                 scores[key] = scores.get(key, 0) + int(c) * w
                 hits[key] = hits.get(key, 0) + 1
         items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        if items and items[0][1] > 0x7FFFFFFFFFFFFFFF:
+            raise ValueError(
+                f"decayed score {items[0][1]} for key {items[0][0]!r} "
+                f"exceeds int64 — reduce window (weights reach "
+                f"2^(window-1)) or bucket periods coarser"
+            )
         if top is not None:
             items = items[:top]
         return pd.DataFrame(
