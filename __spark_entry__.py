@@ -72,31 +72,70 @@ def _already_green() -> tuple[set[str], set[str]]:
 # clears the recheck — once the driver has certified the new contract
 # these names fall back to the verified block, so the set does not
 # permanently occupy front slots in later rounds.
-_RECHECK_AS_OF_ROUND = 3
+_RECHECK_AS_OF_ROUND = 4
 _RECHECK = {
-    # media codec gates: `select true` oracles -> literal expected-row
-    # value oracles (r04)
-    "media_png_codec_ok",
-    "media_wav_codec_ok",
-    "media_avi_codec_ok",
-    # encode oracle rewritten as a recursive walk (r04)
-    "wordpiece_encode_stats",
-    # exact_ntile null-ordering/determinism rework (r04)
-    "q_ntile_doc_length_buckets",
-    # dv gate: boolean oracle -> per-stage value-count oracle (r04)
-    "dv_delete_semantics_ok",
-    # AMS F2 gate: boolean oracle -> exact-F2 value oracle (r04)
-    "countsketch_f2_users_ok",
+    # r05 ADVICE fixes: deterministic (idx, ts) window tiebreak + NULL
+    # turn_idx role-violation contract (both programs changed)
+    "conversation_lint_report",
+    # r05 ADVICE fix: explicit ROWS cumsum frame + (idx, role, text)
+    # tiebreak + oracle string_agg ordering
+    "q_merge_consecutive_turns",
+    # r05 ADVICE fix: prefix-free per-field md5 row encoding (both the
+    # Spark digest and the DuckDB replay changed)
+    "reconcile_tables_documents",
 }
 
-# Unverified queries ordered for the r04 burn-down (59 never-sampled as
-# of r03 + the r04 additions): changed-oracle rechecks and the four new
-# gates first, then the text-curation half of the stack and the
-# streaming-state family (the operators a curation user composes daily
-# — r03 verdict item 1), then compliance/PCA, the rolling-window and
-# validation families, and the graph/relational tail. Names already
-# green in a prior round drop out naturally.
-_FRONT = [
+# r05 ordering: close the registry. The 30 never-sampled names (every
+# one locally green vs tools/check_contract.py this round), the newly
+# registered incremental-update gate, then the three changed-contract
+# rechecks and any new r05 operators — all comfortably inside one
+# 50-query round. Names already green in a prior round drop out
+# naturally.
+_FRONT_R05 = [
+    # never-sampled: the strengthened unigram pair first (r04 verdict
+    # item 5), then the validation/rolling families the verdict ranked
+    # highest, then the relational/graph tail
+    "unigram_pieces_documents",
+    "unigram_encode_stats",
+    "data_validation_report",
+    "data_validation_suggested",
+    "rolling_distinct_users",
+    "rolling_distinct_by_type",
+    "rolling_distinct_hll_ok",
+    "rolling_topk_event_types",
+    "rolling_anomaly_event_values",
+    "q_trend_event_values",
+    "ivm_agg_view_documents",
+    "q_profile_events",
+    "skip_index_point_lookup",
+    "q_skew_aware_join",
+    "q_filter_pruned_join",
+    "simhash_separation_gates",
+    "span_index_incremental",
+    "q_assoc_rules_copurchase",
+    "q_bfs_recursive_cte",
+    "q_attribution_last_touch",
+    "bitmap_set_ops_users",
+    "synthetic_source_role_stats",
+    "quantile_bins_documents_ok",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q_cube_events",
+    "q_datetime_daily_activity",
+    "q_topk_events",
+    "q_orders_priority_exists",
+    "q_scalar_subquery_big_orders",
+    # newly registered r05 gate (the last gate-less component)
+    "incremental_update_ok",
+    # changed-contract rechecks (ADVICE fixes)
+    "conversation_lint_report",
+    "q_merge_consecutive_turns",
+    "reconcile_tables_documents",
+]
+
+# r04 burn-down order, kept as the fallback tail so anything the r05
+# list misses still sorts ahead of long-verified names.
+_FRONT = _FRONT_R05 + [
     # changed oracle/code, green r03 — re-certify first (cheap)
     "dv_delete_semantics_ok",
     "countsketch_f2_users_ok",
@@ -193,7 +232,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         costs = {}
     green_all, green_recent = _already_green()
     green = (green_all - _RECHECK) | (green_recent & _RECHECK)
-    front = {n: i for i, n in enumerate(_FRONT)}
+    # first occurrence wins: names appear in both the r05 list and the
+    # r04 fallback tail, and the r05 position must take priority
+    front: dict[str, int] = {}
+    for i, n in enumerate(_FRONT):
+        front.setdefault(n, i)
     order = sorted(
         qs,
         key=lambda n: (

@@ -405,3 +405,83 @@ def test_decayed_topk_overflow_raises(spark):
     df = spark.createDataFrame(rows, "k string, ts timestamp")
     with _pytest.raises(Exception, match="exceeds int64"):
         decayed_topk_mg(df, "k", "ts", k=16, window=62, top=None).collect()
+
+
+# ------------------------------------------------- r05 ADVICE regressions
+def test_lint_duplicate_turn_idx_deterministic(spark):
+    """Duplicate turn_idx (a defect class the lint targets): with the
+    (idx, ts) tiebreak the ts-violation count is a pure function of
+    the data, identical across run orders / partitionings."""
+    rows = [
+        ("c10", 0, "user", "a", None, 100),
+        ("c10", 1, "assistant", "b", None, 90),  # dup idx, later ts
+        ("c10", 1, "assistant", "c", None, 80),  # dup idx, earlier ts
+        ("c10", 2, "tool", "d", "t", 95),
+    ]
+    want = None
+    for seed in range(4):
+        df = spark.createDataFrame(rows, TURN_SCHEMA).repartition(seed + 1)
+        r = _lint_row(conversation_lint(df), "c10")
+        got = (r["n_ts_violations"], r["idx_contiguous"])
+        if want is None:
+            want = got
+        assert got == want
+    # tie group sorted by ts ascending -> effective order
+    # (100, 80, 90, 95): the only decrease is 80 < 100 -> exactly 1
+    assert want == (1, False)
+
+
+def test_lint_null_turn_idx_is_role_violation(spark):
+    """NULL turn_idx has no expected cycle position: flagged as a role
+    violation by definition (Spark and the SQL oracle agree), even for
+    a 'tool' role that the oracle's CASE-ELSE branch used to excuse."""
+    rows = [
+        ("c11", None, "tool", "x", "t", 100),
+        ("c11", 0, "user", "y", None, 101),
+    ]
+    rep = conversation_lint(spark.createDataFrame(rows, TURN_SCHEMA))
+    r = _lint_row(rep, "c11")
+    assert r["n_role_mismatch"] == 1 and not r["idx_contiguous"]
+
+
+def test_merge_turns_duplicate_turn_idx_deterministic(spark):
+    """Duplicate turn_idx: the (idx, role, text) tiebreak makes run ids
+    and joined text a pure function of the data."""
+    from xorfilter_net_spark.pipeline.turn_merge import (
+        merge_consecutive_turns,
+    )
+
+    rows = [
+        ("c1", 0, "user", "a", None, 100),
+        ("c1", 1, "user", "z", None, 101),  # dup idx, text sorts after
+        ("c1", 1, "user", "b", None, 102),
+        ("c1", 2, "assistant", "c", None, 103),
+    ]
+    want = None
+    for seed in range(4):
+        df = spark.createDataFrame(rows, TURN_SCHEMA).repartition(seed + 1)
+        got = sorted(
+            (r["turn_idx"], r["role"], r["text"], r["n_merged"])
+            for r in merge_consecutive_turns(df).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want
+    assert want == [(0, "user", "a\nb\nz", 3), (1, "assistant", "c", 1)]
+
+
+def test_reconcile_no_separator_aliasing(spark):
+    """Rows differing only in separator placement or NULL-vs-sentinel
+    must NOT digest identically (fields are md5'd before joining, so
+    the encoding is prefix-free)."""
+    from xorfilter_net_spark.relational.reconcile import reconcile_tables
+
+    a = spark.createDataFrame([("a\x1fb", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b\x1fc")], "x string, y string")
+    rep = reconcile_tables(a, b, ["x", "y"], "x", 4).collect()
+    assert any(not r["rows_match"] for r in rep)
+
+    c = spark.createDataFrame([(None, "v")], "x string, y string")
+    d = spark.createDataFrame([("\x00", "v")], "x string, y string")
+    rep2 = reconcile_tables(c, d, ["x", "y"], "x", 4).collect()
+    assert any(not r["digest_match"] for r in rep2)

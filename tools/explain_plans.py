@@ -812,12 +812,18 @@ def main() -> None:
     c4_plan = sections[-5][2]
     assert "Exchange" not in c4_plan  # map-only
     assert "Python" not in c4_plan
+    import re as _re_lint
+
     for s_idx in (-4, -3, -2):  # lint, budget, merge: conv_id-only shuffles
         p = sections[s_idx][2]
         assert "hashpartitioning(conv_id" in p
         n_all = p.count("hashpartitioning(")
-        n_conv = p.count("hashpartitioning(conv_id")
-        assert n_all == n_conv, p  # no shuffle on any other key
+        # full-key match: the partitioning's key LIST must be exactly
+        # [conv_id] — a composite hashpartitioning(conv_id, turn_idx)
+        # is a second data-keyed exchange and must FAIL this check,
+        # not be counted as a conv_id shuffle via prefix matching
+        n_conv = len(_re_lint.findall(r"hashpartitioning\(conv_id#\d+, \d+\)", p))
+        assert n_all == n_conv, p  # no shuffle on any other/extra key
     ss_plan = sections[-1][2]
     assert "BroadcastHashJoin" in ss_plan
     # every corpus-sized exchange keys the (query, doc) candidate

@@ -9765,6 +9765,143 @@ def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_search(d, qs)
 
 
+@query(
+    "incremental_update_ok",
+    # the key-population arithmetic (base slice, delta slice, genuinely-
+    # new keys) is SQL-expressible over the shared transcript derivation,
+    # so the oracle value-checks the counts the update contract is ABOUT;
+    # the two-run byte-identity legs (no single-run SQL can replay a
+    # resume) ride along as booleans plus the value-checked noop rebuild
+    # count (exactly 0 shards may be re-peeled by a no-new-keys delta)
+    f"with {TRANSCRIPTS_CTE}, keyed as ("
+    f"  select {KEY_EXPR} as key,"
+    f"         cast(substr(conv_id, 6) as bigint) as doc_id"
+    f"  from transcripts) "
+    "select "
+    "cast(count(distinct case when doc_id % 4 <> 0 then key end) as bigint)"
+    " as n_base_keys, "
+    "cast(count(distinct case when doc_id % 2 = 0 then key end) as bigint)"
+    " as n_delta_keys, "
+    "cast(count(distinct case when doc_id % 4 = 0 then key end) as bigint)"
+    " as n_new_keys, "
+    "true as update_equals_full_rebuild, "
+    "true as zero_false_negatives, "
+    "cast(0 as bigint) as noop_shards_rebuilt, "
+    "true as noop_identical, "
+    "true as update_shards_rebuilt_bounded "
+    "from keyed",
+)
+def q_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental filter update gate (pipeline/checkpoint.py::
+    update_xor_filter_checkpointed): fold a delta's NEW keys into an
+    existing checkpointed build, re-peeling only affected shards —
+    the reference's filters are static (reference README.md:113
+    'Immutable after construction ... rebuild the filter'), so this is
+    the O(delta) maintenance path a 10^12-key corpus needs. Legs:
+
+    - update(base, delta) artifact BYTE-IDENTICAL to a fresh full
+      build over base ∪ delta (per-shard construction is a pure
+      function of the shard's digest set);
+    - zero false negatives over every base and delta key;
+    - a noop delta (keys ⊆ base) rebuilds exactly 0 shards and leaves
+      the artifact byte-identical to the base's;
+    - the real update re-peels ≥1 and ≤ num_shards shards.
+
+    The base/delta key populations are deterministic conv_id slices of
+    the transcript derivation, so their distinct-key counts — and the
+    anti-joined genuinely-new count — are value-checked against the
+    DuckDB oracle rather than self-refereed."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from .pipeline.checkpoint import (
+        build_xor_filter_checkpointed,
+        update_xor_filter_checkpointed,
+    )
+
+    def artifact_bytes(sxf) -> str:
+        d = _json.loads(_json.dumps(sxf.to_dict(), sort_keys=True))
+        for shard in d.get("shards", {}).values():
+            if isinstance(shard, dict):
+                shard.get("metrics", {}).pop("build_sec", None)
+        return _json.dumps(d, sort_keys=True)
+
+    t = with_membership_key(load_transcripts(spark, sf_dir))
+    doc_id = F.substring("conv_id", 6, 8).cast("long")
+    base_df = t.filter(doc_id % 4 != 0)
+    delta_df = t.filter(doc_id % 2 == 0)
+    noop_df = t.filter(doc_id % 4 == 2)  # strict subset of base
+
+    n_base = base_df.select("key").distinct().count()
+    n_delta = delta_df.select("key").distinct().count()
+    n_new = (
+        delta_df.select("key")
+        .distinct()
+        .join(base_df.select("key").distinct(), "key", "left_anti")
+        .count()
+    )
+
+    kw = dict(num_shards=8, width=16, seed=7)
+    root = tempfile.mkdtemp(prefix="xfns_incr_")
+    try:
+        base_f, _ = build_xor_filter_checkpointed(
+            base_df, "key", f"{root}/base", input_token="base", **kw
+        )
+        upd_f, upd_m = update_xor_filter_checkpointed(
+            delta_df, "key", f"{root}/base", f"{root}/upd", input_token="d"
+        )
+        full_f, _ = build_xor_filter_checkpointed(
+            base_df.unionAll(delta_df),
+            "key",
+            f"{root}/full",
+            input_token="full",
+            **kw,
+        )
+        identical = artifact_bytes(upd_f) == artifact_bytes(full_f)
+
+        from .filters.spark_build import is_member_sharded
+
+        union_df = base_df.unionAll(delta_df)
+        zero_fn = (
+            union_df.withColumn(
+                "is_member", is_member_sharded(spark, upd_f, "key")
+            )
+            .filter(~F.col("is_member"))
+            .limit(1)
+            .count()
+            == 0
+        )
+
+        noop_f, noop_m = update_xor_filter_checkpointed(
+            noop_df, "key", f"{root}/base", f"{root}/noop", input_token="n"
+        )
+        noop_rebuilt = int(noop_m["update"]["shards_rebuilt"])
+        noop_identical = artifact_bytes(noop_f) == artifact_bytes(base_f)
+        rebuilt = int(upd_m["update"]["shards_rebuilt"])
+        bounded = 1 <= rebuilt <= kw["num_shards"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_base),
+                int(n_delta),
+                int(n_new),
+                bool(identical),
+                bool(zero_fn),
+                noop_rebuilt,
+                bool(noop_identical),
+                bool(bounded),
+            )
+        ],
+        "n_base_keys long, n_delta_keys long, n_new_keys long, "
+        "update_equals_full_rebuild boolean, zero_false_negatives boolean, "
+        "noop_shards_rebuilt long, noop_identical boolean, "
+        "update_shards_rebuilt_bounded boolean",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'has this (conv_id, text-fingerprint) been seen?' over the
     sf0.001 transcripts — XOR16 build + vectorized probe, per-role counts."""

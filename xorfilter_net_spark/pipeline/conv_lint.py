@@ -57,7 +57,16 @@ def conversation_lint(
       is_clean           all of the above pass
     """
     conv, idx, role = F.col(conv_col), F.col(idx_col), F.col(role_col)
-    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    # ts_epoch is a DETERMINISTIC tiebreak: duplicate turn_idx is a
+    # defect class the lint itself targets, and with a turn_idx-only
+    # sort lag(ts) over the tie group would be run-order-dependent —
+    # n_ts_violations could vary run-to-run and diverge from the
+    # oracle. Ordering ties by ts (nulls first, matching the oracle's
+    # explicit NULLS FIRST) makes every lag comparison a pure function
+    # of the data: rows equal in (idx, ts) are interchangeable.
+    w = Window.partitionBy(conv_col).orderBy(
+        F.col(idx_col).asc_nulls_first(), F.col(ts_col).asc_nulls_first()
+    )
     prev_ts = F.lag(ts_col, 1).over(w)
     # pmod, not %: Spark's % keeps the dividend's sign, so a corrupt
     # negative turn_idx would feed element_at index 0 (hard error) or a
@@ -75,7 +84,14 @@ def conversation_lint(
         F.coalesce(
             (F.col(ts_col) < prev_ts).cast("long"), F.lit(0)
         ).alias("ts_viol"),
-        (~role.eqNullSafe(expected_role)).cast("long").alias("role_viol"),
+        # a NULL turn_idx has no expected cycle position — it is a role
+        # violation BY DEFINITION on both engines (without the explicit
+        # guard Spark's element_at(NULL+1) yields a NULL expected role
+        # while SQL's CASE NULL falls to the ELSE branch, and the two
+        # contracts diverge on malformed data)
+        F.when(idx.isNull(), F.lit(1))
+        .otherwise((~role.eqNullSafe(expected_role)).cast("long"))
+        .alias("role_viol"),
         (
             F.coalesce(F.col(text_col), F.lit("")) == ""
         ).cast("long").alias("empty_viol"),
@@ -125,9 +141,11 @@ def lint_oracle_tail(src: str = "transcripts") -> str:
     lagged as (
         select conv_id, turn_idx,
                case when ts_epoch < lag(ts_epoch) over (
-                   partition by conv_id order by turn_idx
+                   partition by conv_id
+                   order by turn_idx nulls first, ts_epoch nulls first
                ) then 1 else 0 end as ts_viol,
-               case when role is distinct from (
+               case when turn_idx is null then 1
+                    when role is distinct from (
                    case cast(((turn_idx % 3) + 3) % 3 as int)
                    when 0 then 'user' when 1 then 'assistant'
                    else 'tool' end) then 1 else 0 end as role_viol,

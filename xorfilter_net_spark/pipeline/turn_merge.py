@@ -43,25 +43,40 @@ def merge_consecutive_turns(
     """One row per maximal consecutive same-role run:
     (conv_id, turn_idx = run ordinal, role, text = joined run texts,
     n_merged = turns collapsed into this row)."""
-    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    # (role, text) are DETERMINISTIC tiebreaks: on duplicate turn_idx
+    # (malformed but reachable input) a turn_idx-only sort would make
+    # lag(role) — and therefore the run ids — run-order-dependent, and
+    # Spark's default RANGE cumsum frame would diverge from the
+    # oracle's explicit ROWS frame on the tie group. With the full
+    # (idx, role, text) key, rows that still tie are identical in every
+    # column the program reads, so any order yields the same result;
+    # the cumsum uses an explicit rowsBetween to match the oracle.
+    order_cols = [
+        F.col("__idx").asc_nulls_first(),
+        F.col("role").asc_nulls_first(),
+        F.col("__text").asc_nulls_first(),
+    ]
     # null-SAFE boundary (eqNullSafe == the oracle's IS DISTINCT FROM):
     # a NULL-role turn starts its own run after a non-null role and
     # joins a preceding NULL-role run — with a bare !=, the NULL
     # comparison would null out and silently merge across real
     # boundaries, diverging from the oracle
-    changed = (
-        ~F.lag(role_col, 1).over(w).eqNullSafe(F.col(role_col))
-    ).cast("long")
-    runs = turns.select(
+    base = turns.select(
         F.col(conv_col).alias("conv_id"),
         F.col(idx_col).alias("__idx"),
         F.col(role_col).alias("role"),
         F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
-        changed.alias("__chg"),
-    ).withColumn(
+    )
+    w = Window.partitionBy("conv_id").orderBy(*order_cols)
+    changed = (~F.lag("role", 1).over(w).eqNullSafe(F.col("role"))).cast(
+        "long"
+    )
+    runs = base.withColumn("__chg", changed).withColumn(
         "__run",
         F.sum("__chg").over(
-            Window.partitionBy("conv_id").orderBy("__idx")
+            Window.partitionBy("conv_id")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         - 1,
     )
@@ -100,18 +115,23 @@ def merge_oracle_tail(src: str = "transcripts", sep: str = "\n") -> str:
     chg as (
         select conv_id, turn_idx, role, coalesce(text, '') as t,
                case when lag(role) over (
-                   partition by conv_id order by turn_idx
+                   partition by conv_id
+                   order by turn_idx nulls first, role nulls first,
+                            t nulls first
                ) is distinct from role then 1 else 0 end as c
         from {src}),
     runs as (
         select conv_id, turn_idx, role, t,
-               sum(c) over (partition by conv_id order by turn_idx
+               sum(c) over (partition by conv_id
+                   order by turn_idx nulls first, role nulls first,
+                            t nulls first
                    rows between unbounded preceding and current row
                ) - 1 as r
         from chg)
     select conv_id, cast(r as int) as turn_idx,
            min(role) as role,
-           string_agg(t, {sep_sql} order by turn_idx) as text,
+           string_agg(t, {sep_sql}
+               order by turn_idx nulls first, t) as text,
            cast(count(*) as bigint) as n_merged
     from runs group by conv_id, r
     """

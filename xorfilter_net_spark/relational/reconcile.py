@@ -19,10 +19,13 @@ sides cancels exactly.
 
 Hash is the engine-portable md5 idiom (first 15 hex chars as a 60-bit
 int — the repo's cross-engine convention; xxhash64 exists only in
-Spark), so the DuckDB oracle replays the identical arithmetic.
-Collision note: a bucket mismatch is NEVER spurious (hash is a pure
-function of content); a masked difference needs two rows whose digests
-XOR to zero within one bucket (~2^-60 per bucket pair).
+Spark), so the DuckDB oracle replays the identical arithmetic. Fields
+are individually md5'd before concatenation (fixed-width encoding +
+non-hex NULL sentinel), so the row encoding is prefix-free: no two
+distinct rows share an encoded string. Collision note: a bucket
+mismatch is NEVER spurious (hash is a pure function of content); a
+masked difference needs two rows whose digests XOR to zero within one
+bucket (~2^-60 per bucket pair).
 """
 
 from __future__ import annotations
@@ -32,8 +35,16 @@ from pyspark.sql import functions as F
 
 
 def _row_digest(cols: list[str]):
+    # Each field is md5'd BEFORE concatenation so field boundaries are
+    # unambiguous: every encoded field is exactly 32 hex chars (or the
+    # 1-char NULL sentinel 'N', which no md5 can produce), so rows
+    # differing only in where a separator-like byte falls — or in NULL
+    # vs a literal sentinel string — can never digest identically.
+    # (A raw concat_ws('\\x1f', ...) aliased ('a\\x1fb','c') with
+    # ('a','b\\x1fc') deterministically, defeating the 2^-60 claim.)
     joined = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+        "\x1f",
+        *[F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N")) for c in cols],
     )
     return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
 
@@ -108,7 +119,7 @@ def digest_sql(
     """DuckDB replay of :func:`bucket_digests` (identical md5/XOR
     arithmetic) as a SELECT string."""
     joined = " || chr(31) || ".join(
-        f"coalesce(cast({c} as varchar), chr(0))" for c in cols
+        f"coalesce(md5(cast({c} as varchar)), 'N')" for c in cols
     )
     d = f"cast(('0x' || substr(md5({joined}), 1, 15))::bigint as bigint)"
     b = (
