@@ -83,6 +83,13 @@ _RECHECK = {
     # r05 ADVICE fix: prefix-free per-field md5 row encoding (both the
     # Spark digest and the DuckDB replay changed)
     "reconcile_tables_documents",
+    # r05 gate conversions: `select true` -> oracle-derived exact-
+    # baseline counts (ANN recall denominators) / stage-count values
+    # (checkpoint resume arithmetic)
+    "ann_lsh_recall_ok",
+    "ann_ivf_recall_ok",
+    "ann_pq_recall_ok",
+    "checkpoint_resume_ok",
 }
 
 # r05 ordering: close the registry. The 30 never-sampled names (every
@@ -127,10 +134,20 @@ _FRONT_R05 = [
     "q_scalar_subquery_big_orders",
     # newly registered r05 gate (the last gate-less component)
     "incremental_update_ok",
-    # changed-contract rechecks (ADVICE fixes)
+    # r05 new operators (template mining, fork detection, vocabulary
+    # coverage, centroid drift), all value-exact
+    "template_mining_transcripts",
+    "fork_points_transcripts",
+    "vocab_coverage_documents",
+    "centroid_pairs_embeddings",
+    # changed-contract rechecks (ADVICE fixes + gate conversions)
     "conversation_lint_report",
     "q_merge_consecutive_turns",
     "reconcile_tables_documents",
+    "ann_lsh_recall_ok",
+    "ann_ivf_recall_ok",
+    "ann_pq_recall_ok",
+    "checkpoint_resume_ok",
 ]
 
 # r04 burn-down order, kept as the fallback tail so anything the r05

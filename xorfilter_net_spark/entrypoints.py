@@ -3947,10 +3947,39 @@ def _ann_oracle() -> str:
 ORACLES["ann_topk_bruteforce"] = _ann_oracle()
 
 
-@query("ann_lsh_recall_ok", "select true as recall_ok")
+def _ann_recall_oracle() -> str:
+    """Value-rich oracle for the ANN recall gates: the recall DENOMINATOR
+    — the exact brute-force top-k set the approximate index is measured
+    against — is fully SQL-expressible, so the oracle recomputes it and
+    pins (n_queries, n_exact) as value rows; only the recall floor
+    itself (a property of the approximate index's internals) remains a
+    boolean."""
+    from .ann.brute import topk_oracle_sql
+
+    return (
+        f"with pairs as ({topk_oracle_sql('vec_id % 50 = 0', k=10)}) "
+        "select cast(count(distinct qid) as bigint) as n_queries, "
+        "cast(count(*) as bigint) as n_exact, true as recall_ok "
+        "from pairs"
+    )
+
+
+def _ann_recall_report(spark, exact, approx) -> DataFrame:
+    hits = exact.join(approx, ["qid", "neighbor_id"], "left_semi").count()
+    total = exact.count()
+    n_queries = exact.select("qid").distinct().count()
+    return spark.createDataFrame(
+        [(int(n_queries), int(total), total > 0 and hits / total >= 0.7)],
+        "n_queries long, n_exact long, recall_ok boolean",
+    )
+
+
+@query("ann_lsh_recall_ok", _ann_recall_oracle())
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN (16 bands x 4 bits) recall@10 vs the brute-force
-    baseline; gate mean recall >= 0.7 (measured 0.86 at sf0.01)."""
+    baseline; gate mean recall >= 0.7 (measured 0.86 at sf0.01). The
+    exact-baseline query count and pair count are oracle-derived values
+    (_ann_recall_oracle), not self-refereed."""
     from .ann.brute import topk_cosine
     from .ann.lsh import lsh_topk_cosine
 
@@ -3961,17 +3990,14 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     exact = topk_cosine(emb, "vec_id", "embedding", queries_, k=10)
     approx = lsh_topk_cosine(emb, "vec_id", "embedding", queries_, k=10)
-    hits = exact.join(approx, ["qid", "neighbor_id"], "left_semi").count()
-    total = exact.count()
-    return spark.createDataFrame(
-        [(total > 0 and hits / total >= 0.7,)], "recall_ok boolean"
-    )
+    return _ann_recall_report(spark, exact, approx)
 
 
-@query("ann_ivf_recall_ok", "select true as recall_ok")
+@query("ann_ivf_recall_ok", _ann_recall_oracle())
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (spherical k-means cells, nprobe search, exact rerank)
-    recall@10 vs the brute-force baseline; gate mean recall >= 0.7."""
+    recall@10 vs the brute-force baseline; gate mean recall >= 0.7, with
+    the exact-baseline counts oracle-derived (_ann_recall_oracle)."""
     from .ann.brute import topk_cosine
     from .ann.ivf import ivf_topk_cosine
 
@@ -3985,18 +4011,15 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", queries_, k=10, n_cells=32, nprobe=10,
         iters=5,
     )
-    hits = exact.join(approx, ["qid", "neighbor_id"], "left_semi").count()
-    total = exact.count()
-    return spark.createDataFrame(
-        [(total > 0 and hits / total >= 0.7,)], "recall_ok boolean"
-    )
+    return _ann_recall_report(spark, exact, approx)
 
 
-@query("ann_pq_recall_ok", "select true as recall_ok")
+@query("ann_pq_recall_ok", _ann_recall_oracle())
 def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (per-subspace codebooks, m-bytes-per-vector
     codes, ADC candidate scan + exact rerank) recall@10 vs the brute-force
-    baseline; gate mean recall >= 0.7."""
+    baseline; gate mean recall >= 0.7, with the exact-baseline counts
+    oracle-derived (_ann_recall_oracle)."""
     from .ann.brute import topk_cosine
     from .ann.pq import pq_topk_cosine
 
@@ -4010,11 +4033,7 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", queries_, k=10, m=16, n_codes=32,
         iters=5, oversample=6,
     )
-    hits = exact.join(approx, ["qid", "neighbor_id"], "left_semi").count()
-    total = exact.count()
-    return spark.createDataFrame(
-        [(total > 0 and hits / total >= 0.7,)], "recall_ok boolean"
-    )
+    return _ann_recall_report(spark, exact, approx)
 
 
 # ---------------------------------------------------------------------------
@@ -8926,11 +8945,23 @@ def q_media_avi_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "checkpoint_resume_ok",
+    # the RESUME ARITHMETIC is oracle-pinned as values: the build
+    # pipeline has exactly 3 stages (digests, shards, filter) and the
+    # sketch aggregation 2 (partials, merged), so a fresh run must
+    # resume 0, a completed re-run all 3, the interrupted run exactly 2
+    # (manifests commit LAST, so only the tail recomputes), and the
+    # sketch re-run both — wrong stage bookkeeping now value-fails
+    # instead of hiding behind a boolean
     "select true as build_resumed_identical, "
     "true as build_stages_resumed, "
     "true as build_partial_resume_identical, "
     "true as build_fresh_identical, "
-    "true as sketch_resumed_identical",
+    "true as sketch_resumed_identical, "
+    "cast(3 as bigint) as n_build_stages, "
+    "cast(0 as bigint) as n_resumed_fresh, "
+    "cast(3 as bigint) as n_resumed_rerun, "
+    "cast(2 as bigint) as n_resumed_partial, "
+    "cast(2 as bigint) as n_sketch_resumed",
 )
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint/resume family gate (pipeline/checkpoint.py +
@@ -9021,11 +9052,18 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(partial_ok),
                 bool(fresh_ok),
                 bool(sketch_ok),
+                len(m1),
+                sum(1 for v in m1.values() if v["resumed"]),
+                sum(1 for v in m3.values() if v["resumed"]),
+                sum(1 for v in m4.values() if v["resumed"]),
+                sum(1 for v in sm2.values() if v["resumed"]),
             )
         ],
         "build_resumed_identical boolean, build_stages_resumed boolean, "
         "build_partial_resume_identical boolean, "
-        "build_fresh_identical boolean, sketch_resumed_identical boolean",
+        "build_fresh_identical boolean, sketch_resumed_identical boolean, "
+        "n_build_stages long, n_resumed_fresh long, n_resumed_rerun long, "
+        "n_resumed_partial long, n_sketch_resumed long",
     )
 
 
@@ -9763,6 +9801,96 @@ def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.createOrReplaceTempView("documents")
     qs = spark.sql(_SUBSTR_QUERIES)
     return substring_search(d, qs)
+
+
+def _template_oracle() -> str:
+    from .text.templates import template_oracle_sql
+
+    return f"with {TRANSCRIPTS_CTE} " + template_oracle_sql()
+
+
+@query("template_mining_transcripts", _template_oracle())
+def q_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate mining (text/templates.py): normalized turn
+    texts (lower, digit runs -> '#', whitespace collapse) recurring in
+    >= 2 distinct conversations — the turn-level complement of exact
+    dedup that finds canned greetings/tool boilerplate before they
+    dominate training loss. Normalization is zero-shuffle codegen; the
+    ONE exchange is the map-side-combined (role, template) aggregate
+    (vocabulary-width, never corpus-width). Value-exact DuckDB oracle
+    replays the identical normalize + aggregate program."""
+    from .text.templates import mine_templates
+
+    return mine_templates(load_transcripts(spark, sf_dir))
+
+
+def _fork_oracle() -> str:
+    from .pipeline.forks import fork_oracle_sql
+
+    return f"with {TRANSCRIPTS_CTE} " + fork_oracle_sql()
+
+
+@query("fork_points_transcripts", _fork_oracle())
+def q_fork_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation fork detection (pipeline/forks.py): (depth, prefix)
+    pairs shared by >= 2 conversations whose next turns diverge —
+    retries/regenerations/agent branches that poison training with
+    contradictory continuations. Raw text never shuffles (turns reduce
+    to 32-hex fingerprints map-only); two exchanges, conv_id assembly
+    then the (depth, prefix-digest) aggregate, both map-side combined.
+    The testdata's dup-injected near-copy documents yield real shared-
+    prefix conversations, so the report is non-vacuous (19 natural fork
+    points at sf0.01). Value-exact DuckDB oracle replays the identical
+    fingerprint-chain program."""
+    from .pipeline.forks import fork_points
+
+    return fork_points(load_transcripts(spark, sf_dir))
+
+
+def _vocab_coverage_oracle() -> str:
+    from .text.vocab_coverage import vocab_coverage_oracle_sql
+
+    return vocab_coverage_oracle_sql(vocab_size=16)
+
+
+@query("vocab_coverage_documents", _vocab_coverage_oracle())
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate report (text/vocab_coverage.py):
+    per-document out-of-vocabulary token share against the corpus's
+    top-V frequency vocabulary (V=16 here: the sf corpus has ~31
+    distinct tokens, so half the vocabulary is genuinely OOV and the
+    rates are non-trivial). Tokenize is codegen explode over the scan;
+    the frequency exchange is vocabulary-width after map-side combine;
+    the top-V set broadcasts back; the only corpus-sized exchange is
+    the per-doc count. Rates in integer micro-units (floor e6), the
+    cross-engine convention. Value-exact DuckDB oracle."""
+    from .text.vocab_coverage import vocab_coverage
+
+    return vocab_coverage(
+        load_table(spark, sf_dir, "documents"), vocab_size=16
+    )
+
+
+def _centroid_oracle() -> str:
+    from .ann.centroid_drift import centroid_oracle_sql
+
+    return centroid_oracle_sql()
+
+
+@query("centroid_pairs_embeddings", _centroid_oracle())
+def q_centroid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid geometry (ann/centroid_drift.py):
+    e6-quantized cosine between every label pair's centroid — the
+    one-aggregate embedding-space drift/separation monitor that
+    complements the sketch-based feature drift report. Components are
+    integer-quantized BEFORE summing (exact, order-insensitive); the
+    ONE corpus exchange is keyed (label, dim) and map-side combined to
+    g x d rows; the pairwise stage runs over g centroids only. Cosine
+    of sum vectors == cosine of means (scale invariance), so no
+    count division ever happens. Value-exact DuckDB oracle."""
+    from .ann.centroid_drift import centroid_pairs
+
+    return centroid_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
 @query(

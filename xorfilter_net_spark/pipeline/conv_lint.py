@@ -57,17 +57,6 @@ def conversation_lint(
       is_clean           all of the above pass
     """
     conv, idx, role = F.col(conv_col), F.col(idx_col), F.col(role_col)
-    # ts_epoch is a DETERMINISTIC tiebreak: duplicate turn_idx is a
-    # defect class the lint itself targets, and with a turn_idx-only
-    # sort lag(ts) over the tie group would be run-order-dependent —
-    # n_ts_violations could vary run-to-run and diverge from the
-    # oracle. Ordering ties by ts (nulls first, matching the oracle's
-    # explicit NULLS FIRST) makes every lag comparison a pure function
-    # of the data: rows equal in (idx, ts) are interchangeable.
-    w = Window.partitionBy(conv_col).orderBy(
-        F.col(idx_col).asc_nulls_first(), F.col(ts_col).asc_nulls_first()
-    )
-    prev_ts = F.lag(ts_col, 1).over(w)
     # pmod, not %: Spark's % keeps the dividend's sign, so a corrupt
     # negative turn_idx would feed element_at index 0 (hard error) or a
     # negative index (silent from-the-end lookup) — the lint must FLAG
@@ -76,19 +65,23 @@ def conversation_lint(
         F.array(*[F.lit(r) for r in role_cycle]),
         F.pmod(idx, len(role_cycle)).cast("int") + 1,
     )
-    flagged = turns.select(
+    # Per-row flags are computed MAP-SIDE, before the conv_id exchange:
+    # only the ts-monotonicity check needs the window, so the shuffle
+    # carries (conv_id, turn_idx, ts, three byte-width flags) instead
+    # of the full turn — at transcript scale that drops shuffle bytes
+    # and the window's sort working set by the text width (~4x here),
+    # which is exactly the term the N→4N profiling identified as the
+    # LLC-bound cost (BASELINE.md "r04 transcript-hygiene operators").
+    pre = turns.select(
         conv.alias("conv_id"),
         idx.alias("turn_idx"),
-        # null-safe: a NULL ts never flags (no evidence of regression),
-        # but a NULL role IS a cycle violation — eqNullSafe, not !=
-        F.coalesce(
-            (F.col(ts_col) < prev_ts).cast("long"), F.lit(0)
-        ).alias("ts_viol"),
+        F.col(ts_col).alias("__ts"),
         # a NULL turn_idx has no expected cycle position — it is a role
         # violation BY DEFINITION on both engines (without the explicit
         # guard Spark's element_at(NULL+1) yields a NULL expected role
         # while SQL's CASE NULL falls to the ELSE branch, and the two
-        # contracts diverge on malformed data)
+        # contracts diverge on malformed data). NULL role IS a cycle
+        # violation — eqNullSafe, not !=.
         F.when(idx.isNull(), F.lit(1))
         .otherwise((~role.eqNullSafe(expected_role)).cast("long"))
         .alias("role_viol"),
@@ -105,6 +98,28 @@ def conversation_lint(
                 & role.eqNullSafe(F.lit(role_cycle[-1]))
             )
         ).cast("long").alias("tool_viol"),
+    )
+    # ts is a DETERMINISTIC tiebreak: duplicate turn_idx is a defect
+    # class the lint itself targets, and with a turn_idx-only sort
+    # lag(ts) over the tie group would be run-order-dependent —
+    # n_ts_violations could vary run-to-run and diverge from the
+    # oracle. Ordering ties by ts (nulls first, matching the oracle's
+    # explicit NULLS FIRST) makes every lag comparison a pure function
+    # of the data: rows equal in (idx, ts) are interchangeable.
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc_nulls_first(), F.col("__ts").asc_nulls_first()
+    )
+    prev_ts = F.lag("__ts", 1).over(w)
+    flagged = pre.select(
+        "conv_id",
+        "turn_idx",
+        # null-safe: a NULL ts never flags (no evidence of regression)
+        F.coalesce(
+            (F.col("__ts") < prev_ts).cast("long"), F.lit(0)
+        ).alias("ts_viol"),
+        "role_viol",
+        "empty_viol",
+        "tool_viol",
     )
     rep = flagged.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
