@@ -168,6 +168,11 @@ BENCH_QUERIES = [
     "q_token_bucket_counts",
     "kmeans_cell_profile_embeddings",
     "streaming_topk_tools",
+    # r05 additions
+    "template_mining_transcripts",
+    "fork_points_transcripts",
+    "vocab_coverage_documents",
+    "centroid_pairs_embeddings",
 ]
 
 

@@ -650,3 +650,63 @@ def test_cli_reconcile(spark, tmp_path, cli_out):
         ["reconcile", "--left", ap, "--right", bp, "--key-col", "id"]
     )
     assert not out["identical"] and len(out["buckets_differing"]) == 1
+
+
+def test_cli_templates_forks(spark, tmp_path, cli_out):
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hi", None, 100),
+            ("c1", 1, "assistant", "Attempt 3 failed", None, 101),
+            ("c1", 2, "tool", "X", "t", 102),
+            ("c2", 0, "user", "hi", None, 100),
+            ("c2", 1, "assistant", "attempt  9 FAILED", None, 101),
+            ("c2", 2, "tool", "Y", "t", 102),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts_epoch long",
+    )
+    tpath = str(tmp_path / "turns")
+    turns.write.parquet(tpath)
+
+    out = cli_out(
+        ["templates", "--input", tpath, "--output", str(tmp_path / "tpl")]
+    )
+    assert out["command"] == "templates"
+    tpls = {(r["role"], r["template"]) for r in out["top"]}
+    assert ("user", "hi") in tpls
+    assert ("assistant", "attempt # failed") in tpls
+
+    out = cli_out(
+        ["forks", "--input", tpath, "--output", str(tmp_path / "fk")]
+    )
+    # c1/c2 share depth-2 prefix (hi + normalized-different attempt
+    # texts differ, so actually they diverge at depth 1)
+    assert out["command"] == "forks" and out["n_fork_points"] == 1
+    assert out["by_depth"] == {"1": 1}  # JSON round-trip stringifies keys
+
+
+def test_cli_vocab_coverage_centroids(spark, tmp_path, cli_out):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a rare")], "doc_id long, text string"
+    )
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    out = cli_out(
+        [
+            "vocab-coverage", "--input", dpath,
+            "--output", str(tmp_path / "vc"), "--vocab-size", "1",
+        ]
+    )
+    # vocab = {a}; OOV = b, rare -> 2 of 5 tokens
+    assert out["tokens"] == 5 and out["oov_tokens"] == 2
+    assert out["corpus_oov_e6"] == 400000
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    epath = str(tmp_path / "emb")
+    emb.write.parquet(epath)
+    out = cli_out(["centroids", "--input", epath])
+    assert out["n_pairs"] == 1
+    assert out["pairs"][0]["cos_e6"] == 0

@@ -215,3 +215,28 @@ def test_centroid_pairs_partitioning_invariant(spark):
         ).collect()
     )
     assert a == b and len(a) == 3
+
+
+def test_fork_points_duplicate_turn_idx_deterministic(spark):
+    """Duplicate turn_idx: the chain orders by (idx NULLS FIRST, fp) on
+    both engines, so fork detection is a pure function of the data."""
+    rows = (
+        _mk_conv("a", ["hi"])
+        + [("a", 1, "assistant", "x", None, 1),
+           ("a", 1, "assistant", "y", None, 2)]  # dup idx
+        + _mk_conv("b", ["hi"])
+        + [("b", 1, "assistant", "x", None, 1),
+           ("b", 1, "assistant", "y", None, 2)]
+    )
+    want = None
+    for seed in range(3):
+        df = spark.createDataFrame(rows, TURN_SCHEMA).repartition(seed + 1)
+        got = sorted(
+            (r["depth"], r["prefix_key"], r["n_convs"], r["n_continuations"])
+            for r in fork_points(df).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want
+    # identical clones -> no divergence anywhere
+    assert want == []

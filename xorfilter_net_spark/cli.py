@@ -476,6 +476,113 @@ def cmd_merge_turns(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_templates(args: argparse.Namespace) -> dict:
+    """Template/boilerplate mining (text/templates.py): normalized turn
+    texts recurring across >= min-convs distinct conversations; writes
+    the template table and summarizes the worst offenders."""
+    from pyspark.sql import functions as F
+
+    from .text.templates import mine_templates
+
+    spark = _get_spark("templates")
+    turns = spark.read.parquet(args.input)
+    rep = mine_templates(turns, min_convs=args.min_convs)
+    rep.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    top = [
+        r.asDict()
+        for r in written.orderBy(
+            F.col("n_convs").desc(), "template"
+        ).limit(args.top).collect()
+    ]
+    return {
+        "command": "templates",
+        "n_templates": written.count(),
+        "top": top,
+        "output": args.output,
+    }
+
+
+def cmd_forks(args: argparse.Namespace) -> dict:
+    """Conversation fork detection (pipeline/forks.py): shared turn
+    prefixes with divergent continuations; writes the fork-point table."""
+    from .pipeline.forks import fork_points
+
+    spark = _get_spark("forks")
+    turns = spark.read.parquet(args.input)
+    rep = fork_points(turns, max_depth=args.max_depth)
+    rep.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    by_depth = {
+        int(r["depth"]): int(r["n"])
+        for r in written.groupBy("depth").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    return {
+        "command": "forks",
+        "n_fork_points": written.count(),
+        "by_depth": by_depth,
+        "output": args.output,
+    }
+
+
+def cmd_vocab_coverage(args: argparse.Namespace) -> dict:
+    """Vocabulary coverage / OOV-rate report (text/vocab_coverage.py):
+    per-document OOV share against the corpus top-V vocabulary."""
+    from pyspark.sql import functions as F
+
+    from .text.vocab_coverage import vocab_coverage
+
+    spark = _get_spark("vocab-coverage")
+    docs = spark.read.parquet(args.input)
+    rep = vocab_coverage(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        vocab_size=args.vocab_size,
+    )
+    rep.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    agg = written.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_oov").alias("oov_tokens"),
+    ).collect()[0]
+    tok, oov = int(agg["tokens"] or 0), int(agg["oov_tokens"] or 0)
+    return {
+        "command": "vocab-coverage",
+        "vocab_size": args.vocab_size,
+        "n_docs": int(agg["n_docs"]),
+        "tokens": tok,
+        "oov_tokens": oov,
+        "corpus_oov_e6": (1000000 * oov) // tok if tok else 0,
+        "output": args.output,
+    }
+
+
+def cmd_centroids(args: argparse.Namespace) -> dict:
+    """Per-group embedding centroid cosine (ann/centroid_drift.py):
+    the pairwise drift/separation report."""
+    from .ann.centroid_drift import centroid_pairs
+
+    spark = _get_spark("centroids")
+    emb = spark.read.parquet(args.input)
+    rows = [
+        r.asDict()
+        for r in centroid_pairs(
+            emb, group_col=args.group_col, vec_col=args.vec_col
+        ).collect()
+    ]
+    return {
+        "command": "centroids",
+        "n_pairs": len(rows),
+        "pairs": sorted(
+            rows, key=lambda r: (r["group_a"], r["group_b"])
+        ),
+    }
+
+
 def cmd_trending(args: argparse.Namespace) -> dict:
     """Exponentially-decayed heavy hitters (sketches/decay.py): the
     trending-now key table with half-life-per-period integer decay."""
@@ -840,6 +947,45 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--output", required=True)
     mt.add_argument("--sep", default="\n")
     mt.set_defaults(fn=cmd_merge_turns)
+
+    tp = sub.add_parser(
+        "templates",
+        help="mine cross-conversation boilerplate templates",
+    )
+    tp.add_argument("--input", required=True, help="turns parquet")
+    tp.add_argument("--output", required=True)
+    tp.add_argument("--min-convs", type=int, default=2)
+    tp.add_argument("--top", type=int, default=10)
+    tp.set_defaults(fn=cmd_templates)
+
+    fk = sub.add_parser(
+        "forks",
+        help="detect conversation forks (shared prefix, divergent next turn)",
+    )
+    fk.add_argument("--input", required=True, help="turns parquet")
+    fk.add_argument("--output", required=True)
+    fk.add_argument("--max-depth", type=int, default=8)
+    fk.set_defaults(fn=cmd_forks)
+
+    vc = sub.add_parser(
+        "vocab-coverage",
+        help="per-document OOV rate vs the corpus top-V vocabulary",
+    )
+    vc.add_argument("--input", required=True, help="documents parquet")
+    vc.add_argument("--output", required=True)
+    vc.add_argument("--id-col", default="doc_id")
+    vc.add_argument("--text-col", default="text")
+    vc.add_argument("--vocab-size", type=int, default=256)
+    vc.set_defaults(fn=cmd_vocab_coverage)
+
+    ce = sub.add_parser(
+        "centroids",
+        help="per-group embedding centroid cosine (drift/separation)",
+    )
+    ce.add_argument("--input", required=True, help="embeddings parquet")
+    ce.add_argument("--group-col", default="label")
+    ce.add_argument("--vec-col", default="embedding")
+    ce.set_defaults(fn=cmd_centroids)
 
     tr = sub.add_parser(
         "trending",

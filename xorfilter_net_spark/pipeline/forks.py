@@ -111,6 +111,10 @@ def fork_points(
 def fork_oracle_sql(src: str = "transcripts", max_depth: int = 8) -> str:
     """DuckDB replay of the identical fingerprint-chain program, as a
     SELECT over ``src`` (caller prefixes transcript CTEs)."""
+    # the chain orders by (turn_idx NULLS FIRST, fp) — the same total
+    # order Spark's array_sort(struct(idx, fp)) applies, so duplicate
+    # turn_idx (malformed but reachable input) yields the identical
+    # deterministic chain on both engines
     return f"""
     select depth, prefix_key,
            cast(count(*) as bigint) as n_convs,
@@ -121,10 +125,13 @@ def fork_oracle_sql(src: str = "transcripts", max_depth: int = 8) -> str:
                coalesce(fps[k + 1], '{END}') as cont
         from (
             select conv_id,
-                   list(md5(coalesce(role, '') || '|' ||
-                            coalesce(text, ''))
-                        order by turn_idx) as fps
-            from {src} group by conv_id
+                   list(fp order by turn_idx nulls first, fp) as fps
+            from (
+                select conv_id, turn_idx,
+                       md5(coalesce(role, '') || '|' ||
+                           coalesce(text, '')) as fp
+                from {src})
+            group by conv_id
         ), unnest(range(1, least(len(fps), {max_depth}) + 1)) as u(k)
     )
     group by depth, prefix_key
