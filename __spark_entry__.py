@@ -137,9 +137,11 @@ _FRONT_R05 = [
     # r05 new operators (template mining, fork detection, vocabulary
     # coverage, centroid drift), all value-exact
     "template_mining_transcripts",
+    "template_strip_transcripts",
     "fork_points_transcripts",
     "vocab_coverage_documents",
     "centroid_pairs_embeddings",
+    "q_rank_blend_documents",
     # changed-contract rechecks (ADVICE fixes + gate conversions)
     "conversation_lint_report",
     "q_merge_consecutive_turns",

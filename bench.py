@@ -170,9 +170,11 @@ BENCH_QUERIES = [
     "streaming_topk_tools",
     # r05 additions
     "template_mining_transcripts",
+    "template_strip_transcripts",
     "fork_points_transcripts",
     "vocab_coverage_documents",
     "centroid_pairs_embeddings",
+    "q_rank_blend_documents",
 ]
 
 

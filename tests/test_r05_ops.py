@@ -240,3 +240,79 @@ def test_fork_points_duplicate_turn_idx_deterministic(spark):
         assert got == want
     # identical clones -> no divergence anywhere
     assert want == []
+
+
+# ------------------------------------------------------- template strip
+def test_strip_templates_removes_and_reindexes(spark):
+    from xorfilter_net_spark.text.templates import strip_templates
+
+    rows = [
+        ("c1", 0, "user", "hello", None, 1),       # template (c1+c2)
+        ("c1", 1, "assistant", "unique a", None, 2),
+        ("c1", 2, "user", "hello", None, 3),        # same template again
+        ("c1", 3, "assistant", "unique b", None, 4),
+        ("c2", 0, "user", "hello", None, 1),
+        ("c2", 1, "assistant", "other", None, 2),
+    ]
+    out = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"])
+        for r in strip_templates(
+            spark.createDataFrame(rows, TURN_SCHEMA)
+        ).collect()
+    )
+    assert out == [
+        ("c1", 0, "assistant", "unique a"),
+        ("c1", 1, "assistant", "unique b"),
+        ("c2", 0, "assistant", "other"),
+    ]
+
+
+def test_strip_templates_role_scoped(spark):
+    from xorfilter_net_spark.text.templates import strip_templates
+
+    # same text under DIFFERENT roles is not one template: (role,
+    # template) is the join key, so neither reaches min_convs=2
+    rows = [
+        ("c1", 0, "user", "ok", None, 1),
+        ("c2", 0, "assistant", "ok", None, 1),
+    ]
+    out = strip_templates(
+        spark.createDataFrame(rows, TURN_SCHEMA)
+    ).collect()
+    assert len(out) == 2
+
+
+# ----------------------------------------------------------- rank blend
+def test_rank_blend_exact_borda(spark):
+    from xorfilter_net_spark.text.rank_blend import rank_blend
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en"),       # 7 chars, 4 words, 4 distinct
+            (2, "aaaa aaaa", "en"),     # 9 chars, 2 words, 1 distinct
+            (3, "x y", "en"),           # 3 chars, 2 words, 2 distinct
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: (r["borda"], r["consensus"])
+        for r in rank_blend(docs, top=3).collect()
+    }
+    # ranks: chars: 2,1,3 / words: 1,2,3 / distinct: 1,3,2
+    assert got[1] == (4, 1)
+    assert got[2] == (6, 2)
+    assert got[3] == (8, 3)
+
+
+def test_rank_blend_tiebreak_and_top(spark):
+    from xorfilter_net_spark.text.rank_blend import rank_blend
+
+    docs = spark.createDataFrame(
+        [(i, "same text", "en") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    got = rank_blend(docs, top=2).collect()
+    # all signals tie -> doc_id asc decides every rank; top=2 keeps 0,1
+    assert sorted(r["doc_id"] for r in got) == [0, 1]
+    with pytest.raises(ValueError, match="top"):
+        rank_blend(docs, top=0)

@@ -745,6 +745,29 @@ def main() -> None:
             ),
         )
     )
+    sections.append(
+        (
+            "Template stripping (template_strip_transcripts)",
+            "The mined template set (vocabulary-width) returns as a "
+            "BroadcastHashJoin LeftAnti against the map-side normalized "
+            "stream; the corpus's only Exchange is the conv_id re-index "
+            "window. Zero Python.",
+            captured_explain(
+                ep.QUERIES["template_strip_transcripts"](spark, SF_DIR)
+            ),
+        )
+    )
+    sections.append(
+        (
+            "Borda rank blend (q_rank_blend_documents)",
+            "Signals are map-only codegen; all three signal ranks and "
+            "the consensus rank are windows PARTITIONED BY lang sharing "
+            "one exchange — no global sort anywhere. Zero Python.",
+            captured_explain(
+                ep.QUERIES["q_rank_blend_documents"](spark, SF_DIR)
+            ),
+        )
+    )
 
     out = [
         "# Physical-plan evidence\n",
@@ -847,25 +870,25 @@ def main() -> None:
     assert "ArrowEvalPython" not in dsir_plan and "BatchEvalPython" not in dsir_plan
     assert "BroadcastHashJoin" in dsir_plan and "Generate" in dsir_plan
     assert "SortMergeJoin" not in dsir_plan
-    anom_plan = sections[-12][2]
+    anom_plan = sections[-14][2]
     assert "ArrowEvalPython" not in anom_plan and "BatchEvalPython" not in anom_plan
     assert "Generate" in anom_plan  # the periods-sized window fan-out
-    trend_plan = sections[-11][2]
+    trend_plan = sections[-13][2]
     assert "ArrowEvalPython" not in trend_plan and "BatchEvalPython" not in trend_plan
     assert "HashAggregate" in trend_plan and "Join" not in trend_plan
-    ntile_plan = sections[-10][2]
+    ntile_plan = sections[-12][2]
     # one data-keyed hash exchange; no global sort; no checkpoint RDD
     assert "hashpartitioning(__bkt" in ntile_plan
     assert "rangepartitioning" not in ntile_plan
     assert "Scan ExistingRDD" not in ntile_plan  # no localCheckpoint leaf
     assert "MapInPandas" in ntile_plan
     # r04 transcript-curation sections
-    c4_plan = sections[-9][2]
+    c4_plan = sections[-11][2]
     assert "Exchange" not in c4_plan  # map-only
     assert "Python" not in c4_plan
     import re as _re_lint
 
-    for s_idx in (-8, -7, -6):  # lint, budget, merge: conv_id-only shuffles
+    for s_idx in (-10, -9, -8):  # lint, budget, merge: conv_id-only shuffles
         p = sections[s_idx][2]
         assert "hashpartitioning(conv_id" in p
         n_all = p.count("hashpartitioning(")
@@ -875,7 +898,7 @@ def main() -> None:
         # not be counted as a conv_id shuffle via prefix matching
         n_conv = len(_re_lint.findall(r"hashpartitioning\(conv_id#\d+, \d+\)", p))
         assert n_all == n_conv, p  # no shuffle on any other/extra key
-    ss_plan = sections[-5][2]
+    ss_plan = sections[-7][2]
     assert "BroadcastHashJoin" in ss_plan
     # every corpus-sized exchange keys the (query, doc) candidate
     # aggregate or the tiny query-gram aggregate — never raw docs
@@ -884,13 +907,13 @@ def main() -> None:
     for m in _re.finditer(r"hashpartitioning\(([a-z_]+)", ss_plan):
         assert m.group(1) == "query_id", ss_plan[m.start() : m.start() + 80]
     # r05 sections
-    tpl_plan = sections[-4][2]
+    tpl_plan = sections[-6][2]
     assert "Python" not in tpl_plan
     assert "rangepartitioning" not in tpl_plan
     # the only data-keyed exchanges key the (role, template) aggregate
     for m in _re.finditer(r"hashpartitioning\(([a-z_]+)", tpl_plan):
         assert m.group(1) == "role", tpl_plan[m.start() : m.start() + 80]
-    fork_plan = sections[-3][2]
+    fork_plan = sections[-5][2]
     assert "Python" not in fork_plan
     assert "rangepartitioning" not in fork_plan
     # raw text never crosses an exchange: every shuffle keys conv_id
@@ -899,19 +922,28 @@ def main() -> None:
         assert m.group(1) in ("conv_id", "depth"), (
             fork_plan[m.start() : m.start() + 80]
         )
-    vc_plan = sections[-2][2]
+    vc_plan = sections[-4][2]
     assert "Python" not in vc_plan
     assert "BroadcastHashJoin" in vc_plan  # top-V set broadcasts back
     assert "rangepartitioning" not in vc_plan  # rank = SinglePartition
-    cd_plan = sections[-1][2]
+    cd_plan = sections[-3][2]
     assert "Python" not in cd_plan
     assert "rangepartitioning" not in cd_plan
+    strip_plan = sections[-2][2]
+    assert "Python" not in strip_plan
+    assert "BroadcastHashJoin LeftAnti" in strip_plan
+    assert "rangepartitioning" not in strip_plan
+    rb_plan = sections[-1][2]
+    assert "Python" not in rb_plan
+    assert "rangepartitioning" not in rb_plan  # partition-bounded sorts only
+    for m in _re.finditer(r"hashpartitioning\(([a-z_]+)", rb_plan):
+        assert m.group(1) == "grp", rb_plan[m.start() : m.start() + 80]
     print(
         "topk/multi-distinct/z-order/q18/grouping-sets/hof/merge/"
         "q6/q8/q19/redact/not-in/cooccur/fuse-sql/contamination/"
         "prefix-join/curate/spans/lm/postings/timetravel/"
         "curate-transcripts/dsir/anomaly/trend/c4/lint/budget/"
-        "turn-merge/substring/templates/forks/vocab/centroid plans — OK"
+        "turn-merge/substring/templates/forks/vocab/centroid/strip/rank-blend plans — OK"
     )
     spark.stop()
 

@@ -9824,6 +9824,50 @@ def q_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mine_templates(load_transcripts(spark, sf_dir))
 
 
+def _strip_oracle() -> str:
+    from .text.templates import strip_oracle_sql
+
+    return f"with {TRANSCRIPTS_CTE} " + strip_oracle_sql()
+
+
+@query("template_strip_transcripts", _strip_oracle())
+def q_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template stripping (text/templates.py::strip_templates) — the
+    action half of template mining: remove every turn whose normalized
+    text recurs in >= 2 distinct conversations, then re-index the
+    survivors per conversation (0..n-1, deterministic (idx, role,
+    text) order) so chat-template consumers still see contiguous
+    indices. The mined template set is vocabulary-width, so it returns
+    as a BROADCAST anti-join against the map-side normalized stream;
+    the corpus shuffles exactly once (the re-index window on conv_id).
+    Value-exact DuckDB oracle replays the identical anti-join +
+    re-index program."""
+    from .text.templates import strip_templates
+
+    return strip_templates(load_transcripts(spark, sf_dir))
+
+
+def _rank_blend_oracle() -> str:
+    from .text.rank_blend import rank_blend_oracle_sql
+
+    return rank_blend_oracle_sql()
+
+
+@query("q_rank_blend_documents", _rank_blend_oracle())
+def q_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda rank aggregation of quality signals (text/rank_blend.py):
+    per-language document ranking that blends three integer-exact
+    signals (chars, words, distinct words) by rank-sum — the robust
+    scale-free way to ensemble heterogeneous quality scores (a doc
+    must be good under several lenses; single-metric gaming stops
+    working). All windows PARTITION BY lang, so the sorts are
+    partition-bounded (never a global order) and share one exchange.
+    Value-exact DuckDB oracle replays the identical window program."""
+    from .text.rank_blend import rank_blend
+
+    return rank_blend(load_table(spark, sf_dir, "documents"))
+
+
 def _fork_oracle() -> str:
     from .pipeline.forks import fork_oracle_sql
 

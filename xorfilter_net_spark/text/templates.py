@@ -91,3 +91,88 @@ def template_oracle_sql(src: str = "transcripts", min_convs: int = 2) -> str:
     group by role, template
     having count(distinct conv_id) >= {min_convs}
     """
+
+
+def strip_templates(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_convs: int = 2,
+) -> DataFrame:
+    """The action half of template mining: REMOVE every turn whose
+    normalized text is a cross-conversation template (>= ``min_convs``
+    distinct conversations) and re-index the survivors per conversation
+    (0..n-1 in original turn order) so downstream chat-template
+    consumers still see contiguous indices.
+
+    Scale shape: the mined template set is vocabulary-width, so it
+    comes back as a BROADCAST anti-join against the map-side normalized
+    turn stream — the corpus itself shuffles exactly once, for the
+    re-index window on ``conv_col`` (and on a conv-bucketed table not
+    at all). Returns (conv_id, turn_idx, role, text) survivors."""
+    norm = F.expr(_NORM_SPARK.format(col=text_col))
+    tpl = mine_templates(
+        turns, conv_col, role_col, text_col, min_convs
+    ).select("role", "template")
+    flagged = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("__idx"),
+        F.col(role_col).alias("role"),
+        F.col(text_col).alias("text"),
+        norm.alias("template"),
+    )
+    from pyspark.sql.window import Window
+
+    survivors = flagged.join(
+        F.broadcast(tpl), ["role", "template"], "left_anti"
+    )
+    # (idx, role, text) tiebreak: rows that still tie are identical in
+    # every output column, so the re-index is a pure function of the
+    # data (the turn_merge determinism convention). The anti-join is
+    # null-UNSAFE on both engines by design: a NULL-role or
+    # NULL-template turn never matches a mined template and survives.
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(
+            F.col("__idx").asc_nulls_first(),
+            F.col("role").asc_nulls_first(),
+            F.col("text").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        survivors.withColumn(
+            "turn_idx", (F.count(F.lit(1)).over(w) - 1).cast("int")
+        )
+        .select("conv_id", "turn_idx", "role", "text")
+    )
+
+
+def strip_oracle_sql(src: str = "transcripts", min_convs: int = 2) -> str:
+    """DuckDB replay of :func:`strip_templates` (same normalize, same
+    anti-join, same deterministic re-index)."""
+    norm = _NORM_DUCK.format(col="text")
+    norm_s = _NORM_DUCK.format(col="s.text")
+    return f"""
+    select conv_id,
+           cast(row_number() over (
+               partition by conv_id
+               order by turn_idx nulls first, role nulls first,
+                        text nulls first
+           ) - 1 as int) as turn_idx,
+           role, text
+    from (
+        select s.conv_id, s.turn_idx, s.role, s.text,
+               {norm_s} as template
+        from {src} s) s
+    where not exists (
+        select 1 from (
+            select role, template from (
+                select conv_id, role, {norm} as template from {src})
+            where template is not null and template <> ''
+            group by role, template
+            having count(distinct conv_id) >= {min_convs}) t
+        where t.role = s.role and t.template = s.template)
+    """
