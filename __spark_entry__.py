@@ -252,15 +252,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green_all, green_recent = _already_green()
     green = (green_all - _RECHECK) | (green_recent & _RECHECK)
     # first occurrence wins: names appear in both the r05 list and the
-    # r04 fallback tail, and the r05 position must take priority
+    # r04 fallback tail, and the r05 position must take priority. The
+    # sentinel for UNLISTED names is len(_FRONT) (the raw list length,
+    # duplicates included) — first-occurrence indices can exceed the
+    # number of UNIQUE names, so a unique-count sentinel would let
+    # unlisted queries sort ahead of the listed tail.
     front: dict[str, int] = {}
     for i, n in enumerate(_FRONT):
         front.setdefault(n, i)
+    unlisted = len(_FRONT)
     order = sorted(
         qs,
         key=lambda n: (
             n in green,
-            front.get(n, len(front)),
+            front.get(n, unlisted),
             costs.get(n, 3.0),
             n,
         ),

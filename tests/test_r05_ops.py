@@ -316,3 +316,55 @@ def test_rank_blend_tiebreak_and_top(spark):
     assert sorted(r["doc_id"] for r in got) == [0, 1]
     with pytest.raises(ValueError, match="top"):
         rank_blend(docs, top=0)
+
+
+# ------------------------------------------------ r05 review regressions
+def test_centroid_pairs_string_groups(spark):
+    """Group columns keep their type: string labels work (the cast to
+    long used to null every non-numeric group into an empty report)."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "en"), (2, [0.0, 1.0], "fr")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    r = centroid_pairs(emb).collect()
+    assert len(r) == 1
+    assert (r[0]["group_a"], r[0]["group_b"]) == ("en", "fr")
+    assert r[0]["cos_e6"] == 0
+
+
+def test_centroid_pairs_overflow_guard(spark):
+    """Quantized sums whose pairwise dot would exceed int64 raise
+    loudly instead of silently wrapping (or ANSI-failing mid-plan)."""
+    big = 4.0e6  # floor(x*1000) ~ 4e9 per component; d=2 -> ~3.2e19
+    emb = spark.createDataFrame(
+        [(1, [big, big], 0), (2, [big, big], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    with pytest.raises(ValueError, match="exceeds int64"):
+        centroid_pairs(emb).collect()
+
+
+def test_vocab_coverage_literal_delim(spark):
+    """The delimiter splits as a LITERAL (regex-quoted), matching the
+    oracle's literal string_split — '|' used to split on every char."""
+    docs = spark.createDataFrame(
+        [(1, "a|b|a|rare")], "doc_id long, text string"
+    )
+    got = vocab_coverage(docs, vocab_size=2, delim="|").collect()[0]
+    # tokens: a, b, a, rare; vocab {a, b}; oov = rare
+    assert got["n_tokens"] == 4 and got["n_oov"] == 1
+
+
+def test_rotation_unlisted_sorts_after_listed_tail():
+    """Unlisted unverified names must sort AFTER every _FRONT name (the
+    unique-count sentinel used to beat the last listed entries)."""
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    se = importlib.import_module("__spark_entry__")
+    front: dict[str, int] = {}
+    for i, n in enumerate(se._FRONT):
+        front.setdefault(n, i)
+    sentinel = len(se._FRONT)
+    assert all(v < sentinel for v in front.values())

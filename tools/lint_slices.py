@@ -128,45 +128,56 @@ def main() -> None:
         child(int(sys.argv[2]), sys.argv[3])
         return
     sys.path.insert(0, REPO)
+    import shutil
     import tempfile
 
-    from bench import make_spark, scaled_corpus
+    from bench import make_spark
 
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = make_spark(8)
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="xfns_lintslice_")
-    corpus_path = f"{tmp}/docs"
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
-    from pyspark.sql import functions as F
+    try:
+        corpus_path = f"{tmp}/docs"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        from pyspark.sql import functions as F
 
-    n = docs.count()
-    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
-    big = docs.crossJoin(reps).select(
-        (F.col("doc_id") + F.col("rep") * (n * 10)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" r"), F.col("rep").cast("string")).alias(
-            "text"
-        ),
-    )
-    big.write.mode("overwrite").parquet(corpus_path)
-    spark.stop()
-
-    results = {}
-    for cpus in (2, 8):
-        pin = ["taskset", "-c", f"0-{cpus - 1}"]
-        r = subprocess.run(
-            pin + [sys.executable, os.path.abspath(__file__), "--child", str(cpus), corpus_path],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
+        n = docs.count()
+        reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+        big = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * (n * 10)).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" r"), F.col("rep").cast("string")
+            ).alias("text"),
         )
-        for line in r.stdout.splitlines():
-            if line.startswith("CHILD_RESULT "):
-                results[cpus] = json.loads(line[len("CHILD_RESULT "):])
-                break
-        else:
-            raise RuntimeError(r.stdout[-1500:] + r.stderr[-1500:])
-    print(json.dumps(results))
+        big.write.mode("overwrite").parquet(corpus_path)
+        spark.stop()
+
+        results = {}
+        for cpus in (2, 8):
+            pin = ["taskset", "-c", f"0-{cpus - 1}"]
+            r = subprocess.run(
+                pin
+                + [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--child",
+                    str(cpus),
+                    corpus_path,
+                ],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("CHILD_RESULT "):
+                    results[cpus] = json.loads(line[len("CHILD_RESULT "):])
+                    break
+            else:
+                raise RuntimeError(r.stdout[-1500:] + r.stderr[-1500:])
+        print(json.dumps(results))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

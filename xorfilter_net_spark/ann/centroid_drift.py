@@ -41,17 +41,38 @@ def centroid_pairs(
 ) -> DataFrame:
     """(group_a, group_b, n_a, n_b, cos_e6) for every unordered group
     pair (group_a < group_b): the e6-quantized cosine between the two
-    groups' quantized-sum centroid vectors."""
+    groups' quantized-sum centroid vectors. Groups keep their column
+    type (string labels, batch ids, and time windows all work — the
+    pair ordering is the type's own `<`)."""
     q = F.floor(F.col("x").cast("double") * 1000).cast("long")
     sums = (
         emb.select(
-            F.col(group_col).cast("long").alias("grp"),
+            F.col(group_col).alias("grp"),
             F.posexplode(vec_col).alias("dim", "x"),
         )
         .select("grp", "dim", q.alias("q"))
         .groupBy("grp", "dim")
         .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt"))
     )
+    # int64 guard on the g x d table (tiny — one scalar collect, the
+    # kmeans-state pattern): the pair stage sums d products of
+    # quantized-sum pairs, each bounded by max|s|^2, so d * max|s|^2
+    # must fit in int64 or Spark's long sum overflows (ANSI: hard
+    # error; non-ANSI: silent wrap) while the DuckDB oracle's HUGEINT
+    # promotion sails on — the exact divergence this module promises
+    # not to have. The loud raise is the repo convention
+    # (sketches/decay.py's 'exceeds int64').
+    chk = sums.agg(
+        F.max(F.abs(F.col("s"))).alias("m"),
+        (F.max("dim") + 1).alias("d"),
+    ).first()
+    if chk is not None and chk["m"] is not None:
+        m, d = int(chk["m"]), int(chk["d"])
+        if d * m * m >= 2**63:
+            raise ValueError(
+                f"centroid dot product exceeds int64 (d={d}, max|sum|={m}); "
+                "pre-scale the vectors or split groups"
+            )
     # per-group row count = any dimension's count (all dims present on
     # every vector); take dim 0's
     counts = sums.filter(F.col("dim") == 0).select(

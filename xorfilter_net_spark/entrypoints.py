@@ -3965,11 +3965,23 @@ def _ann_recall_oracle() -> str:
 
 
 def _ann_recall_report(spark, exact, approx) -> DataFrame:
-    hits = exact.join(approx, ["qid", "neighbor_id"], "left_semi").count()
-    total = exact.count()
-    n_queries = exact.select("qid").distinct().count()
+    # cache the brute-force baseline: its lineage is the O(queries x
+    # corpus) cross join, and the report needs it for the semi-join
+    # AND the count aggregate — uncached it would recompute per action
+    exact = exact.cache()
+    try:
+        hits = exact.join(
+            approx, ["qid", "neighbor_id"], "left_semi"
+        ).count()
+        row = exact.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("qid").alias("q"),
+        ).first()
+        total, n_queries = int(row["n"]), int(row["q"])
+    finally:
+        exact.unpersist()
     return spark.createDataFrame(
-        [(int(n_queries), int(total), total > 0 and hits / total >= 0.7)],
+        [(n_queries, total, total > 0 and hits / total >= 0.7)],
         "n_queries long, n_exact long, recall_ok boolean",
     )
 
@@ -8980,24 +8992,17 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     - a resumed sketch aggregation must reload the identical merged
       HLL state.
     """
-    import json
     import shutil
     import tempfile
 
     import numpy as np
 
-    from .pipeline.checkpoint import build_xor_filter_checkpointed
+    from .pipeline.checkpoint import (
+        artifact_canonical_json as artifact_bytes,
+        build_xor_filter_checkpointed,
+    )
     from .sketches.base import aggregate_checkpointed
     from .sketches.hll import HllSketch
-
-    def artifact_bytes(sxf) -> str:
-        """Canonical artifact serialization MINUS wall-clock metrics
-        (build_sec is a measurement, not part of the filter)."""
-        d = json.loads(json.dumps(sxf.to_dict(), sort_keys=True))
-        for shard in d.get("shards", {}).values():
-            if isinstance(shard, dict):
-                shard.get("metrics", {}).pop("build_sec", None)
-        return json.dumps(d, sort_keys=True)
 
     t = with_membership_key(load_transcripts(spark, sf_dir))
     kw = dict(num_shards=8, width=16, seed=7, input_token=sf_dir)
@@ -9934,7 +9939,10 @@ def q_centroid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count division ever happens. Value-exact DuckDB oracle."""
     from .ann.centroid_drift import centroid_pairs
 
-    return centroid_pairs(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "label", F.col("label").cast("long")
+    )
+    return centroid_pairs(emb)
 
 
 @query(
@@ -9983,21 +9991,14 @@ def q_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     the transcript derivation, so their distinct-key counts — and the
     anti-joined genuinely-new count — are value-checked against the
     DuckDB oracle rather than self-refereed."""
-    import json as _json
     import shutil
     import tempfile
 
     from .pipeline.checkpoint import (
+        artifact_canonical_json as artifact_bytes,
         build_xor_filter_checkpointed,
         update_xor_filter_checkpointed,
     )
-
-    def artifact_bytes(sxf) -> str:
-        d = _json.loads(_json.dumps(sxf.to_dict(), sort_keys=True))
-        for shard in d.get("shards", {}).values():
-            if isinstance(shard, dict):
-                shard.get("metrics", {}).pop("build_sec", None)
-        return _json.dumps(d, sort_keys=True)
 
     t = with_membership_key(load_transcripts(spark, sf_dir))
     doc_id = F.substring("conv_id", 6, 8).cast("long")

@@ -36,6 +36,17 @@ from ..filters.spark_build import ShardedXorFilter, key_digests
 from ..filters.xor_core import XorFilter
 
 
+def artifact_canonical_json(sxf: ShardedXorFilter) -> str:
+    """Canonical artifact serialization MINUS wall-clock metrics
+    (build_sec is a measurement, not part of the filter) — the
+    byte-identity contract both checkpoint gates compare against."""
+    d = json.loads(json.dumps(sxf.to_dict(), sort_keys=True))
+    for shard in d.get("shards", {}).values():
+        if isinstance(shard, dict):
+            shard.get("metrics", {}).pop("build_sec", None)
+    return json.dumps(d, sort_keys=True)
+
+
 def _fingerprint(d: dict) -> str:
     return json.dumps(d, sort_keys=True, separators=(",", ":"))
 

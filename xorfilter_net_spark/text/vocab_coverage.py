@@ -46,9 +46,14 @@ def vocab_coverage(
     (0, 0, 0)."""
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    # \Q...\E quotes the delimiter so it splits as a LITERAL — the
+    # DuckDB oracle's string_split is literal, and an unquoted regex
+    # delimiter ('|', '.') would silently split a different program
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), delim)).alias("tok"),
+        F.explode(
+            F.split(F.col(text_col), "\\Q" + delim + "\\E")
+        ).alias("tok"),
     ).filter(F.col("tok") != "")
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.col("n").desc(), F.col("tok"))
@@ -89,16 +94,20 @@ def vocab_coverage_oracle_sql(
     src: str = "documents",
     id_col: str = "doc_id",
     vocab_size: int = 256,
+    delim: str = " ",
 ) -> str:
-    """DuckDB replay of the identical top-V + OOV-count program.
+    """DuckDB replay of the identical top-V + OOV-count program (the
+    split is LITERAL on both engines — the Spark side \\Q-quotes the
+    delimiter).
 
     NOTE the window's ORDER BY is the window-wide vocabulary rank, not
     per-partition: same single deterministic (count desc, token asc)
     rank as the Spark side."""
+    d = delim.replace("'", "''")
     return f"""
     with toks as (
         select {id_col} as doc_id, tok
-        from (select {id_col}, unnest(string_split(text, ' ')) as tok
+        from (select {id_col}, unnest(string_split(text, '{d}')) as tok
               from {src})
         where tok <> ''),
     freq as (select tok, count(*) as n from toks group by tok),
